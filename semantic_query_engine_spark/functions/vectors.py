@@ -1,0 +1,63 @@
+"""Vector math over ArrayType(FloatType) columns — pure Catalyst
+expressions (aggregate / zip_with / transform), no Python UDFs, so the
+whole similarity pipeline stays inside whole-stage codegen and scales
+linearly with executors.
+
+Reference semantics replicated:
+- cosine_similarity with zero-norm guard -> 0.0
+  (/root/reference/app/main.py:59-64, SURVEY A7)
+- L2 normalization with +1e-9 denominator
+  (/root/reference/app/main.py:315-316,353-354, SURVEY A8)
+
+All element math is cast to double first so results are bit-identical to
+a DuckDB oracle computing in double (float32->double conversion is exact,
+and both engines fold the list left-to-right).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def vector_lit(values: Iterable[float]) -> Column:
+    """A literal vector column (e.g. the broadcast query embedding of
+    SURVEY A6 — the reference embeds the query once and sends it with
+    every search request; Spark folds it into the plan as a constant)."""
+    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+
+
+def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Inner product, accumulated in double (SURVEY A7)."""
+    prods = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """cosine(a,b) with the reference's zero-norm guard -> 0.0
+    (/root/reference/app/main.py:62-63)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def l2_normalize(a: ColumnOrName, eps: float = 1e-9) -> Column:
+    """x / (||x|| + eps), the reference's pre-index / pre-search step
+    (/root/reference/app/main.py:315-316). Keeping vectors normalized at
+    rest makes query-time cosine a single dot product."""
+    c = _col(a)
+    denom = l2_norm(c) + F.lit(eps)
+    return F.transform(c, lambda x: x.cast("double") / denom)

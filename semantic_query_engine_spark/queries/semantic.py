@@ -1,0 +1,238 @@
+"""Semantic-engine queries — the reference's core capability surface
+(SURVEY §2 Part A) as declared, oracle-checked DataFrame plans.
+
+The "query vector" in these queries is derived in-plan (a broadcast
+1-row join against embeddings vec_id=0) rather than collected to the
+driver — at 100 TB the probe side stays a plan constant and scoring is a
+map-only scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, l2_norm, l2_normalize
+from ..sources.fixtures import load_table
+from .registry import register
+
+# Shared oracle fragment: the query vector (vec_id = 0) as DOUBLE[].
+_Q = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+
+
+@register(
+    "semantic_topk",
+    oracle=f"""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], {_Q}), 6) AS score
+    FROM embeddings e
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], {_Q}) DESC, e.vec_id
+    LIMIT 3
+    """,
+)
+def semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-3 ANN retrieval (SURVEY A15,
+    /root/reference/app/main.py:347-373): broadcast the query vector,
+    score every index row with a codegen'd cosine, TakeOrderedAndProject.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(_query_side(spark, sf_dir))
+        .select("vec_id", cosine("embedding", "qvec").alias("raw_score"))
+    )
+    return (
+        scored.orderBy(F.desc("raw_score"), F.asc("vec_id"))
+        .limit(3)
+        .select("vec_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
+@register(
+    "semantic_topk_docs",
+    oracle=f"""
+    WITH hits AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], {_Q}), 6) AS score
+      FROM embeddings e
+      WHERE e.vec_id <> 0
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], {_Q}) DESC, e.vec_id
+      LIMIT 3
+    )
+    SELECT d.doc_id, d.source, h.score
+    FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    """,
+)
+def semantic_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 retrieval joined back to source documents — the reference's
+    result parse returns (source_doc, score) tuples
+    (/root/reference/app/main.py:363-367)."""
+    hits = semantic_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return hits.join(docs, hits.vec_id == docs.doc_id).select(
+        "doc_id", "source", "score"
+    )
+
+
+@register(
+    "vector_normalize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,
+           ROUND(list_sum(list_transform(embedding::DOUBLE[],
+                 x -> (x / (sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))) + 1e-9))
+                    * (x / (sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y))) + 1e-9)))), 6)
+             AS unit_norm_sq
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (SURVEY A8, /root/reference/app/main.py:315-316):
+    norm before, squared norm after (≈1) — checks the +1e-9-denominator
+    semantics exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    normed = l2_normalize("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("norm"),
+        F.round(dot(normed, normed), 6).alias("unit_norm_sq"),
+    )
+
+
+@register(
+    "vector_cosine_pairs",
+    oracle="""
+    SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+           ROUND(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+    WHERE e1.vec_id < 200
+    """,
+)
+def vector_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine (SURVEY A7, /root/reference/app/main.py:59-64)
+    over consecutive vector ids — exercises zip_with/aggregate math on an
+    equality join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    e2 = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    return (
+        e1.filter(F.col("id_a") < 200)
+        .join(e2, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.round(cosine("vec_a", "vec_b"), 6).alias("cos_sim"))
+    )
+
+
+@register(
+    "knn_join",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], p.pvec) AS raw
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, vec_id, ROUND(raw, 6) AS score, knn_rank FROM (
+      SELECT probe_id, vec_id, raw,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY raw DESC, vec_id) AS knn_rank
+      FROM scored
+    ) WHERE knn_rank <= 3
+    """,
+)
+def knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join — every probe row gets its 3 nearest index rows (the
+    engine's signature join; generalizes SURVEY A15 to a batch of
+    queries).  Probes broadcast; per-probe top-k via window."""
+    from ..operators.retrieval import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = knn_join(probes, emb, k=3, exclude_self=True)
+    return out.select(
+        "probe_id", "vec_id", F.round("score", 6).alias("score"), "knn_rank"
+    )
+
+
+@register(
+    "cache_probe",
+    oracle=f"""
+    SELECT entry_id, response, ROUND(raw, 6) AS score FROM (
+      SELECT vec_id AS entry_id,
+             'resp_' || CAST(label AS VARCHAR) AS response,
+             list_cosine_similarity(embedding::DOUBLE[], {_Q}) AS raw
+      FROM embeddings
+    ) WHERE raw >= 0.96
+    ORDER BY raw DESC, entry_id
+    LIMIT 1
+    """,
+)
+def cache_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic LFU cache probe (SURVEY A12,
+    /root/reference/app/main.py:67-98): top-1 cosine over cache entries,
+    hit iff sim >= 0.96.  The cache here is the embeddings fixture
+    standing in for {embedding, response} rows; probing with vec 0's own
+    embedding demonstrates the >= threshold hit path (sim = 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cache = emb.select(
+        F.col("vec_id").alias("entry_id"),
+        "embedding",
+        F.concat(F.lit("resp_"), F.col("label").cast("string")).alias("response"),
+    )
+    scored = cache.crossJoin(_query_side(spark, sf_dir)).withColumn(
+        "raw", cosine("embedding", "qvec")
+    )
+    return (
+        scored.filter(F.col("raw") >= 0.96)
+        .orderBy(F.desc("raw"), F.asc("entry_id"))
+        .limit(1)
+        .select("entry_id", "response", F.round("raw", 6).alias("score"))
+    )
+
+
+@register(
+    "cache_evict_lfu",
+    oracle="""
+    SELECT vec_id AS entry_id, label AS freq
+    FROM embeddings
+    ORDER BY label ASC, vec_id ASC
+    LIMIT 1
+    """,
+)
+def cache_evict_lfu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LFU eviction candidate (SURVEY A13,
+    /root/reference/app/main.py:101-118): argmin over freq with the
+    deterministic (freq, insert_seq) tie-break.  freq := label,
+    insert_seq := vec_id over the fixture."""
+    from ..operators.cache import eviction_candidate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cache = emb.select(
+        F.col("vec_id").alias("entry_id"),
+        F.col("label").cast("long").alias("freq"),
+        F.col("vec_id").alias("insert_seq"),
+    )
+    return eviction_candidate(cache).select("entry_id", "freq")
+
+
+@register(
+    "has_any_data",
+    oracle="SELECT COUNT(*) AS n_rows, COUNT(*) > 0 AS has_data FROM embeddings",
+)
+def has_any_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotence guard (SURVEY A11, /root/reference/app/main.py:300-307):
+    index row count and the skip-if-indexed boolean."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count("*").alias("n_rows"), (F.count("*") > 0).alias("has_data")
+    )

@@ -1,0 +1,171 @@
+"""Text-pipeline queries — cleaning, chunking, context assembly
+(SURVEY §2 Part A text surface) plus the training-data text-analysis
+extensions (token stats, language-ID, quality, fingerprint).
+
+Chunk size is 16 words in the declared queries (the fixture documents
+are short; the operator takes the reference's 512 as its default —
+/root/reference/app/main.py:37)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.chunking import chunk_documents
+from ..sources.fixtures import load_table
+from .registry import register
+
+CHUNK = 16
+
+# DuckDB fragments matching functions/text.py exactly.
+_CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
+_WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
+_STOPS = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
+
+
+@register(
+    "doc_clean",
+    oracle=f"SELECT doc_id, {_CLEAN} AS clean_text FROM documents",
+)
+def doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basic_cleaning (SURVEY A1, /root/reference/app/main.py:379-380):
+    newline -> space, trim.  Pure projection; pushdown-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.clean_text("text").alias("clean_text"))
+
+
+@register(
+    "doc_chunk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(ws[i * {CHUNK} + 1 : (i + 1) * {CHUNK}], ' ') AS chunk_text
+    FROM w, UNNEST(range(CAST(greatest(1, ceil(len(ws) / {CHUNK}.0)) AS BIGINT))) AS t(i)
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_text (SURVEY A2, /root/reference/app/main.py:383-393): split
+    on whitespace, re-join into <=N-word chunks.  1 row -> ceil(n/N)
+    rows via posexplode — map-only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=CHUNK).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+
+
+@register(
+    "context_assembly",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents WHERE doc_id < 50),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             array_to_string(ws[i * {CHUNK} + 1 : (i + 1) * {CHUNK}], ' ') AS chunk_text
+      FROM w, UNNEST(range(CAST(greatest(1, ceil(len(ws) / {CHUNK}.0)) AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id,
+           '--- Document ID: ' || CAST(doc_id AS VARCHAR) || ' ---' || chr(10)
+             || string_agg(chunk_text, chr(10) ORDER BY chunk_id) || chr(10) AS block
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context assembly (SURVEY A16, /root/reference/app/main.py:500-513):
+    group retrieved chunks by doc, concatenate in retrieval order, format
+    '--- Document ID: {id} ---' blocks.  Order-stabilized via
+    array_sort(collect_list(struct(chunk_id, text)))."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = chunk_documents(docs, chunk_size=CHUNK)
+    assembled = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            "\n",
+        ).alias("content")
+    )
+    return assembled.select(
+        "doc_id",
+        F.concat(
+            F.lit("--- Document ID: "),
+            F.col("doc_id").cast("string"),
+            F.lit(" ---\n"),
+            F.col("content"),
+            F.lit("\n"),
+        ).alias("block"),
+    )
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_WORDS}) AS n_tokens,
+           len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS n_stopwords,
+           ROUND(CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS DOUBLE)
+                      / CAST(len({_WORDS}) AS DOUBLE) END, 6) AS stop_ratio,
+           length(text) AS n_chars_raw
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword stats — the text-analysis extension
+    (north star, BASELINE.json:6) over the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.stopword_count("text").alias("n_stopwords"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.length("text").alias("n_chars_raw"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS DOUBLE)
+                       / CAST(len({_WORDS}) AS DOUBLE) END AS r
+      FROM documents
+    )
+    SELECT doc_id, lang, CASE WHEN r >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit ratio) vs the fixture's lang
+    label — deterministic, JVM-side, oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(array_to_string({_WORDS}, ' '))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercased
+    text — the 16-byte dedup key that replaces shuffling full bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@register(
+    "quality_score",
+    oracle=None,  # composite float heuristic; checked property-style in tests
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering (length / punctuation
+    / stopword components).  Rows-only for the driver; unit tests pin the
+    component math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))

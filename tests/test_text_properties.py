@@ -1,0 +1,81 @@
+"""Property tests for the text pipeline (SURVEY §5): chunking invariants
+from the reference's chunk_text semantics
+(/root/reference/app/main.py:379-393) and normalization invariants
+(/root/reference/app/main.py:59-64,315-316)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from semantic_query_engine_spark.functions.vectors import cosine, l2_norm, l2_normalize
+from semantic_query_engine_spark.operators.chunking import chunk_documents
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abcdef \n"),
+        min_size=1,
+        max_size=200,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=TEXTS)
+def test_chunk_invariants(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    size = 7
+    chunks = chunk_documents(docs, chunk_size=size).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        words = t.replace("\n", " ").strip().split()
+        got = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        # every chunk <= size words
+        for r in got:
+            assert len(r.chunk_text.split()) <= size
+        # rejoining chunks reproduces the cleaned word stream
+        rejoined = " ".join(r.chunk_text for r in got).split()
+        assert rejoined == words
+        # chunk count == ceil(n/size) (>= 1 even for empty docs)
+        assert len(got) == max(1, math.ceil(len(words) / size))
+
+
+def test_normalize_and_cosine_guards(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    out = df.select(
+        "id",
+        l2_norm("v").alias("norm"),
+        l2_norm(l2_normalize("v")).alias("unit"),
+        cosine("v", "v").alias("self_cos"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert abs(by_id[1].norm - 5.0) < 1e-12
+    assert abs(by_id[1].unit - 1.0) < 1e-6
+    assert abs(by_id[1].self_cos - 1.0) < 1e-12
+    # zero vector: guarded cosine -> 0.0, normalize stays finite
+    assert by_id[2].self_cos == 0.0
+    assert by_id[2].unit == 0.0
