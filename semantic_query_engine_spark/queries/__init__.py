@@ -2,6 +2,9 @@
 
 from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 
+from . import events  # noqa: F401,E402
+from . import relational  # noqa: F401,E402
+from . import scalars  # noqa: F401,E402
 from . import semantic  # noqa: F401,E402
 from . import textops  # noqa: F401,E402
 

@@ -1,0 +1,155 @@
+"""Event-stream analytics in batch form: tumbling-window rollups,
+sessionization, and the as-of join (SURVEY §2 Part B streaming/window
+rows; the true streaming variants live in queries/streaming_q.py).
+
+All plans are single-shuffle (keyed by user_id or the group keys) —
+the shapes that survive a 100-TB event log, where per-user state must
+never leave its partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+_TS_FMT_S = "yyyy-MM-dd HH:mm:ss"
+_DTS_FMT_S = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly rollup (batch form of the streaming window agg)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           strftime(MIN(ts), '{_DTS_FMT_S}') AS session_start,
+           strftime(MAX(ts), '{_DTS_FMT_S}') AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag-gap islands (30-min inactivity): the
+    classic two-window + one-agg plan; everything stays partitioned by
+    user_id, so it is ONE shuffle end-to-end."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_sess", F.when(gap_s > 1800, F.lit(1)).otherwise(F.lit(0))
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT_S).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT_S).alias("session_end"),
+    )
+
+
+@register(
+    "asof_join",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS sig_ts
+      FROM events WHERE event_type IN ('signup', 'purchase')),
+    win AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(sig_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM tagged)
+    SELECT event_id, user_id,
+           strftime(ts, '{_DTS_FMT_S}') AS purchase_ts,
+           strftime(last_signup_ts, '{_DTS_FMT_S}') AS signup_ts
+    FROM win WHERE event_type = 'purchase'
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase -> most recent prior signup, per user)
+    via the union+window technique: tag both streams, sort once per key,
+    carry the last non-null match forward.  No range cross-join — the
+    scalable as-of shape (a range join would explode at 100 TB; this is
+    one sort-based window per key)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.withColumn(
+        "sig_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win = tagged.withColumn(
+        "last_signup_ts", F.last("sig_ts", ignorenulls=True).over(w)
+    )
+    return win.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_S).alias("purchase_ts"),
+        F.date_format("last_signup_ts", _TS_FMT_S).alias("signup_ts"),
+    )
+
+
+@register(
+    "events_value_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           MAX(value) AS max_value,
+           ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / (100.0 * COUNT(*)), 6) AS avg_value,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregate profile (the batch analog of per-key streaming
+    state, SURVEY A21)."""
+    e = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.sum(vc) / 100.0).alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.sum(vc) / (F.count("*") * 100.0), 6).alias("avg_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

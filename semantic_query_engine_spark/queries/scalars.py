@@ -1,0 +1,220 @@
+"""Scalar function surface (SURVEY §2 Part B: string / date / math /
+array / JSON functions), one declared query per family, each a pure
+projection (no shuffle; pushdown-friendly) with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           starts_with(p_type, 'PROMO') AS is_promo,
+           contains(p_name, 'e') AS has_e,
+           p_name LIKE '%a%' AS like_a,
+           replace(p_name, ' ', '_') AS name_snake,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           split_part(p_type, ' ', 1) AS type_head,
+           levenshtein(p_brand, 'Brand#11') AS brand_dist
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar suite — the reference's replace/trim/split/concat/
+    prefix-test surface (SURVEY A1/A2/A16/A17 + filename filters
+    /root/reference/app/main.py:431) plus standard extensions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+        F.col("p_name").contains("e").alias("has_e"),
+        F.col("p_name").like("%a%").alias("like_a"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_dist"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy,
+           quarter(o_orderdate) AS qtr,
+           dayofyear(o_orderdate) AS doy,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar suite over o_orderdate.  Timestamps are always
+    projected as formatted strings so the cross-engine hash is
+    timezone-representation-proof (FIXTURES.md §3)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(l_extendedprice / 7, 2) AS price_div,
+           ceil(l_extendedprice / 1000) AS price_ceil,
+           floor(l_extendedprice / 1000) AS price_floor,
+           greatest(l_quantity, 25.0) AS qty_hi,
+           least(l_quantity, 25.0) AS qty_lo,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar suite (SURVEY A7/A8's sqrt/pow/abs plus the standard
+    surface)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.col("l_extendedprice") / 7, 2).alias("price_div"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_floor"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vmax,
+           ROUND(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vmin,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar suite over the embedding column (SURVEY §2 Part B
+    array fns: size/slice/element_at/transform/filter/aggregate)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            6,
+        ).alias("head_sum"),
+        F.round(F.array_max(as_double), 6).alias("vmax"),
+        F.round(F.array_min(as_double), 6).alias("vmin"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (SURVEY §2 Part B JSON fns) over events.props —
+    the engine-side analog of the reference's json.loads of cache
+    entries (/root/reference/app/main.py:79,95)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           octet_length(encode(text)) // 4 AS n_fake_patches
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, metadata path: treat content as an opaque
+    binary column with typed metadata (byte length, content hash,
+    derived patch count).  The decode/feature path is the Pandas-UDF
+    pipeline in operators/multimodal.py; this declared query checks the
+    binary-column semantics end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+        (F.length(blob) / F.lit(4)).cast("long").alias("n_fake_patches"),
+    )
