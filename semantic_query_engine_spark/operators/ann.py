@@ -1,0 +1,120 @@
+"""Approximate nearest neighbor — the sublinear rungs of the strategy
+ladder (SURVEY §4.3) replacing the reference's HNSW index
+(/root/reference/app/main.py:272-277, m=64 / ef_construction=500 /
+cosinesimil).  Spark has no HNSW; the scale-equivalent intents are:
+
+- LSH (MLlib BucketedRandomProjectionLSH): hash vectors into buckets,
+  probe only colliding buckets.  Fixed random projections with a set
+  seed -> deterministic.
+- IVF partition pruning (KMeans centroids): cluster the index once,
+  store cluster_id as a partition column, and answer each query by
+  scanning only the nprobe nearest clusters.  At 100 TB this turns
+  a full scan into (nprobe/k) of the data, and the cluster_id partition
+  layout means Catalyst prunes the untouched partitions at the parquet
+  level — the DataFrame analog of an IVF index.
+
+Exact brute force (operators/retrieval.py) stays the declared,
+oracle-checked default; these are the unchecked fast paths (rows-only
+driver checks; tests assert recall against brute force).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, l2_normalize, vector_lit
+from .retrieval import topk_similar
+
+SEED = 42
+
+
+def _to_mllib_vec(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
+
+
+def lsh_topk(
+    index: DataFrame,
+    query_vec: Iterable[float],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """approxNearestNeighbors over L2-normalized vectors.  On the unit
+    sphere, Euclidean distance is monotone in cosine (d² = 2 - 2cos), so
+    the random-projection buckets respect cosine ranking — the same
+    space_type=cosinesimil intent as the reference's HNSW."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors
+
+    normed = index.withColumn("__nvec", l2_normalize(vec_col))
+    feat = _to_mllib_vec(normed, "__nvec", "features")
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=SEED,
+    ).fit(feat)
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype="float64")
+    q = q / (float(np.linalg.norm(q)) + 1e-9)
+    hits = model.approxNearestNeighbors(feat, Vectors.dense(q), k)
+    return hits.select(
+        id_col, F.round(1.0 - (F.col("distCol") ** 2) / 2.0, 6).alias("approx_cos")
+    )
+
+
+def build_ivf(
+    index: DataFrame,
+    n_clusters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One-time index build: KMeans over the vectors -> (assigned rows,
+    centroid table).  At scale the assigned DataFrame is written
+    `partitionBy('cluster_id')` so probes prune at the file level."""
+    from pyspark.ml.clustering import KMeans
+
+    feat = _to_mllib_vec(index, vec_col, "features")
+    km = KMeans(k=n_clusters, seed=SEED, featuresCol="features").fit(feat)
+    assigned = km.transform(feat).withColumnRenamed("prediction", "cluster_id").drop(
+        "features"
+    )
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+    spark = index.sparkSession
+    centroids = spark.createDataFrame(
+        centers, "cluster_id int, centroid array<double>"
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: Iterable[float],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest clusters, exact top-k inside them.
+    The cluster filter is an IN-list of constants, so with a
+    cluster-partitioned layout Catalyst prunes every other partition
+    before any I/O happens."""
+    q = vector_lit(query_vec)
+    near = (
+        centroids.select("cluster_id", cosine("centroid", q).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cluster_id"))
+        .limit(nprobe)
+    )
+    probe_ids = [r.cluster_id for r in near.collect()]  # nprobe tiny constants
+    pruned = assigned.filter(F.col("cluster_id").isin(probe_ids))
+    return topk_similar(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,98 @@
+"""SimHash near-dup detection — 64-bit signatures from word hashes,
+banded for candidate generation, Hamming-distance verified.
+
+All signature math is JVM-side expressions (xxhash64 + bit ops inside
+whole-stage codegen): signature computation is a map-only stage, banding
+turns near-dup search into an equality join on (band_idx, band_value),
+and only colliding candidates pay the bit_count verification.  That is
+the 100 TB shape: no all-pairs anywhere.
+
+xxhash64 has no DuckDB twin, so these are rows-only checks; unit tests
+pin the semantics (identical text -> identical signature, hamming 0;
+small edit -> small hamming distance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import words_of
+
+N_BITS = 64
+N_BANDS = 4  # 16 bits per band
+
+
+def simhash(text_col) -> F.Column:
+    """64-bit SimHash of the whitespace tokens: for each bit j, sum
+    +1/-1 votes of every word-hash's bit j; bit j of the signature is 1
+    iff the vote is positive.  The bit loop is unrolled in Python
+    (shift amounts must be literals) and packing uses shiftleft so bit
+    63 lands in the sign bit without overflow."""
+    hashes = F.transform(words_of(text_col), lambda w: F.xxhash64(w))
+
+    def vote(j: int):
+        # factory binds j per bit; the merge lambda must stay 2-ary
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for j in range(N_BITS):
+        bit = F.when(vote(j) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, j))
+    return sig
+
+
+def band_values(sig_col) -> F.Column:
+    """Split the 64-bit signature into N_BANDS 16-bit integers (the
+    16-bit mask makes the arithmetic shift's sign-extension irrelevant)."""
+    width = N_BITS // N_BANDS
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftright(sig_col, b * width).bitwiseAND(F.lit(mask))
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs sharing at least one 16-bit band, verified by
+    Hamming distance <= max_hamming.  Returns (id_a, id_b, hamming)."""
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+    )
+    banded = sigs.select(
+        "id", "sig", F.posexplode(band_values(F.col("sig"))).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,198 @@
+"""Deduplication + ANN queries (north-star training-data-pipeline
+operators, BASELINE.json:6).  The fixture corpus has no natural
+duplicates (documents are synthetic-random; max pairwise embedding
+cosine ≈ 0.46), so each query constructs deterministic near-duplicates
+IN-PLAN (truncated copies / perturbed vectors) — expressible in both
+engines, so exact methods stay oracle-checked; the sketch methods
+(MinHashLSH, SimHash, LSH/IVF ANN) are rows-only with recall tests in
+tests/test_dedup.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import words_of
+from ..operators.dedup import exact_dedup, jaccard_pairs
+from ..sources.fixtures import load_table
+from .registry import register
+
+_CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
+_WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
+
+
+def _docs_with_truncated_copies(spark: SparkSession, sf_dir: str, limit: int = 100) -> DataFrame:
+    """documents[:limit] plus an 80%-prefix copy of each at id+10000."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < limit).select(
+        "doc_id", "text"
+    )
+    ws = words_of(F.col("text"))
+    keep = F.ceil(F.size(ws) * 0.8).cast("int")
+    variants = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents),
+    fp AS (
+      SELECT doc_id,
+             md5(lower(array_to_string({_WORDS}, ' '))) AS f
+      FROM alldocs)
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint groups, keep lowest id.  The corpus
+    is unioned with a full copy of itself (ids +10000); dedup must
+    return exactly the original ids.  The shuffle carries a 16-byte
+    digest, never the document bodies."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return exact_dedup(docs.unionByName(copies)).select("doc_id")
+
+
+@register(
+    "dedup_jaccard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM alldocs),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-bigram Jaccard >= 0.5 over the corpus plus
+    80%-prefix copies.  Candidate pairs come from a shingle-keyed
+    self-join (pairs must share a shingle) — never all-pairs."""
+    return jaccard_pairs(
+        _docs_with_truncated_copies(spark, sf_dir), threshold=0.5, n=2
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+    alle AS (
+      SELECT id, v FROM base
+      UNION ALL
+      SELECT id + 10000, list_concat([v[1] + 0.1], v[2:]) FROM base)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM alle a JOIN alle b ON a.id < b.id)
+    WHERE sim >= 0.98
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.98) over vectors plus
+    slightly-perturbed copies.  Fixture-scale all-pairs here; the scale
+    path is LSH banding / IVF blocking (dedup_minhash_lsh, ann_ivf)."""
+    from ..operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("vec_id"), as_double.alias("embedding"))
+    variants = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 10_000_000),
+        ).alias("embedding"),
+    )
+    return embedding_near_dups(base.unionByName(variants), threshold=0.98)
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup join (shingle -> minhash signature -> banded
+    bucket join) via MLlib MinHashLSH, seed-pinned.  The scalable
+    near-dup path: signature computation is map-only and the join is an
+    equality join on hash buckets.  Rows-only (sketch internals have no
+    SQL twin); tests assert it recovers the planted 80%-prefix pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..operators.dedup import word_shingles
+
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    sh = docs.select("doc_id", word_shingles(F.col("text"), 2).alias("shingles"))
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(feat)
+    pairs = lsh.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (64-bit signatures, 4 bands,
+    hamming <= 8) over the corpus plus 80%-prefix copies.  xxhash64 has
+    no DuckDB twin -> rows-only; tests pin signature semantics."""
+    from ..operators.simhash import simhash_pairs
+
+    return simhash_pairs(_docs_with_truncated_copies(spark, sf_dir), max_hamming=8)
+
+
+@register("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH top-3 for the vec-0 query (SURVEY §4.3
+    rung 2).  Rows-only; tests compare recall vs brute force."""
+    from ..operators.ann import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=3)
+
+
+@register("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partition-pruned top-3 (SURVEY §4.3 rung 3): KMeans
+    centroids, probe the 2 nearest of 10 clusters, exact search inside.
+    Rows-only; tests compare against brute force."""
+    from ..operators.ann import build_ivf, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    assigned, centroids = build_ivf(emb.filter(F.col("vec_id") != 0), n_clusters=10)
+    return ivf_topk(assigned, centroids, qvec, k=3, nprobe=2)

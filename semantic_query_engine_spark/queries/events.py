@@ -25,7 +25,7 @@ _DTS_FMT_S = "%Y-%m-%d %H:%M:%S"
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -52,8 +52,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     numbered AS (
       SELECT user_id, event_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            strftime(MIN(ts), '{_DTS_FMT_S}') AS session_start,
@@ -134,9 +134,9 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n,
-           SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
            MAX(value) AS max_value,
-           ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / (100.0 * COUNT(*)), 6) AS avg_value,
+           ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / (100.0 * COUNT(*)), 6) AS avg_value,
            COUNT(DISTINCT event_type) AS n_types
     FROM events GROUP BY user_id
     """,

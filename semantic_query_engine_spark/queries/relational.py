@@ -38,13 +38,13 @@ def _dcents(col: str) -> str:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-           SUM({_dcents('l_extendedprice')}) / 100.0 AS sum_base_price,
-           SUM({_dcents('l_extendedprice')} * (100 - {_dcents('l_discount')})) / 10000.0 AS sum_disc_price,
-           SUM({_dcents('l_extendedprice')} * (100 - {_dcents('l_discount')}) * (100 + {_dcents('l_tax')})) / 1000000.0 AS sum_charge,
-           ROUND(SUM(CAST(l_quantity AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
-           ROUND(SUM({_dcents('l_extendedprice')}) / (100.0 * COUNT(*)), 6) AS avg_price,
-           ROUND(SUM({_dcents('l_discount')}) / (100.0 * COUNT(*)), 6) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM({_dcents('l_extendedprice')}) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM({_dcents('l_extendedprice')} * (100 - {_dcents('l_discount')})) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM({_dcents('l_extendedprice')} * (100 - {_dcents('l_discount')}) * (100 + {_dcents('l_tax')})) AS BIGINT) / 1000000.0 AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
+           ROUND(CAST(SUM({_dcents('l_extendedprice')}) AS BIGINT) / (100.0 * COUNT(*)), 6) AS avg_price,
+           ROUND(CAST(SUM({_dcents('l_discount')}) AS BIGINT) / (100.0 * COUNT(*)), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -84,10 +84,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(*) AS n_cust,
            COUNT(DISTINCT c_nationkey) AS n_nations,
-           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_bal,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_bal,
            MIN(c_acctbal) AS min_bal,
            MAX(c_acctbal) AS max_bal,
-           ROUND(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / (100.0 * COUNT(*)), 6) AS avg_bal
+           ROUND(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / (100.0 * COUNT(*)), 6) AS avg_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -148,7 +148,7 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -177,7 +177,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
            COUNT(*) AS n,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -259,9 +259,9 @@ def distinct_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_filter",
     oracle="""
     SELECT l_suppkey, COUNT(*) AS n_items,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem GROUP BY l_suppkey
-    HAVING COUNT(*) > 550 AND SUM(CAST(l_quantity AS BIGINT)) > 14000
+    HAVING COUNT(*) > 550 AND CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) > 14000
     """,
 )
 def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,8 +281,8 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_open,
-           SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_filled
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_filled
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -308,7 +308,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_inner_q3",
     oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           SUM({_dcents('l.l_extendedprice')} * (100 - {_dcents('l.l_discount')})) / 10000.0 AS revenue,
+           CAST(SUM({_dcents('l.l_extendedprice')} * (100 - {_dcents('l.l_discount')})) AS BIGINT) / 10000.0 AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS priority
     FROM customer c
@@ -355,7 +355,7 @@ def join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q5_region",
     oracle=f"""
     SELECT n.n_name AS nation,
-           SUM({_dcents('l.l_extendedprice')} * (100 - {_dcents('l.l_discount')})) / 10000.0 AS revenue
+           CAST(SUM({_dcents('l.l_extendedprice')} * (100 - {_dcents('l.l_discount')})) AS BIGINT) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -520,7 +520,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('medium', 100000.0, 300000.0),
       ('large', 300000.0, 1000000.0))
     SELECT b.band, COUNT(*) AS n_orders,
-           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
     FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY b.band
     """,
@@ -580,8 +580,8 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
       FROM orders
     ) WHERE rn <= 2
     """,
@@ -605,9 +605,9 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_dense_ntile",
     oracle="""
     SELECT c_custkey, c_acctbal,
-           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
-           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk,
-           NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+           CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS drnk,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
     FROM customer
     """,
 )
@@ -632,9 +632,9 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-           date_diff('day',
+           CAST(date_diff('day',
              lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-             o_orderdate) AS days_since_prev,
+             o_orderdate) AS INT) AS days_since_prev,
            lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
     FROM orders WHERE o_custkey < 100
     """,
@@ -658,9 +658,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
              AS running_spend,
            AVG(o_totalprice)
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

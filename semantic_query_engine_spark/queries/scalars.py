@@ -19,7 +19,7 @@ from .registry import register
            lower(p_name) AS name_lower,
            upper(p_brand) AS brand_upper,
            substring(p_name, 1, 8) AS name_prefix,
-           length(p_name) AS name_len,
+           CAST(length(p_name) AS INT) AS name_len,
            starts_with(p_type, 'PROMO') AS is_promo,
            contains(p_name, 'e') AS has_e,
            p_name LIKE '%a%' AS like_a,
@@ -27,7 +27,7 @@ from .registry import register
            concat_ws('|', p_brand, p_type) AS brand_type,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
            split_part(p_type, ' ', 1) AS type_head,
-           levenshtein(p_brand, 'Brand#11') AS brand_dist
+           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS brand_dist
     FROM part
     """,
 )
@@ -57,15 +57,15 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_funcs",
     oracle="""
     SELECT o_orderkey,
-           year(o_orderdate) AS yr,
-           month(o_orderdate) AS mo,
-           day(o_orderdate) AS dy,
-           quarter(o_orderdate) AS qtr,
-           dayofyear(o_orderdate) AS doy,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
            strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
-           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k
     FROM orders WHERE o_orderkey < 2000
     """,
 )
@@ -102,13 +102,13 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_quantity * l_quantity AS qty_sq,
            abs(l_discount - 0.05) AS disc_dev,
            round(l_extendedprice / 7, 2) AS price_div,
-           ceil(l_extendedprice / 1000) AS price_ceil,
-           floor(l_extendedprice / 1000) AS price_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_floor,
            greatest(l_quantity, 25.0) AS qty_hi,
            least(l_quantity, 25.0) AS qty_lo,
            round(ln(l_extendedprice), 6) AS price_ln,
            CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem WHERE l_orderkey < 3000
     """,
 )
@@ -137,12 +137,12 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs",
     oracle="""
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS INT) AS dim,
            ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
            ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
            ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vmax,
            ROUND(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vmin,
-           len(list_filter(embedding, x -> x > 0)) AS n_positive
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
     FROM embeddings WHERE vec_id < 200
     """,
 )
@@ -174,7 +174,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -198,7 +198,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_bytes",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            md5(text) AS content_md5,
            octet_length(encode(text)) // 4 AS n_fake_patches
     FROM documents

@@ -143,7 +143,7 @@ def vector_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT probe_id, vec_id, ROUND(raw, 6) AS score, knn_rank FROM (
       SELECT probe_id, vec_id, raw,
-             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY raw DESC, vec_id) AS knn_rank
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY raw DESC, vec_id) AS INT) AS knn_rank
       FROM scored
     ) WHERE knn_rank <= 3
     """,
@@ -203,7 +203,7 @@ def cache_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cache_evict_lfu",
     oracle="""
-    SELECT vec_id AS entry_id, label AS freq
+    SELECT vec_id AS entry_id, CAST(label AS BIGINT) AS freq
     FROM embeddings
     ORDER BY label ASC, vec_id ASC
     LIMIT 1

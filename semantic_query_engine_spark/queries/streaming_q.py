@@ -1,0 +1,169 @@
+"""Streaming queries: real Structured Streaming runs (micro-batch
+engine + state store) materialized through availableNow so the driver
+can compare against DuckDB where semantics allow.
+
+- stream_tumbling_hourly: windowed agg, COMPLETE mode -> every window is
+  final -> full DuckDB oracle.
+- stream_sliding_windows: 1h windows sliding 30min, COMPLETE mode ->
+  oracle via the two half-shifted tumbling buckets.
+- session_window_agg: session_window in batch mode (same operator the
+  stream uses) -> oracle via lag-gap islands.
+- stream_stateful_memory: applyInPandasWithState per-user conversation
+  state (SURVEY A21 — fixing the reference's uninitialized memory_store
+  bug, /root/reference/app/main.py:484 vs :408-411) -> rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from ..streaming.jobs import read_events_stream, run_to_memory
+from .registry import register
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+_DTS = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation executed BY THE STREAMING
+    ENGINE (readStream -> window agg -> availableNow -> memory sink,
+    complete mode).  Complete mode makes every window final, so the
+    result equals the batch hourly rollup — hence a full oracle."""
+    src = read_events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding_windows",
+    oracle="""
+    WITH buckets AS (
+      SELECT ts, value,
+             date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+               AS half_slot
+      FROM events),
+    slid AS (
+      SELECT half_slot AS window_start, value FROM buckets
+      UNION ALL
+      SELECT half_slot - INTERVAL 30 MINUTE, value FROM buckets)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM slid GROUP BY 1
+    """,
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) on the streaming
+    engine.  Each event lands in exactly 2 windows; the oracle rebuilds
+    them from half-hour buckets."""
+    src = read_events_stream(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts)
+                    - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '{_DTS}') AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (30-min gap) — Spark's native session operator,
+    run in batch mode (identical operator to the streaming form).  The
+    oracle derives the same sessions via lag-gap islands at microsecond
+    precision: Spark session windows are half-open [start, last+gap), so
+    a new session begins when the inter-event gap is >= the gap duration
+    exactly — hence epoch_us >= 1800000000, not a seconds-truncated
+    comparison."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return agg.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), _TS).alias("session_start"),
+        "n_events",
+    )
+
+
+@register("stream_stateful_memory", oracle=None)
+def stream_stateful_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversation memory as streaming keyed state
+    (applyInPandasWithState) — the Spark-native ConversationBufferMemory
+    (SURVEY A21).  Each user's state accumulates (n_messages,
+    last_event_type) across micro-batches; with the fixture's single
+    input batch the final state is deterministic, but the state-store
+    machinery is real.  Rows-only (no SQL twin for GroupState)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+
+    def update(key, pdfs, state: GroupState):
+        n, last_type, last_ts = (state.get if state.exists else (0, "", ""))  # type: ignore[misc]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts"], kind="mergesort")
+        n += len(rows)
+        last_type = str(rows["event_type"].iloc[-1])
+        last_ts = str(rows["ts"].iloc[-1])
+        state.update((n, last_type, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_messages": [n],
+                "last_event_type": [last_type],
+            }
+        )
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_messages long, last_event_type string",
+        stateStructType="n long, last_type string, last_ts string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, output_mode="update")

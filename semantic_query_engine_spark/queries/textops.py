@@ -101,12 +101,12 @@ def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats",
     oracle=f"""
     SELECT doc_id,
-           len({_WORDS}) AS n_tokens,
-           len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS n_stopwords,
+           CAST(len({_WORDS}) AS INT) AS n_tokens,
+           CAST(len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS INT) AS n_stopwords,
            ROUND(CASE WHEN len({_WORDS}) = 0 THEN 0.0
                  ELSE CAST(len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS DOUBLE)
                       / CAST(len({_WORDS}) AS DOUBLE) END, 6) AS stop_ratio,
-           length(text) AS n_chars_raw
+           CAST(length(text) AS INT) AS n_chars_raw
     FROM documents
     """,
 )

@@ -1,0 +1,64 @@
+"""Recall/semantics tests for the sketch-based dedup + ANN operators
+(the rows-only queries): they must recover the planted duplicates and
+agree with brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_minhash_lsh_recovers_planted_pairs(spark, sf_dir):
+    from semantic_query_engine_spark.queries.dedup_q import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    planted = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 10000}
+    # 100 planted 80%-prefix copies; LSH with 5 tables at jaccard>=0.5
+    # should recover the large majority
+    assert len(planted) >= 80, len(planted)
+    # and no pair it reports may have distance above the threshold
+    assert all(r.jaccard_dist <= 0.5 for r in pairs)
+
+
+def test_simhash_identical_and_perturbed(spark):
+    from semantic_query_engine_spark.operators.simhash import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely different words here entirely unrelated tokens"),
+        ],
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        ),
+    )
+    sigs = {r.doc_id: r.sig for r in df.select("doc_id", simhash(F.col("text")).alias("sig")).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    ham_13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    ham_14 = bin((sigs[1] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_13 < ham_14  # one-word edit is closer than unrelated text
+
+
+def test_ivf_matches_bruteforce(spark, sf_dir):
+    from semantic_query_engine_spark.operators.ann import build_ivf, ivf_topk
+    from semantic_query_engine_spark.operators.retrieval import topk_similar
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    index = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in topk_similar(index, qvec, k=3).collect()]
+    assigned, centroids = build_ivf(index, n_clusters=10)
+    # probing ALL clusters must equal brute force exactly
+    approx_all = [
+        r.vec_id for r in ivf_topk(assigned, centroids, qvec, k=3, nprobe=10).collect()
+    ]
+    assert approx_all == exact
+    # probing 2/10 clusters: vectors are uniform-random so recall may
+    # drop, but the result must be a valid subset of the index
+    approx2 = [
+        r.vec_id for r in ivf_topk(assigned, centroids, qvec, k=3, nprobe=2).collect()
+    ]
+    assert len(approx2) == 3 and 0 not in approx2
