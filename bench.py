@@ -1,12 +1,15 @@
 """Benchmark harness: runs the engine's headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Headline set = the reference's core path (semantic retrieval, chunking,
-context assembly) + the scale-sensitive extensions (kNN join, dedup).
-Each query is fully materialized via a count/collect so the timing covers
-scan -> shuffle -> result, not just plan construction.
+`value` is the flagship RAG pipeline's end-to-end latency (embed-in-plan
+-> cache probe -> top-3 retrieval -> context assembly -> prompt ->
+generation), the direct analog of the reference's published "< 3.5 s
+end-to-end query latency" (BASELINE.md).  Per-query timings for the
+wider operator surface ride along in "queries".
+
+Each query is fully materialized (count) so timings cover
+scan -> shuffle -> result, not plan construction.
 """
 
 from __future__ import annotations
@@ -19,15 +22,23 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+FLAGSHIP = "rag_ask_flagship"
+
 HEADLINE = [
-    "semantic_topk",
-    "semantic_topk_docs",
-    "knn_join",
-    "doc_chunk",
-    "context_assembly",
-    "text_stats",
-    "doc_fingerprint",
-    "cache_probe",
+    FLAGSHIP,            # the reference's core read path (A20)
+    "semantic_topk",     # brute-force ANN (A15)
+    "knn_join",          # batch kNN join
+    "cache_probe",       # semantic cache (A12)
+    "doc_chunk",         # chunking (A2)
+    "context_assembly",  # group-concat (A16)
+    "text_stats",        # text analysis extension
+    "doc_fingerprint",   # hashing/dedup key
+    "dedup_exact",       # exact dedup at 2x corpus
+    "dedup_jaccard",     # shingle-join near-dup
+    "q1_pricing_summary",  # agg workhorse
+    "join_q5_region",    # 6-table star join
+    "window_topk_per_group",
+    "events_sessionize",
 ]
 
 
@@ -37,26 +48,24 @@ def main() -> None:
     from semantic_query_engine_spark.session import get_spark
 
     spark = get_spark("bench")
-    timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in REGISTRY]
     # warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch class loading
     REGISTRY[names[0]].fn(spark, sf_dir).limit(1).collect()
+    timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        n = df.count()
+        REGISTRY[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 4)
-        _ = n
-    total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
+                "metric": "flagship_rag_e2e_latency",
+                "value": timings[FLAGSHIP],
                 "unit": "sec",
                 "queries": timings,
+                "total_sec": round(sum(timings.values()), 4),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -24,7 +24,11 @@ DEFAULT_CHUNK_SIZE = 512  # /root/reference/app/main.py:37
 
 def chunk_array(text_col, chunk_size: int = DEFAULT_CHUNK_SIZE) -> Column:
     """Array of <=chunk_size-word chunk strings for one document."""
-    ws = words_of(text_col)
+    return chunk_array_from_words(words_of(text_col), chunk_size)
+
+
+def chunk_array_from_words(ws: Column, chunk_size: int = DEFAULT_CHUNK_SIZE) -> Column:
+    """Chunk array from a pre-tokenized words column."""
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.size(ws) / F.lit(float(chunk_size))).cast("int")
     )
@@ -42,9 +46,17 @@ def chunk_documents(
 ) -> DataFrame:
     """1 document row -> N chunk rows (doc_id, chunk_id, chunk_text).
     The composite id doc_id || '_' || chunk_id mirrors the reference's
-    OpenSearch _id (/root/reference/app/main.py:325)."""
-    chunks = chunk_array(F.col(text_col), chunk_size)
-    return docs.select(
+    OpenSearch _id (/root/reference/app/main.py:325).
+
+    The words array is materialized in its own projection so the
+    expensive split() runs once per document; Catalyst's CollapseProject
+    keeps non-cheap aliases separate instead of re-inlining them into
+    every slice() of the chunk lambda."""
+    tokenized = docs.select(
+        F.col(id_col), words_of(F.col(text_col)).alias("__ws")
+    )
+    chunks = chunk_array_from_words(F.col("__ws"), chunk_size)
+    return tokenized.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
     ).withColumn(

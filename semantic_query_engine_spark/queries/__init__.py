@@ -8,6 +8,7 @@ from . import pipeline_q  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
+from . import tenant  # noqa: F401,E402
 from . import semantic  # noqa: F401,E402
 from . import textops  # noqa: F401,E402
 

@@ -1,0 +1,76 @@
+"""Sources/sinks: raw text-corpus scan (SURVEY A3), partitioned index
+write + idempotence guard (A9/A10/A11), and the streaming foreachBatch
+incremental output path (A19/A26 analog)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_text_corpus_scan(spark, tmp_path):
+    from semantic_query_engine_spark.sources.text_corpus import read_text_corpus
+
+    (tmp_path / "PMC1.txt").write_text("alpha beta\ngamma")
+    (tmp_path / "PMC2.txt").write_text("delta")
+    (tmp_path / "notes.txt").write_text("ignored prefix")
+    (tmp_path / "PMC3.dat").write_text("ignored suffix")
+    docs = read_text_corpus(spark, str(tmp_path)).collect()
+    by_id = {r.doc_id: r.text for r in docs}
+    assert set(by_id) == {"PMC1", "PMC2"}
+    assert by_id["PMC1"] == "alpha beta\ngamma"  # wholetext keeps newlines
+
+
+def test_index_build_write_and_guard(spark, sf_dir, tmp_path):
+    from semantic_query_engine_spark.plans.index_build import (
+        build_index,
+        check_count_invariant,
+        index_is_empty,
+        write_index,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    out = str(tmp_path / "index")
+    assert index_is_empty(spark, out)  # nothing written yet -> build
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text", (F.col("doc_id") % 3).alias("user_id"))
+    )
+    index = build_index(docs, chunk_size=16, dim=32, user_col="user_id")
+    check_count_invariant(docs, index, 16)
+    write_index(index, out, user_col="user_id")
+
+    assert not index_is_empty(spark, out)  # A11: skip rebuild
+    back = spark.read.parquet(out)
+    assert back.count() == index.count()
+    # partitionBy layout: per-user directories exist -> partition pruning
+    assert any(d.startswith("user_id=") for d in os.listdir(out))
+    pruned = back.filter(F.col("user_id") == 1)
+    assert pruned.count() == index.filter(F.col("user_id") == 1).count()
+
+
+def test_foreach_batch_incremental_sink(spark, sf_dir, tmp_path):
+    """A19/A26: incremental micro-batch output via foreachBatch — the
+    Spark analog of the reference's token-streaming WebSocket path."""
+    from semantic_query_engine_spark.streaming.jobs import read_events_stream
+
+    out = str(tmp_path / "batches")
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+        batch_df.limit(10).write.mode("append").parquet(out)
+
+    src = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert seen and sum(n for _, n in seen) > 0
+    assert spark.read.parquet(out).count() >= 1
