@@ -4,7 +4,9 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 
 from . import dedup_q  # noqa: F401,E402
 from . import events  # noqa: F401,E402
+from . import pandas_q  # noqa: F401,E402
 from . import pipeline_q  # noqa: F401,E402
+from . import stats_q  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import scalars  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402

@@ -1,0 +1,101 @@
+"""Pandas-UDF surface WITH oracles: applyInPandas (grouped map) and
+mapInPandas (UDTF-shape) running deterministic logic that has an exact
+SQL twin — proving the Arrow plumbing itself is correct, not just that
+it runs.  Plus the multimodal decode pipeline (deterministic fake
+decoder -> oracle over byte arithmetic)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+
+@register(
+    "applyinpandas_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank_in_cust
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def applyinpandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-customer ranking
+    computed in pandas, checked against the SQL window oracle.  The
+    grouped-map is the custom-stateful-operator escape hatch (SURVEY §2
+    UDF row); this query pins its partition->group->Arrow->pandas
+    round-trip exactly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+
+    def rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        pdf["rank_in_cust"] = range(1, len(pdf) + 1)
+        return pdf[["o_custkey", "o_orderkey", "rank_in_cust"]]
+
+    return o.select("o_custkey", "o_orderkey", "o_totalprice").groupBy(
+        "o_custkey"
+    ).applyInPandas(rank, "o_custkey long, o_orderkey long, rank_in_cust int")
+
+
+@register(
+    "mapinpandas_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def mapinpandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas token counting replicating the JVM-side tokenizer
+    byte-for-byte (newline->space, trim, whitespace split) — the Arrow
+    batch path produces identical results to the codegen path and the
+    SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cleaned = (
+                pdf["text"].fillna("").str.replace("\n", " ", regex=False).str.strip()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": cleaned.str.split(r"\s+", regex=True).map(len).astype("int32"),
+                }
+            )
+
+    return docs.mapInPandas(count_tokens, "doc_id long, n_tokens int")
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      FROM documents)
+    SELECT doc_id, n_bytes,
+           CAST(n_bytes % 64 + 1 AS INT) AS width,
+           CAST((n_bytes // 64) % 64 + 1 AS INT) AS height,
+           CASE WHEN n_bytes % 2 = 0 THEN 'fakeimg' ELSE 'fakevid' END AS format,
+           CAST(CASE WHEN n_bytes % 2 = 0 THEN 1 ELSE n_bytes % 30 + 1 END AS INT) AS n_frames
+    FROM meta
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline: opaque binary payload -> mapInPandas
+    decoder -> typed metadata.  The decoder is the documented
+    deterministic fake (no codecs in the container), so the Arrow
+    plumbing is oracle-checked end-to-end via byte arithmetic."""
+    from ..operators.multimodal import attach_binary_payload, decode_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_metadata(attach_binary_payload(docs))

@@ -1,0 +1,151 @@
+"""Statistical aggregates, regex extraction, null handling, and
+value-range window frames — rounding out SURVEY §2 Part B."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table, register_views
+from .registry import register
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per group —
+    Spark's `percentile` == DuckDB's `quantile_cont` (both linear
+    interpolation).  The approximate sketch variant is
+    approx_percentile (rows-only territory, like approx_count_distinct).
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(percentile(o_totalprice, 0.5), 6) AS median_price,
+               ROUND(percentile(o_totalprice, 0.9), 6) AS p90_price,
+               ROUND(percentile(o_totalprice, 0.99), 6) AS p99_price
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(stddev_samp(c_acctbal), 4) AS bal_stddev,
+           ROUND(var_samp(c_acctbal), 2) AS bal_var,
+           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS bal_key_corr,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_rich
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/correlation + boolean aggregates.  Stat moments
+    are O(1e3-1e7) magnitude, so rounding absorbs the engines'
+    accumulation-order differences."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("bal_stddev"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("bal_var"),
+        F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
+            "bal_key_corr"
+        ),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+    )
+
+
+@register(
+    "regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+           regexp_matches(p_name, '[aeiou]{2}') AS has_double_vowel,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS vowels_masked
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar suite: extract (group), match test, global replace."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.col("p_name").rlike("[aeiou]{2}").alias("has_double_vowel"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("vowels_masked"),
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_filled,
+           nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+           ifnull(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_floor
+    FROM customer
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics surface: nullif / coalesce / IS NULL / CASE-null /
+    ifnull — identical three-valued logic on both engines."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_filled,
+               nullif(c_mktsegment, 'BUILDING') IS NULL AS is_building,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg,
+               ifnull(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0D) AS bal_floor
+        FROM customer
+        """
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS sum_within_1k
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: peers within $1000 below each
+    order's price.  Range frames are tie-stable (value-defined), so the
+    result is deterministic without id tie-breaks."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1k"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0).alias(
+            "sum_within_1k"
+        ),
+    )

@@ -1,0 +1,93 @@
+"""Streaming semantics: watermark late-data drop (append mode) and the
+multimodal frame-sample generator."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-min watermark: a row arriving
+    in a later micro-batch, older than the watermark, must be dropped
+    (the reference has no late-data story; Structured Streaming's
+    watermark is the scale-correct one)."""
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_rows = []
+
+    # Watermark mechanics: wm advances with a one-batch lag, and a
+    # window's state is evicted+emitted in the first batch whose wm
+    # exceeds the window end — a late row arriving in THAT batch still
+    # merges; the guaranteed drop applies to rows arriving after
+    # eviction.  Stage accordingly: seed -> advance -> evict -> late.
+    batches = [
+        [("2024-01-01 10:05:00", 1.0)],   # b0: opens the 10:00 window
+        [("2024-01-01 12:59:00", 1.0)],   # b1: event time jumps ahead
+        [("2024-01-01 13:00:00", 1.0)],   # b2: wm=12:49 -> 10:00 window emitted
+        [("2024-01-01 10:06:00", 100.0)], # b3: LATE row -> must be dropped
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "ts_s string, v double").coalesce(1).write.parquet(
+            str(src_dir / f"b{i}")
+        )
+        time.sleep(1.1)  # file mtime orders the micro-batches
+
+    stream = (
+        spark.readStream.schema("ts_s string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("v").alias("total"))
+    )
+
+    def sink(batch_df, _bid):
+        out_rows.extend(batch_df.collect())
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = [
+        (r["window"].start.strftime("%H:%M"), r["total"]) for r in out_rows
+    ]
+    # the 10:00 window closed WITHOUT the late v=100 row, and the late
+    # row did not resurrect the window afterwards
+    assert ("10:00", 1.0) in emitted, emitted
+    assert all(t == 1.0 for w, t in emitted if w == "10:00"), emitted
+
+
+def test_multimodal_frame_sample(spark, sf_dir):
+    from semantic_query_engine_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_metadata,
+        frame_sample,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    decoded = decode_metadata(attach_binary_payload(docs))
+    frames = frame_sample(decoded, every_nth=10)
+    rows = frames.collect()
+    assert rows, "expected some fakevid rows"
+    import math
+
+    per_doc: dict[int, list[int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    meta = {r.doc_id: r.n_frames for r in decoded.collect()}
+    for doc_id, idxs in per_doc.items():
+        assert idxs == sorted(idxs)
+        assert all(i % 10 == 0 and i < meta[doc_id] for i in idxs)
+        assert len(idxs) == math.floor((meta[doc_id] - 1) / 10) + 1
