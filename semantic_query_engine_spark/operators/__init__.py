@@ -1,3 +1,11 @@
-from . import cache, chunking, dedup, retrieval
+from . import ann, cache, chunking, dedup, multimodal, retrieval, simhash
 
-__all__ = ["cache", "chunking", "dedup", "retrieval"]
+__all__ = [
+    "ann",
+    "cache",
+    "chunking",
+    "dedup",
+    "multimodal",
+    "retrieval",
+    "simhash",
+]

@@ -16,7 +16,7 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, words_of
@@ -27,14 +27,16 @@ def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep the lowest-id representative of each exact-duplicate group
-    (dup keyed on the md5 fingerprint of normalized text)."""
-    fp = docs.withColumn("fp", fingerprint(text_col))
-    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
-    return (
-        fp.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "fp")
-    )
+    (dup keyed on the md5 fingerprint of normalized text).
+
+    Plan shape: the shuffle carries ONLY (16-byte digest, id) into a
+    map-side-combined min() aggregation; document bodies stay in their
+    input splits and the survivors are recovered with a semi join on id.
+    (A window over full rows would shuffle every body — the difference
+    between GBs and TBs of shuffle at corpus scale.)"""
+    fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
 
 
 def word_shingles(text_col, n: int = 3):

@@ -153,3 +153,34 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(vc) / (F.count("*") * 100.0), 6).alias("avg_value"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "conversation_history",
+    oracle=f"""
+    SELECT user_id, event_id,
+           string_agg(event_type, ' -> ') OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS history,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS turn
+    FROM events WHERE user_id < 10
+    """,
+)
+def conversation_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key conversation memory, batch analog (SURVEY A21 — the
+    reference's ConversationBufferMemory read path `buffer_as_str`,
+    /root/reference/app/main.py:516): each event sees the full ordered
+    history of its key accumulated up to and including itself.  One
+    shuffle keyed by user_id; the streaming twin is
+    stream_stateful_memory."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.array_join(F.collect_list("event_type").over(frame), " -> ").alias(
+            "history"
+        ),
+        F.row_number().over(w).alias("turn"),
+    )
