@@ -1,0 +1,109 @@
+"""Plan-shape assertions: the physical strategies that matter at 100 TB
+must actually appear in the plans — broadcast joins for small dims,
+partition pruning on cluster-partitioned ANN layouts, bucketed joins
+without exchanges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    from semantic_query_engine_spark.queries.scale_q import broadcast_dim_join
+
+    plan = _plan(broadcast_dim_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    from semantic_query_engine_spark.queries.relational import topk_orders
+
+    plan = _plan(topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < "1996-01-01"
+    ).select("l_orderkey")
+    plan = _optimized(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema must not include unused columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF layout promise: cluster_id is a partition column, so a
+    probe of nprobe clusters prunes every other partition at plan time."""
+    from semantic_query_engine_spark.operators.ann import build_ivf
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf(emb, n_clusters=5)
+    out = str(tmp_path / "ivf")
+    assigned.write.partitionBy("cluster_id").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("cluster_id").isin([1, 3]))
+    plan = _optimized(probe)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cluster_id" in seg
+    # and the pruned read returns only the probed clusters
+    assert {r.cluster_id for r in probe.select("cluster_id").distinct().collect()} <= {1, 3}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketed co-located join: both sides bucketed by the join key ->
+    sort-merge join with NO shuffle exchange on either side.  This is
+    the 'pre-shuffle once, join many times' layout for repeated joins
+    over 100 TB facts."""
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    spark.sql("DROP TABLE IF EXISTS bucketdemo.orders_b")
+    spark.sql("DROP TABLE IF EXISTS bucketdemo.lineitem_b")
+    # the in-memory catalog forgets tables across sessions but their
+    # files persist; clear the stale locations too
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/bucketdemo.db", ignore_errors=True)
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("bucketdemo.orders_b")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("bucketdemo.lineitem_b")
+
+    # at fixture scale Catalyst would broadcast the small side; disable
+    # broadcasts so the plan shows what a 100-TB fact-fact join would do
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("bucketdemo.orders_b")
+        li = spark.table("bucketdemo.lineitem_b")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # buckets co-located
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
