@@ -125,10 +125,9 @@ def embedding_near_dups(
         F.col(vec_col).alias("vec_b"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
-    cond = F.col("id_a") < F.col("id_b")
-    joined = a.join(b, on=(["blk"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
+    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
     return (
-        joined.filter(cond)
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", F.round(cosine("vec_a", "vec_b"), 6))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", "sim")

@@ -218,3 +218,53 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(blob).alias("content_md5"),
         (F.length(blob) / F.lit(4)).cast("long").alias("n_fake_patches"),
     )
+
+
+@register(
+    "array_map_funcs",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label,
+             range(1, label + 2) AS seq,
+             range(2, 7) AS arr2
+      FROM embeddings WHERE vec_id < 200)
+    SELECT vec_id,
+           COALESCE(array_to_string(list_transform(list_sort(list_intersect(seq, arr2)), x -> CAST(x AS VARCHAR)), ','), '') AS inter_s,
+           COALESCE(array_to_string(list_transform(list_sort(list_distinct(list_concat(seq, arr2))), x -> CAST(x AS VARCHAR)), ','), '') AS union_s,
+           COALESCE(array_to_string(list_transform(list_sort(list_filter(list_distinct(arr2), x -> NOT list_contains(seq, x))), x -> CAST(x AS VARCHAR)), ','), '') AS except_s,
+           COALESCE(array_to_string(list_transform(flatten([seq, seq]), x -> CAST(x AS VARCHAR)), ','), '') AS flat_s,
+           COALESCE(array_to_string(list_transform(list_reverse(seq), x -> CAST(x AS VARCHAR)), ','), '') AS rev_s,
+           list_contains(seq, 5) AS has_five,
+           MAP(['a', 'b'], [label, label * 2])['a'][1] AS map_a,
+           COALESCE(array_to_string(map_keys(MAP(['a', 'b'], [label, label * 2])), ','), '') AS map_keys_s
+    FROM base
+    """,
+)
+def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra (intersect/union/except/flatten/reverse/contains,
+    all order-stabilized via array_sort) and map construction/access
+    (SURVEY §2 Part B array/map fns).  Spark's element_at(map, k) is a
+    scalar while DuckDB's map[k] is a 1-list — the oracle unwraps with
+    [1]; everything else is pure set algebra identical in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+
+    def s(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
+    seq = F.sequence(F.lit(1), F.col("label") + 1)
+    arr2 = F.sequence(F.lit(2), F.lit(6))
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("label"), F.col("label") * 2),
+    )
+    return emb.select(
+        "vec_id",
+        s(F.array_sort(F.array_intersect(seq, arr2))).alias("inter_s"),
+        s(F.array_sort(F.array_union(seq, arr2))).alias("union_s"),
+        s(F.array_sort(F.array_except(arr2, seq))).alias("except_s"),
+        s(F.flatten(F.array(seq, seq))).alias("flat_s"),
+        s(F.reverse(seq)).alias("rev_s"),
+        F.array_contains(seq, 5).alias("has_five"),
+        F.element_at(m, "a").alias("map_a"),
+        F.array_join(F.map_keys(m), ",").alias("map_keys_s"),
+    )

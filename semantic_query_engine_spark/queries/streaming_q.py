@@ -167,3 +167,45 @@ def stream_stateful_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, output_mode="update")
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id,
+           strftime(p.ts, '{_DTS}') AS purchase_ts,
+           strftime(s.ts, '{_DTS}') AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases joined to signups
+    of the same user within the preceding hour.  Both sides are REAL
+    streams with watermarks; the time-interval condition bounds each
+    side's join state (Spark evicts signup state older than the interval
+    + watermark — the property that makes stream-stream joins feasible
+    over unbounded inputs).  With availableNow over the fixture the
+    emitted matches equal the batch range join — hence a full oracle."""
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "2 hours").alias("p")
+    signups = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "signup"
+    ).withWatermark("ts", "2 hours").alias("s")
+    joined = purchases.join(
+        signups,
+        F.expr(
+            "p.user_id = s.user_id AND "
+            "s.ts >= p.ts - INTERVAL 1 HOUR AND s.ts <= p.ts"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.date_format("p.ts", _TS).alias("purchase_ts"),
+        F.date_format("s.ts", _TS).alias("signup_ts"),
+    )
+    return run_to_memory(joined, output_mode="append")
