@@ -66,6 +66,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
@@ -73,8 +74,20 @@ def jaccard_pairs(
     pairs sharing a shingle are candidates) -> count intersections in one
     agg -> join the two per-doc set sizes -> Jaccard filter.  Returns
     (id_a, id_b, jaccard) with id_a < id_b.
+
+    max_shingle_freq is the skew valve: a shingle appearing in more than
+    that many documents (a "stop-shingle" — boilerplate, headers) would
+    contribute O(freq²) candidate pairs on one join key.  Dropping it
+    from BOTH the join and the per-doc sizes computes Jaccard over the
+    reduced shingle space — a documented approximation that bounds the
+    hottest reduce task; with no shingle above the cap the result is
+    exactly the unfiltered Jaccard.
     """
     sh = shingle_table(docs, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        keep = freq.filter(F.col("__df") <= max_shingle_freq).select("shingle")
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

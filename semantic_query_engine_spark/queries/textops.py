@@ -159,13 +159,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+_PUNCT_CLASS_SQL = """[^.,;:!?''"()-]"""  # doubled quote = escaped in SQL
+
+
 @register(
     "quality_score",
-    oracle=None,  # composite float heuristic; checked property-style in tests
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id,
+             CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS DOUBLE)
+                       / CAST(len({_WORDS}) AS DOUBLE) END AS sw,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS pr,
+             CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                  ELSE list_sum(list_transform({_WORDS}, w -> CAST(length(w) AS DOUBLE)))
+                       / CAST(len({_WORDS}) AS DOUBLE) END AS awl
+      FROM documents)
+    SELECT doc_id,
+           ROUND(least(1.0, sw * 2.0) * 0.5
+                 + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                 + (1.0 - least(1.0, pr * 5.0)) * 0.2, 6) AS quality
+    FROM parts
+    """,
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring for training-data filtering (length / punctuation
-    / stopword components).  Rows-only for the driver; unit tests pin the
-    component math."""
+    """Quality scoring for training-data filtering: stopword-naturalness
+    + word-length sanity + punctuation-soup penalty, composed exactly as
+    in functions/text.py:quality_score — fully oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))

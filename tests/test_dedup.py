@@ -62,3 +62,22 @@ def test_ivf_matches_bruteforce(spark, sf_dir):
         r.vec_id for r in ivf_topk(assigned, centroids, qvec, k=3, nprobe=2).collect()
     ]
     assert len(approx2) == 3 and 0 not in approx2
+
+
+def test_jaccard_stop_shingle_valve(spark, sf_dir):
+    """The skew valve must be a no-op when no shingle exceeds the cap,
+    and must reduce candidate volume when tight."""
+    from semantic_query_engine_spark.operators.dedup import jaccard_pairs
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _docs_with_truncated_copies,
+    )
+
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    base = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, 0.5, n=2).collect()}
+    generous = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, 0.5, n=2, max_shingle_freq=10_000).collect()
+    }
+    assert base == generous and len(base) >= 90
+    tight = jaccard_pairs(docs, 0.5, n=2, max_shingle_freq=3).count()
+    assert tight < len(base)
