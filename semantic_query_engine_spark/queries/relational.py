@@ -780,3 +780,31 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("partkey")
     )
     return li.distinct().subtract(p)
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+    FROM orders WHERE o_orderkey < 2000
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns -> (key, metric, value) rows via
+    DataFrame.unpivot — the Expand-based physical op (no shuffle; output
+    rows = input rows x metrics)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
