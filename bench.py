@@ -27,6 +27,7 @@ FLAGSHIP = "rag_ask_flagship"
 HEADLINE = [
     FLAGSHIP,            # the reference's core read path (A20)
     "semantic_topk",     # brute-force ANN (A15)
+    "semantic_topk_dim1024",  # ANN at the reference's 1024-dim width
     "knn_join",          # batch kNN join
     "cache_probe",       # semantic cache (A12)
     "doc_chunk",         # chunking (A2)

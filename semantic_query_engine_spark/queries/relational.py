@@ -808,3 +808,84 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a deterministic total order (page 3
+    of 20).  Spark plans offset+limit together; with a sorted child it
+    stays a bounded top-(offset+limit) rather than a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 45
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.08
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics: min of the two multiplicities
+    per value) — distinct from the set-semantics `set_intersect`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_discount") >= 0.08).select(F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity >= 45
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.08 AND l_quantity >= 49
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference: multiplicity a minus b, floored
+    at zero)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter((F.col("l_discount") >= 0.08) & (F.col("l_quantity") >= 49)).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "order_nulls_last",
+    oracle="""
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    ORDER BY seg NULLS LAST, c_custkey
+    LIMIT 50
+    """,
+)
+def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering (Spark defaults nulls-first for asc;
+    DuckDB defaults nulls-last — the explicit clause makes both agree),
+    made hash-observable through the LIMIT."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"),
+        )
+        .orderBy(F.col("seg").asc_nulls_last(), F.asc("c_custkey"))
+        .limit(50)
+    )

@@ -236,3 +236,31 @@ def has_any_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.agg(
         F.count("*").alias("n_rows"), (F.count("*") > 0).alias("has_data")
     )
+
+
+@register("semantic_topk_dim1024", oracle=None)
+def semantic_topk_dim1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 retrieval at the reference's true dimensionality: vectors
+    widened to 1024 dims (16x tiling of the 64-dim fixture) so the
+    scoring cost per row matches the reference's EMBED_DIM=1024
+    (/root/reference/app/main.py:38).  Rows-only (the tiling has no
+    stable SQL twin worth maintaining); bench.py uses it to price the
+    cosine hot loop at production width."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide = emb.select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 16)).alias("embedding"),
+    )
+    qside = F.broadcast(
+        wide.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    scored = (
+        wide.filter(F.col("vec_id") != 0)
+        .crossJoin(qside)
+        .select("vec_id", cosine("embedding", "qvec").alias("raw_score"))
+    )
+    return (
+        scored.orderBy(F.desc("raw_score"), F.asc("vec_id"))
+        .limit(3)
+        .select("vec_id", F.round("raw_score", 6).alias("score"))
+    )
