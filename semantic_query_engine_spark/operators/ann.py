@@ -118,3 +118,49 @@ def ivf_topk(
     probe_ids = [r.cluster_id for r in near.collect()]  # nprobe tiny constants
     pruned = assigned.filter(F.col("cluster_id").isin(probe_ids))
     return topk_similar(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_knn_join(
+    probes: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Batch IVF kNN join — the set-based form of ivf_topk for MANY
+    probes at once: (1) every probe picks its nprobe nearest centroids
+    via a broadcast join + rank window over the tiny centroid table;
+    (2) candidates come from an equality join on cluster_id (each probe
+    scans only its probed clusters); (3) exact top-k per probe.
+
+    Scale shape: step 1 touches |probes| x n_clusters rows (centroids
+    broadcast), step 2's join is keyed on cluster_id against the
+    cluster-partitioned index — each probe reads nprobe/k of the data,
+    and the shuffle is bounded by candidate rows, never the full
+    |probes| x |index| cross product."""
+    from pyspark.sql import Window
+
+    p = probes.select(F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec"))
+    pc = p.crossJoin(F.broadcast(centroids)).select(
+        "__pid", "__pvec", "cluster_id", cosine("centroid", "__pvec").alias("__csim")
+    )
+    wc = Window.partitionBy("__pid").orderBy(F.desc("__csim"), F.asc("cluster_id"))
+    probe_clusters = (
+        pc.withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= nprobe)
+        .select("__pid", "__pvec", "cluster_id")
+    )
+    cands = probe_clusters.join(assigned, "cluster_id").select(
+        F.col("__pid").alias(probe_id),
+        F.col(index_id),
+        cosine(F.col(index_vec), F.col("__pvec")).alias("score"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(index_id))
+    return (
+        cands.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )

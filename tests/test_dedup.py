@@ -81,3 +81,28 @@ def test_jaccard_stop_shingle_valve(spark, sf_dir):
     assert base == generous and len(base) >= 90
     tight = jaccard_pairs(docs, 0.5, n=2, max_shingle_freq=3).count()
     assert tight < len(base)
+
+
+def test_ivf_knn_join_full_probe_equals_bruteforce(spark, sf_dir):
+    """The batch IVF kNN join probing ALL clusters must reproduce the
+    exact kNN join bit-for-bit (same ids, same ranks)."""
+    from semantic_query_engine_spark.operators.ann import build_ivf, ivf_knn_join
+    from semantic_query_engine_spark.operators.retrieval import knn_join
+    from semantic_query_engine_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    index = emb.filter(F.col("vec_id") >= 8)
+    exact = {
+        (r.probe_id, r.vec_id, r.knn_rank)
+        for r in knn_join(probes, index, k=5).collect()
+    }
+    assigned, centroids = build_ivf(index, n_clusters=6)
+    approx = {
+        (r.probe_id, r.vec_id, r.knn_rank)
+        for r in ivf_knn_join(probes, assigned, centroids, k=5, nprobe=6).collect()
+    }
+    assert approx == exact
