@@ -196,3 +196,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).head().embedding
     assigned, centroids = build_ivf(emb.filter(F.col("vec_id") != 0), n_clusters=10)
     return ivf_topk(assigned, centroids, qvec, k=3, nprobe=2)
+
+
+@register("ann_ivf_knn_join", oracle=None)
+def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF kNN join: many probes at once through the
+    centroid-rank -> cluster-keyed candidate join -> per-probe top-k
+    pipeline (operators/ann.py:ivf_knn_join).  Rows-only (KMeans);
+    tests prove nprobe=all equals exact kNN bit-for-bit."""
+    from ..operators.ann import build_ivf, ivf_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    index = emb.filter(F.col("vec_id") >= 8)
+    assigned, centroids = build_ivf(index, n_clusters=8)
+    out = ivf_knn_join(probes, assigned, centroids, k=3, nprobe=2)
+    return out.select("probe_id", "vec_id", F.round("score", 6).alias("score"), "knn_rank")

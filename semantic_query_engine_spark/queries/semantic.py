@@ -238,14 +238,24 @@ def has_any_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semantic_topk_dim1024", oracle=None)
+@register("semantic_topk_dim1024", oracle="""
+    WITH tiled AS (
+      SELECT vec_id, flatten([v, v, v, v, v, v, v, v, v, v, v, v, v, v, v, v]) AS w
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+    q AS (SELECT w AS qw FROM tiled WHERE vec_id = 0)
+    SELECT t.vec_id,
+           ROUND(list_cosine_similarity(t.w, (SELECT qw FROM q)), 6) AS score
+    FROM tiled t WHERE t.vec_id <> 0
+    ORDER BY list_cosine_similarity(t.w, (SELECT qw FROM q)) DESC, t.vec_id
+    LIMIT 3
+    """)
 def semantic_topk_dim1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 retrieval at the reference's true dimensionality: vectors
     widened to 1024 dims (16x tiling of the 64-dim fixture) so the
     scoring cost per row matches the reference's EMBED_DIM=1024
-    (/root/reference/app/main.py:38).  Rows-only (the tiling has no
-    stable SQL twin worth maintaining); bench.py uses it to price the
-    cosine hot loop at production width."""
+    (/root/reference/app/main.py:38).  Oracle-checked on the tiled
+    vectors; bench.py uses it to price the cosine hot loop at
+    production width."""
     emb = load_table(spark, sf_dir, "embeddings")
     wide = emb.select(
         "vec_id",

@@ -130,23 +130,39 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stateful_memory", oracle=None)
+@register(
+    "stream_stateful_memory",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    counts AS (SELECT user_id, COUNT(*) AS n_messages FROM events GROUP BY user_id)
+    SELECT c.user_id, c.n_messages, r.event_type AS last_event_type
+    FROM counts c JOIN ranked r ON r.user_id = c.user_id AND r.rn = 1
+    """,
+)
 def stream_stateful_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user conversation memory as streaming keyed state
     (applyInPandasWithState) — the Spark-native ConversationBufferMemory
     (SURVEY A21).  Each user's state accumulates (n_messages,
-    last_event_type) across micro-batches; with the fixture's single
-    input batch the final state is deterministic, but the state-store
-    machinery is real.  Rows-only (no SQL twin for GroupState)."""
+    last_event_type) across micro-batches; the state store and update
+    protocol are real.  The fixture arrives as one micro-batch, so the
+    final emitted state equals the batch aggregate — which is exactly
+    what the oracle computes (count + latest event per user, ties broken
+    by event_id like the stable sort below)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+    src = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
 
     def update(key, pdfs, state: GroupState):
         n, last_type, last_ts = (state.get if state.exists else (0, "", ""))  # type: ignore[misc]
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts"], kind="mergesort")
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         n += len(rows)
         last_type = str(rows["event_type"].iloc[-1])
         last_ts = str(rows["ts"].iloc[-1])
