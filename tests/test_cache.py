@@ -67,3 +67,35 @@ def test_put_respects_capacity(spark):
     rows = {r.entry_id for r in out.collect()}
     assert rows == {1, 2, 99}  # entry 0 had min freq -> evicted
     assert out.count() == 3
+
+
+def test_cache_persistence_roundtrip(spark, tmp_path):
+    """The cache as a managed parquet table (the Redis-persistence
+    analog): write -> reload -> probe -> put-with-eviction -> rewrite.
+    State survives process-independent storage like the reference's
+    cache survives service restarts."""
+    path = str(tmp_path / "cache")
+    cache = _cache(
+        spark,
+        [
+            (1, [1.0, 0.0], "resp_a", 2, 1),
+            (2, [0.0, 1.0], "resp_b", 1, 2),
+            (3, [0.6, 0.8], "resp_c", 5, 3),
+        ],
+    )
+    cache.write.mode("overwrite").parquet(path)
+
+    reloaded = spark.read.parquet(path)
+    hit = C.probe(reloaded, [0.6, 0.8]).collect()
+    assert hit and hit[0].response == "resp_c"
+
+    entry = _cache(spark, [(9, [0.5, 0.5], "resp_new", 1, 9)])
+    updated = C.put(C.bump_freq(reloaded, hit[0].entry_id), entry, capacity=3)
+    # capacity 3: entry 2 (min freq) evicted, new entry present
+    # (write to a NEW location: parquet reads are lazy, so overwriting
+    # the file a plan still reads from would corrupt the rewrite)
+    path2 = str(tmp_path / "cache_v2")
+    updated.write.mode("overwrite").parquet(path2)
+    final = {r.entry_id: r.freq for r in spark.read.parquet(path2).collect()}
+    assert set(final) == {1, 3, 9}
+    assert final[3] == 6  # freq bump persisted
