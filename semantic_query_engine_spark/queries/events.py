@@ -184,3 +184,52 @@ def conversation_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w).alias("turn"),
     )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+      FROM events),
+    grid AS (
+      SELECT t.d AS day, et.event_type
+      FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds),
+                                          INTERVAL 1 DAY)) AS d) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) et),
+    actual AS (
+      SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+           COALESCE(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a ON a.day = g.day AND a.event_type = g.event_type
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated dense (day x event_type)
+    grid left-joined to actual counts, zeros for missing slots — the
+    standard densification op for downstream window/trend math.  The
+    grid is sequence()-generated in-plan (no driver loop) and tiny
+    relative to the fact side, so it broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    actual = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(actual, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )

@@ -149,3 +149,78 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_within_1k"
         ),
     )
+
+
+@register(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via arithmetic bucketing (floor(x/width)) —
+    the shuffle-light building block for distribution profiling: one
+    map-side-combined aggregation, bucket count independent of rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT)
+             * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             - (SELECT CAST(SUM(CAST(round(o3.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                FROM orders o3 WHERE o3.o_custkey = o.o_custkey) AS delta_cents_x_n,
+           (SELECT COUNT(*) FROM orders o4 WHERE o4.o_custkey = o.o_custkey) AS n_cust_orders
+    FROM orders o WHERE o_orderkey < 2000
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs its own customer's
+    average) — Catalyst de-correlates the subqueries into aggregates +
+    joins.  The delta is kept in EXACT integers (cents x group size:
+    price_c*n - sum_c) with no division or rounding anywhere — a
+    cents-average over ~8 rows lands exactly on 4-decimal rounding
+    boundaries, where Spark's BigDecimal HALF_UP and DuckDB's
+    scaled-double round() legitimately disagree by one ulp."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                 * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+                 - (SELECT SUM(CAST(round(o3.o_totalprice * 100) AS BIGINT))
+                    FROM orders o3 WHERE o3.o_custkey = o.o_custkey) AS delta_cents_x_n,
+               (SELECT COUNT(*) FROM orders o4 WHERE o4.o_custkey = o.o_custkey) AS n_cust_orders
+        FROM orders o WHERE o_orderkey < 2000
+        """
+    )
+
+
+@register("approx_percentile_agg", oracle=None)
+def approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the constant-memory
+    quantile for 100 TB profiling.  Sketch internals differ from
+    DuckDB's -> rows-only; the output carries the exact percentile
+    alongside so the driver's rows-check still sees both values."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(approx_percentile(o_totalprice, 0.5, 10000), 2) AS approx_median,
+               ROUND(percentile(o_totalprice, 0.5), 2) AS exact_median
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
