@@ -99,3 +99,40 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_metadata(attach_binary_payload(docs))
+
+
+@register(
+    "pandas_udaf_mean",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 / (100.0 * COUNT(*)), 6) AS mean_bal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (the UDAF shape, SURVEY §2 Part B
+    UDF/UDAF/UDTF row): a vectorized aggregate computed in pandas per
+    group.  Summation runs over exact integer cents inside the UDF so
+    the result is bit-identical to the fixed-point SQL oracle — the
+    same determinism discipline as the JVM aggregates."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cents_mean(v: pd.Series) -> float:
+        cents = (v * 100).round().astype("int64")
+        return round(int(cents.sum()) / (100.0 * len(cents)), 6)
+
+    # a grouped-agg pandas UDF cannot share an agg with JVM aggregates,
+    # so the row count is a pandas aggregate too
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        return len(v)
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        cents_mean("c_acctbal").alias("mean_bal"),
+        pd_count("c_acctbal").alias("n"),
+    )
