@@ -1,0 +1,163 @@
+"""Training-data pipeline operators beyond the reference surface
+(BASELINE.json north star): deterministic dataset splitting/sampling,
+a Python UDTF tokenizer, and streaming exactly-once deduplication.
+
+The reference has no dataset-split or sampling machinery (its corpus is
+consumed whole, /root/reference/app/main.py:413-456); these are the ops
+a 100 TB pretraining pipeline needs around that ingest path.  All the
+split/sample ops are HASH-based and therefore deterministic, shuffle-free
+(pure scan + filter — predicate evaluated per row, no repartition), and
+stable across engines — which is exactly what reproducible train/val/test
+membership requires at scale, unlike `TABLESAMPLE`/`rand()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from ..streaming.jobs import read_events_stream, run_to_memory
+from .registry import register
+
+# md5-hex -> integer bucket 0..255, written with only instr/substr string
+# ops so the IDENTICAL expression runs on Spark (instr) and DuckDB
+# (strpos): both are 1-based find-in-string.
+_HEX = "0123456789abcdef"
+
+
+def _bucket_expr(key_sql: str, instr_fn: str, cast_t: str = "VARCHAR") -> str:
+    h = f"md5(CAST({key_sql} AS {cast_t}))"
+    return (
+        f"({instr_fn}('{_HEX}', substr({h}, 1, 1)) - 1) * 16 + "
+        f"{instr_fn}('{_HEX}', substr({h}, 2, 1)) - 1"
+    )
+
+
+@register(
+    "hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_bucket_expr('doc_id', 'strpos')} AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by md5 bucket of
+    the document key.  Membership is a pure function of `doc_id`, so the
+    split is reproducible run-to-run, engine-to-engine, and stable when
+    new data arrives (old docs never change split) — the property random
+    sampling lacks.  At 100 TB this is a scan-local projection: no
+    shuffle, no state, trivially parallel, and Parquet-friendly (the
+    split column can become a partition key on write)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "hash_sample",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_price
+    FROM orders
+    WHERE {_bucket_expr('o_orderkey', 'strpos')} < 26
+    GROUP BY o_orderstatus
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample (md5 bucket < 26 of 256) aggregated per
+    order status.  Unlike `df.sample()`/TABLESAMPLE the membership is
+    stable, so downstream jobs and the oracle see the same rows.  The
+    filter is evaluated row-local at scan time — at cluster scale the
+    sample never shuffles and composes with partition pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.expr(_bucket_expr("o_orderkey", "instr", "STRING"))
+    return (
+        orders.filter(bucket < 26)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+@register(
+    "udtf_word_index",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) - 1 AS pos,
+             unnest(regexp_split_to_array(text, '\\s+')) AS word
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, pos, word FROM words WHERE word <> ''
+    """,
+)
+def udtf_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, SURVEY §2 Part B UDF/UDAF/UDTF row):
+    one text row in, (pos, word) rows out, invoked via SQL LATERAL — the
+    same 1-row->N-rows shape as the reference's chunker
+    (/root/reference/app/main.py:383-393), here as a genuine
+    user-defined *table* function rather than posexplode.  UDTFs run
+    Arrow-batched per partition; the lateral join stays shuffle-free."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class WordIndex:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split()):
+                    yield i, w
+
+    spark.udtf.register("word_index_udtf", WordIndex)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_head"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.pos, w.word
+        FROM docs_head d, LATERAL word_index_udtf(d.text) w
+        """
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once deduplication: the events stream is read
+    TWICE and unioned (every event arrives duplicated — the at-least-once
+    delivery shape), then `dropDuplicates(event_id)` runs in the
+    streaming engine's state store so each id is emitted exactly once.
+    The materialized output is aggregated in batch; the oracle is plain
+    DISTINCT.  At scale the state store holds one compact key per id —
+    bound it with `dropDuplicatesWithinWatermark` when ids can't recur
+    beyond a horizon."""
+    a = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    b = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    deduped = a.union(b).dropDuplicates(["event_id"])
+    out = run_to_memory(deduped, output_mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n"))

@@ -74,3 +74,42 @@ def test_foreach_batch_incremental_sink(spark, sf_dir, tmp_path):
     q.awaitTermination()
     assert seen and sum(n for _, n in seen) > 0
     assert spark.read.parquet(out).count() >= 1
+
+
+def test_csv_json_source_roundtrip(spark, sf_dir, tmp_path):
+    """CSV and JSON-lines sources (SURVEY §2 Part B scans row): the
+    nation fixture written out and read back through each format must
+    equal the parquet original — schema-on-read via explicit schema for
+    CSV (header) and schema inference for JSON."""
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    want = sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect())
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    nation.write.mode("overwrite").option("header", True).csv(csv_dir)
+    nation.write.mode("overwrite").json(json_dir)
+
+    got_csv = spark.read.schema(nation.schema).option("header", True).csv(csv_dir)
+    got_json = spark.read.json(json_dir)
+    assert sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey) for r in got_csv.collect()
+    ) == want
+    assert sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey) for r in got_json.collect()
+    ) == want
+
+
+def test_hash_split_proportions_and_stability(spark, sf_dir):
+    """hash_split is a pure function of doc_id: same assignment on
+    repeated runs, all three splits populated, train the majority."""
+    from semantic_query_engine_spark.queries.mlpipeline_q import hash_split
+
+    a = {r.doc_id: r.split for r in hash_split(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in hash_split(spark, sf_dir).collect()}
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
