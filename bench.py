@@ -36,6 +36,8 @@ HEADLINE = [
     "doc_fingerprint",   # hashing/dedup key
     "dedup_exact",       # exact dedup at 2x corpus
     "dedup_jaccard",     # shingle-join near-dup
+    "bm25_topk",         # full-text keyword retrieval
+    "hybrid_rrf",        # BM25 + cosine rank fusion
     "q1_pricing_summary",  # agg workhorse
     "join_q5_region",    # 6-table star join
     "window_topk_per_group",

@@ -1,0 +1,197 @@
+"""Full-text and hybrid search — the keyword half of the reference's
+OpenSearch index.  The reference maps `text` as an analyzed full-text
+field (/root/reference/app/main.py:263-281) even though its query path
+only exercises the kNN half; a drop-in replacement needs the BM25 side
+and the standard hybrid fusion of the two rankings.
+
+Scale shape: BM25 needs ONE tiny corpus-stats aggregate (N, avgdl, per-
+term document frequency — a handful of doubles, broadcast back), then
+scoring is a map-only scan with per-term `size(filter(tokens, ...))`
+term frequencies — no explode of the token stream, no shuffle of the
+corpus.  At 100 TB the stats aggregate is the only exchange, and its
+result is a plan constant.
+
+Determinism: every arithmetic expression is written identically on the
+Spark and DuckDB sides (same literal order of additions), scores are
+rounded before ranking, and all orderings tie-break on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..sources.fixtures import load_table
+from .registry import register
+
+TERMS = ("vector", "hash", "stream")
+K1, B = 1.2, 0.75
+
+# ---- shared oracle fragments -------------------------------------------
+
+_DUCK_D = (
+    "SELECT doc_id, len(string_split(text, ' ')) AS dl, "
+    + ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(TERMS)
+    )
+    + " FROM documents"
+)
+
+_DUCK_S = (
+    "SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, "
+    + ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(TERMS))
+    )
+    + " FROM d"
+)
+
+_DUCK_SCORE = " + ".join(
+    f"(ln(1 + (s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5)) * "
+    f"(d.tf{i} * ({K1} + 1)) / (d.tf{i} + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)))"
+    for i in range(len(TERMS))
+)
+
+_DUCK_BM = f"""
+    d AS ({_DUCK_D}),
+    s AS ({_DUCK_S}),
+    bm AS (
+      SELECT d.doc_id, ROUND({_DUCK_SCORE}, 4) AS score
+      FROM d CROSS JOIN s
+      WHERE {_DUCK_SCORE} > 0)
+"""
+
+
+def _eq(term: str):
+    # single-arg closure: a default-arg lambda would be introspected as
+    # the 2-arg (element, index) HOF form and bind the term to the index
+    return lambda x: x == F.lit(term)
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + BM25 score (rounded to 4) for the fixed query TERMS."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        *[
+            F.size(F.filter(F.split("text", " "), _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(TERMS)
+        ],
+    )
+    stats = F.broadcast(
+        d.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(TERMS))
+            ],
+        )
+    )
+    scored = d.crossJoin(stats)
+    parts = [
+        F.log(
+            1 + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        * (F.col(f"tf{i}") * (K1 + 1))
+        / (F.col(f"tf{i}") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+        for i in range(len(TERMS))
+    ]
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    return scored.filter(total > 0).select(
+        "doc_id", F.round(total, 4).alias("score")
+    )
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_DUCK_BM}
+    SELECT doc_id, score FROM bm
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene idf) top-10 keyword retrieval over
+    the documents corpus for a fixed 3-term query — the full-text half of
+    the reference's OpenSearch index, as one stats-agg + one map-only
+    scoring scan + TakeOrderedAndProject."""
+    bm = _bm25_scores(spark, sf_dir)
+    return bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "hybrid_rrf",
+    oracle=f"""
+    WITH {_DUCK_BM},
+    bmtop AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 20),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(
+               e.embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)
+               AS cscore
+      FROM embeddings e WHERE e.vec_id <> 0),
+    ctop AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id) AS r
+      FROM cos QUALIFY r <= 20)
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + c.r), 0), 6)
+             AS rrf
+    FROM bmtop b FULL OUTER JOIN ctop c ON b.doc_id = c.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (k=60) of the BM25 top-20
+    and the cosine top-20 — the standard way OpenSearch-style engines
+    combine keyword and vector rankings.  Each leg is a top-k
+    (TakeOrderedAndProject) before ranking, so the window function only
+    ever sees k rows; the fusion join is two 20-row lists."""
+    bm = _bm25_scores(spark, sf_dir)
+    bmtop = (
+        bm.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", F.col("r").alias("bm_r"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qside = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qside)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("embedding", "qvec"), 6).alias("cscore"),
+        )
+    )
+    ctop = (
+        cos.orderBy(F.desc("cscore"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("cscore"), F.asc("doc_id"))),
+        )
+        .select("doc_id", F.col("r").alias("c_r"))
+    )
+    fused = bmtop.join(ctop, "doc_id", "full")
+    rrf = F.coalesce(1.0 / (60 + F.col("bm_r")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("c_r")), F.lit(0.0)
+    )
+    return (
+        fused.select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
