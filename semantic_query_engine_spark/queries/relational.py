@@ -889,3 +889,96 @@ def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("seg").asc_nulls_last(), F.asc("c_custkey"))
         .limit(50)
     )
+
+
+@register(
+    "window_dist_funcs",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           ROUND(cume_dist() OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cdist
+    FROM customer
+    """,
+)
+def window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) — the
+    remaining ranking family members; one partitioning/sort serves both."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS bucket
+      FROM customer),
+    d AS (
+      SELECT DISTINCT NULLIF(n_nationkey % 5, 0) AS bucket FROM nation)
+    SELECT a.bucket, COUNT(*) AS n
+    FROM a JOIN d ON a.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY a.bucket
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension-table
+    joins need when the key is optional.  Catalyst still plans this as an
+    equi-join (EqualNullSafe is a valid hash-join key), so it broadcasts
+    like any other dim join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("bucket")
+    )
+    d = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("bucket"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(d), c["bucket"].eqNullSafe(d["bucket"]))
+        .groupBy(c["bucket"])
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "explode_outer_chunks",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE string_split(substr(text, 1, 40), ' ') END AS arr
+      FROM documents WHERE doc_id < 100),
+    ex AS (
+      SELECT doc_id,
+             unnest(CASE WHEN arr IS NULL THEN [CAST(NULL AS VARCHAR)]
+                         ELSE arr END) AS word
+      FROM src)
+    SELECT doc_id, word FROM ex
+    """,
+)
+def explode_outer_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with a NULL array survive as (id, NULL)
+    instead of being dropped — the left-outer flavor of the reference's
+    1-row->N-rows chunking shape (SURVEY A2).  The oracle emulates it
+    with the [NULL]-substitution idiom."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(
+                F.split(F.substring("text", 1, 40), " ")
+            ).alias("arr"),
+        )
+    )
+    return src.select("doc_id", F.explode_outer("arr").alias("word"))

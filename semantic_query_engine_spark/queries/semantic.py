@@ -274,3 +274,44 @@ def semantic_topk_dim1024(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .select("vec_id", F.round("raw_score", 6).alias("score"))
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS cents
+      FROM embeddings),
+    per AS (
+      SELECT label, pos,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             COUNT(*) AS n
+      FROM pos GROUP BY label, pos)
+    SELECT label, pos, ROUND(sum_cents / (1000000.0 * n), 6) AS m, n
+    FROM per
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (long format: one row per label x dim) —
+    the centroid computation under IVF/k-means index builds (SURVEY
+    §4.3.3).  One posexplode + one partial-aggregating groupBy; the mean
+    runs over exact fixed-point micros so the value-hash is engine-
+    independent.  At scale this is the canonical map-side-combine
+    aggregate: dims x labels cells, each a (sum, count) pair."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn(
+        "cents", F.round(F.col("val").cast("double") * 1000000).cast("long")
+    )
+    per = pos.groupBy("label", "pos").agg(
+        F.sum("cents").alias("sum_cents"), F.count("*").alias("n")
+    )
+    return per.select(
+        "label",
+        "pos",
+        F.round(F.col("sum_cents") / (1000000.0 * F.col("n")), 6).alias("m"),
+        "n",
+    )
