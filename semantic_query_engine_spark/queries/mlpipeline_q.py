@@ -13,7 +13,7 @@ membership requires at scale, unlike `TABLESAMPLE`/`rand()`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
@@ -161,3 +161,118 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = a.union(b).dropDuplicates(["event_id"])
     out = run_to_memory(deduped, output_mode="append")
     return out.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "pii_redact",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 50) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com tel 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+               AS raw
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+             '\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+    FROM aug
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pretraining-cleanup pass: count and
+    mask email/phone patterns with anchored regexes.  The fixture text
+    has no PII, so a deterministic synthetic contact line is appended per
+    doc and then redacted.  Pure regexp_replace projection: row-local,
+    shuffle-free, whole-stage-codegen'd at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 50),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    email, phone = r"[a-z0-9]+@[a-z]+\.[a-z]+", r"\d{3}-\d{4}"
+    aug = docs.select("doc_id", raw.alias("raw"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(phone), F.lit(0))).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("raw", email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed token-budget
+    training packs (2000 tokens) by running token count — every pretrain
+    dataloader's batch-assembly step, as a window running sum.  The
+    single global ordering here is the fixture-scale form; at 100 TB the
+    same plan runs per shard (partitionBy on a shard key) with pack ids
+    offset by per-shard totals — one extra tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2000.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY {_bucket_expr('doc_id', 'strpos')}, doc_id) AS r,
+             (CAST(substr(source, 4) AS BIGINT) % 3 + 1) * 5 AS quota
+      FROM documents)
+    SELECT doc_id, source, r FROM ranked WHERE r <= quota
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: each source contributes a
+    weighted quota of documents (weights derived from the source id),
+    chosen by md5-hash order so membership is reproducible — the
+    dataset-mixture step of a pretraining pipeline (e.g. upsample books,
+    downsample web).  One hash-partitioned window; no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
+    quota = (F.substring("source", 4, 10).cast("long") % 3 + 1) * 5
+    w = Window.partitionBy("source").orderBy(bucket.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("r"),
+        quota.alias("quota"),
+    )
+    return ranked.filter(F.col("r") <= F.col("quota")).select(
+        "doc_id", "source", "r"
+    )
