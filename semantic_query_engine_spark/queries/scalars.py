@@ -268,3 +268,122 @@ def array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "a").alias("map_a"),
         F.array_join(F.map_keys(m), ",").alias("map_keys_s"),
     )
+
+
+@register(
+    "try_funcs",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN lang
+                         ELSE CAST(doc_id AS VARCHAR) END AS INTEGER) AS maybe_int,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE ROUND(CAST(n_chars AS DOUBLE) / (doc_id % 5), 6) END AS safe_div
+    FROM documents
+    """,
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions (try_cast / try_divide): malformed casts
+    and division by zero yield NULL instead of failing the job — the
+    behavior dirty 100 TB corpora require (one bad row must not kill a
+    stage).  The oracle spells out the equivalent CASE semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 3 == 0, F.col("lang")).otherwise(
+        F.col("doc_id").cast("string")
+    )
+    return docs.select(
+        "doc_id",
+        mixed.try_cast("int").alias("maybe_int"),
+        F.round(
+            F.try_divide(F.col("n_chars").cast("double"), F.col("doc_id") % 5), 6
+        ).alias("safe_div"),
+    )
+
+
+@register(
+    "bit_funcs",
+    oracle="""
+    SELECT doc_id,
+           doc_id & 255 AS low_byte,
+           doc_id | 4096 AS with_flag,
+           xor(doc_id, 170) AS xored,
+           doc_id << 2 AS shl,
+           doc_id >> 1 AS shr,
+           CAST(bit_count(CAST(doc_id AS BIGINT)) AS INT) AS popcount
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (and/or/xor/shifts/popcount) — the
+    primitives under bitmap indexes, bloom filters, and the engine's own
+    SimHash operator (operators/simhash.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        d.bitwiseAND(F.lit(255)).alias("low_byte"),
+        d.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        d.bitwiseXOR(F.lit(170)).alias("xored"),
+        F.shiftleft(d, 2).alias("shl"),
+        F.shiftright(d, 1).alias("shr"),
+        F.bit_count(d).alias("popcount"),
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) / 100.0
+             AS building_bal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if): several
+    differently-filtered aggregates in ONE pass over the data — the
+    alternative is N self-joined subqueries.  Fixed-point money sum keeps
+    the hash deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+        (
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == "BUILDING",
+                    F.round(F.col("c_acctbal") * 100).cast("long"),
+                )
+            )
+            / 100.0
+        ).alias("building_bal"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "regression_agg",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS icept,
+           ROUND(regr_r2(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS r2,
+           CAST(regr_count(c_acctbal, CAST(c_custkey AS DOUBLE)) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count) —
+    one-pass distributed OLS per group, the analytics counterpart of the
+    engine's ML surface.  Partial-aggregable, so it map-side-combines
+    like any sum."""
+    c = load_table(spark, sf_dir, "customer")
+    x = F.col("c_custkey").cast("double")
+    y = F.col("c_acctbal")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )
