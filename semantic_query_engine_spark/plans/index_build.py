@@ -72,3 +72,36 @@ def check_count_invariant(docs: DataFrame, index: DataFrame, chunk_size: int) ->
     ).count()
     if bad:
         raise ValueError(f"{bad} chunks missing embeddings")
+
+
+def upsert_index(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """Index maintenance: merge a delta of new/updated chunks into the
+    parquet index, latest version per key wins (the reference re-indexes
+    a doc by overwriting its `doc_id_chunkidx` ids,
+    /root/reference/app/main.py:325; parquet is immutable, so the merge
+    is explicit).  Plan: union existing + delta, keep row_number()==1
+    per key ordered by version desc — ONE shuffle keyed on the merge
+    key.  At 100 TB the same plan runs per partition with dynamic
+    partition overwrite (spark.sql.sources.partitionOverwriteMode=
+    dynamic), so only partitions that received deltas are rewritten."""
+    from pyspark.sql import Window
+
+    if index_is_empty(spark, path):
+        merged = delta
+    else:
+        existing = spark.read.parquet(path).select(*delta.columns)
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+        merged = (
+            existing.unionByName(delta)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    # break lineage before overwriting the path still being read
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

@@ -113,3 +113,33 @@ def test_hash_split_proportions_and_stability(spark, sf_dir):
     c = Counter(a.values())
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_upsert_index_latest_wins(spark, tmp_path):
+    """upsert_index merges a delta into an existing parquet index with
+    latest-version-per-key semantics, and bootstraps from empty."""
+    from semantic_query_engine_spark.plans.index_build import upsert_index
+
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, 0, "old a", 1), (1, 1, "old b", 1), (2, 0, "keep", 1)],
+        "doc_id int, chunk_id int, chunk_text string, version int",
+    )
+    upsert_index(spark, path, base, ["doc_id", "chunk_id"], "version")
+
+    delta = spark.createDataFrame(
+        [(1, 0, "new a", 2), (3, 0, "added", 2)],
+        "doc_id int, chunk_id int, chunk_text string, version int",
+    )
+    upsert_index(spark, path, delta, ["doc_id", "chunk_id"], "version")
+
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.version)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, 0): ("new a", 2),
+        (1, 1): ("old b", 1),
+        (2, 0): ("keep", 1),
+        (3, 0): ("added", 2),
+    }
