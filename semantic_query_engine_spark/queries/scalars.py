@@ -387,3 +387,44 @@ def regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@register(
+    "variant_json",
+    oracle="""
+    SELECT event_id,
+           event_type AS vtype,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(props ->> 'k' AS INT) AS k,
+           user_id AS tag0
+    FROM events WHERE event_id < 2000
+    """,
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT round-trip (Spark 4): compose a nested
+    JSON document per event, `parse_json` it into a VARIANT, and read
+    every field back with typed `variant_get` path extraction — the
+    open-ended-schema column type a 100 TB event-log pipeline stores
+    instead of a thousand sparse columns.  VARIANT keeps a binary-encoded
+    form, so repeated path reads don't re-parse text.  The oracle
+    recomputes the same values from the base columns."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    js = F.concat(
+        F.lit('{"meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "cents": '),
+        F.round(F.col("value") * 100).cast("long").cast("string"),
+        F.lit('}, "tags": ['),
+        F.col("user_id").cast("string"),
+        F.lit(", "),
+        F.get_json_object("props", "$.k"),
+        F.lit("]}"),
+    )
+    v = ev.select("event_id", F.parse_json(js).alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.variant_get("v", "$.meta.cents", "long").alias("cents"),
+        F.variant_get("v", "$.tags[1]", "int").alias("k"),
+        F.variant_get("v", "$.tags[0]", "long").alias("tag0"),
+    )

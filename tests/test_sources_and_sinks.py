@@ -143,3 +143,20 @@ def test_upsert_index_latest_wins(spark, tmp_path):
         (2, 0): ("keep", 1),
         (3, 0): ("added", 2),
     }
+
+
+def test_custom_corpus_datasource(spark, tmp_path):
+    """The Spark-4 Python DataSource reads the reference's corpus layout
+    (PMC*.txt only, latin-1 fallback) with one partition per file."""
+    from semantic_query_engine_spark.sources.corpus_datasource import (
+        register_corpus_source,
+    )
+
+    (tmp_path / "PMC7.txt").write_text("seven")
+    (tmp_path / "PMC8.txt").write_bytes("caf\xe9".encode("latin-1"))
+    (tmp_path / "other.txt").write_text("nope")
+    register_corpus_source(spark)
+    df = spark.read.format("pmc_corpus").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == 2  # one per matching file
+    got = {r.doc_id: r.text for r in df.collect()}
+    assert got == {"PMC7": "seven", "PMC8": "café"}
