@@ -36,6 +36,8 @@ HEADLINE = [
     "doc_fingerprint",   # hashing/dedup key
     "dedup_exact",       # exact dedup at 2x corpus
     "dedup_jaccard",     # shingle-join near-dup
+    "dedup_cluster",     # connected-components dup grouping
+    "decontaminate",     # eval-set n-gram overlap check
     "bm25_topk",         # full-text keyword retrieval
     "hybrid_rrf",        # BM25 + cosine rank fusion
     "q1_pricing_summary",  # agg workhorse

@@ -214,3 +214,145 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = build_ivf(index, n_clusters=8)
     out = ivf_knn_join(probes, assigned, centroids, k=3, nprobe=2)
     return out.select("probe_id", "vec_id", F.round("score", 6).alias("score"), "knn_rank")
+
+
+def _trunc_80(df: DataFrame, id_shift: int = 10000) -> DataFrame:
+    """id+shift copy of each doc keeping the first 80% of its words."""
+    ws = words_of(F.col("text"))
+    keep = F.ceil(F.size(ws) * 0.8).cast("int")
+    return df.select(
+        (F.col("doc_id") + id_shift).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
+    )
+
+
+@register(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base
+      UNION ALL
+      SELECT id + 20000,
+             ws[1:CAST(ceil(0.8 * ceil(0.8 * len(ws))) AS BIGINT)] FROM base),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM alldocs),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    edges AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2) e
+      JOIN sizes sa ON sa.id = e.id_a
+      JOIN sizes sb ON sb.id = e.id_b
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.7),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT id AS node, id AS r FROM alldocs
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node)
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: bigram-Jaccard >= 0.7 edges over
+    the corpus plus two generations of 80%-prefix copies (A, A80, A64 —
+    A~A80 and A80~A64 clear the floor, A~A64 sometimes only connects
+    transitively), then connected components (iterative min-label
+    propagation, operators/graph.py) labels every doc with the min id of
+    its duplicate cluster.  The oracle recomputes components with a
+    recursive reachability CTE.  This is the step that turns pairwise
+    similarity into "keep one per group" at corpus scale."""
+    from ..operators.graph import connected_components
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    v1 = _trunc_80(base)
+    v2 = _trunc_80(v1)
+    pool = base.unionByName(v1).unionByName(v2)
+    edges = jaccard_pairs(pool, threshold=0.7, n=2)
+    cc = connected_components(
+        edges.select("id_a", "id_b"), nodes=pool.select("doc_id")
+    )
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+    WITH pool AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 200),
+    evalset AS (SELECT id, ws FROM pool WHERE id % 10 = 0),
+    trainset AS (
+      SELECT id, ws FROM pool WHERE id % 10 <> 0
+      UNION ALL
+      SELECT id + 30000, ws[1:CAST(ceil(0.5 * len(ws)) AS BIGINT)] FROM evalset),
+    tg AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 7, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 8], ' ')))) AS gram
+      FROM trainset),
+    eg AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 7, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 8], ' ')))) AS gram
+      FROM evalset)
+    SELECT tg.id AS doc_id, eg.id AS eval_id, COUNT(*) AS shared_grams
+    FROM tg JOIN eg ON tg.gram = eg.gram
+    GROUP BY 1, 2
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-word n-gram with a held-out eval split (docs with id % 10 == 0),
+    the standard pretraining hygiene check.  Contamination is planted
+    in-plan (50%-prefixes of eval docs added as train ids +30000).
+    Output: (train doc_id, eval_id, count of shared distinct 8-grams).
+
+    Scale shape: the eval side is always tiny relative to a 100 TB
+    train corpus, so its distinct-gram table is BROADCAST — the train
+    side streams map-only through gram explode + broadcast-hash join
+    with zero shuffle of train data; only matched (id, eval_id) pairs
+    enter the final count aggregation.  Bigger eval sets swap the
+    broadcast for a bloom-filter pre-pass, same plan otherwise."""
+    from ..operators.dedup import word_shingles
+
+    pool = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    evalset = pool.filter(F.col("doc_id") % 10 == 0)
+    ws = words_of(F.col("text"))
+    keep = F.ceil(F.size(ws) * 0.5).cast("int")
+    planted = evalset.select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
+    )
+    trainset = pool.filter(F.col("doc_id") % 10 != 0).unionByName(planted)
+
+    def grams(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(word_shingles(F.col("text"), 8)).alias("gram"),
+        )
+
+    tg = grams(trainset, "doc_id")
+    eg = grams(evalset, "eval_id")
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )

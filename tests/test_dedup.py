@@ -106,3 +106,51 @@ def test_ivf_knn_join_full_probe_equals_bruteforce(spark, sf_dir):
         for r in ivf_knn_join(probes, assigned, centroids, k=5, nprobe=6).collect()
     }
     assert approx == exact
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation: a 3-node chain collapses to one component
+    (transitivity), an isolated node keeps its own label."""
+    from semantic_query_engine_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (5,), (7,), (8,)], ["node"])
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
+
+
+def test_dedup_cluster_groups_three_generations(spark, sf_dir):
+    """Every doc's two prefix copies land in ITS component (label = base
+    id), even when A~A64 only connects through A80."""
+    from semantic_query_engine_spark.queries.dedup_q import dedup_cluster
+
+    comp = {r.doc_id: r.component for r in dedup_cluster(spark, sf_dir).collect()}
+    base_ids = [i for i in comp if i < 10000]
+    full_chains = sum(
+        1
+        for i in base_ids
+        if comp.get(i + 10000) == comp[i] and comp.get(i + 20000) == comp[i]
+    )
+    # the large majority of planted chains must fully collapse
+    assert full_chains >= 0.8 * len(base_ids), (full_chains, len(base_ids))
+
+
+def test_decontaminate_flags_planted_docs(spark, sf_dir):
+    """Each planted half-prefix (id+30000) with >=8 words must be
+    flagged against its own eval source; clean train docs stay clean."""
+    from semantic_query_engine_spark.queries.dedup_q import decontaminate
+
+    rows = decontaminate(spark, sf_dir).collect()
+    hits = {(r.doc_id, r.eval_id) for r in rows}
+    planted_ids = {t for t, _ in hits if t >= 30000}
+    # every planted doc that surfaces must pair back to its OWN source
+    # (it may additionally hit other eval docs — the fixture corpus
+    # contains natural duplicates)
+    assert all((t, t - 30000) in hits for t in planted_ids)
+    assert len(planted_ids) >= 15
+    assert all(r.shared_grams >= 1 for r in rows)
