@@ -59,11 +59,13 @@ def connected_components(
         prop = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("component")
         )
+        # lazy checkpoint: the convergence-sum action below materializes
+        # it, so each round costs ONE job instead of two
         labels = (
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:

@@ -190,3 +190,86 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     in functions/text.py:quality_score — fully oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@register(
+    "repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+                            i -> array_to_string(ws[i + 1:i + 2], ' ')) AS g2,
+             list_transform(range(CAST(greatest(len(ws) - 2, 1) AS BIGINT)),
+                            i -> array_to_string(ws[i + 1:i + 3], ' ')) AS g3
+      FROM t)
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup2_frac,
+           ROUND(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS dup3_frac,
+           (ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) > 0.5) AS flagged
+    FROM g
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition scoring (the Gopher-rules quality
+    filter family): per doc, the fraction of word bigrams / trigrams
+    that are repeats of an earlier n-gram in the SAME document; docs
+    whose bigram-repeat fraction exceeds 0.5 are flagged as loops /
+    boilerplate.  Entirely map-side — no shuffle, no join: each doc is
+    scored from its own token array inside whole-stage codegen, so the
+    operator streams a 100 TB corpus at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = TX.words_of(F.col("text"))
+
+    def ngrams(n: int):
+        cnt = F.greatest(F.lit(1), F.size(ws) - F.lit(n - 1))
+        return F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        )
+
+    def dup_frac(grams):
+        return F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+            6,
+        )
+
+    d2 = dup_frac(ngrams(2))
+    return docs.select(
+        "doc_id",
+        d2.alias("dup2_frac"),
+        dup_frac(ngrams(3)).alias("dup3_frac"),
+        (d2 > 0.5).alias("flagged"),
+    )
+
+
+@register(
+    "term_frequencies",
+    oracle=f"""
+    SELECT word, cnt, n_docs FROM (
+      SELECT word, COUNT(*)::BIGINT AS cnt, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+      GROUP BY word)
+    ORDER BY cnt DESC, word LIMIT 50
+    """,
+)
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 terms by total occurrences
+    with document frequency alongside — the frequency table behind
+    tokenizer training / stopword induction / BM25 idf.  Deterministic
+    (cnt DESC, word) tiebreak.
+
+    Scale shape: explode words -> hash aggregate with MAP-SIDE partial
+    combine, so the shuffle carries one (word, partial_cnt, partial_df)
+    row per distinct word per task, not one row per token; the final
+    top-50 is TakeOrderedAndProject (per-partition heads merged on the
+    driver), never a global sort of the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(TX.words_of(F.col("text"))).alias("word")
+    )
+    counts = words.groupBy("word").agg(
+        F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("n_docs")
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(50)
