@@ -62,3 +62,25 @@ def chunk_documents(
     ).withColumn(
         "chunk_key", F.concat_ws("_", F.col(id_col).cast("string"), F.col("chunk_id"))
     )
+
+
+def overlap_chunk_array_from_words(
+    ws: Column, chunk_size: int, stride: int
+) -> Column:
+    """Sliding-window chunk array: chunk i covers words
+    [i*stride+1 .. i*stride+chunk_size], so consecutive chunks share
+    chunk_size - stride words — the RAG-standard overlap variant of the
+    reference's disjoint chunker (context survives chunk boundaries).
+    Chunk count = max(1, ceil((n - overlap) / stride)); still a pure
+    map-side expression, 1 row -> N rows with zero shuffle."""
+    if not 0 < stride <= chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    overlap = chunk_size - stride
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(ws) - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(ws, i * stride + 1, chunk_size), " "),
+    )

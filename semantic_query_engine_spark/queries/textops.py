@@ -273,3 +273,27 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("n_docs")
     )
     return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(50)
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(ws[i * 12 + 1 : i * 12 + 16], ' ') AS chunk_text
+    FROM w, UNNEST(range(CAST(greatest(1, ceil((len(ws) - 4) / 12.0)) AS BIGINT))) AS t(i)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 16, stride 12 → 4-word overlap):
+    the RAG-standard variant of A2 where consecutive chunks share a
+    margin so retrieval context survives chunk boundaries.  Same
+    map-only posexplode shape as doc_chunk — no shuffle at any scale."""
+    from ..operators.chunking import overlap_chunk_array_from_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", TX.words_of(F.col("text")).alias("__ws"))
+    chunks = overlap_chunk_array_from_words(F.col("__ws"), 16, 12)
+    return tokenized.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )

@@ -79,3 +79,33 @@ def test_normalize_and_cosine_guards(spark):
     # zero vector: guarded cosine -> 0.0, normalize stays finite
     assert by_id[2].self_cos == 0.0
     assert by_id[2].unit == 0.0
+
+
+def test_overlap_chunking_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.functions.text import words_of
+    from semantic_query_engine_spark.operators.chunking import (
+        overlap_chunk_array_from_words,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(n)))
+         for i, n in enumerate([1, 3, 16, 17, 40, 100])],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        F.size(words_of(F.col("text"))).alias("n"),
+        overlap_chunk_array_from_words(words_of(F.col("text")), 16, 12).alias("cs"),
+    ).collect()
+    for r in out:
+        chunks = [c.split(" ") for c in r.cs]
+        assert all(len(c) <= 16 for c in chunks)
+        # full coverage: every word index appears in some chunk
+        covered = {w for c in chunks for w in c}
+        assert len(covered) == r.n
+        # consecutive chunks overlap by exactly 4 words when both full
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a) == 16 and len(b) == 16:
+                assert a[-4:] == b[:4]
