@@ -92,3 +92,52 @@ def repartition_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") >= 6)
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH dim(flag, weight) AS (VALUES ('A', 1), ('N', 2), ('R', 3))
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * weight) AS BIGINT) / 100.0
+             AS weighted_price,
+           COUNT(*) AS n
+    FROM lineitem JOIN dim ON l_returnflag = flag
+    GROUP BY l_returnflag
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE JOIN for hot keys: l_returnflag has 3 values, so a
+    shuffle join on it lands the whole fact table on 3 reducer
+    partitions.  Salting fans it out: the fact side gets a deterministic
+    salt (l_orderkey % SALTS), the dim side is replicated SALTS times,
+    and the join key becomes (flag, salt) — 3*SALTS evenly-loaded
+    partitions, bit-identical result (fixed-point cents; the oracle is
+    the unsalted join).  The shuffle_hash hint keeps the demo honest
+    (Spark would otherwise broadcast a 24-row dim; in the real scenario
+    the dim is too big to broadcast and the hot fact key still skews —
+    AQE skew-join splitting is the runtime alternative, salting is the
+    deterministic one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", 1), ("N", 2), ("R", 3)], ["flag", "weight"]
+    )
+    dim_salted = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+    )
+    fact = li.withColumn("__salt", (F.col("l_orderkey") % SALTS).cast("int"))
+    joined = fact.join(
+        dim_salted.hint("shuffle_hash"),
+        (fact["l_returnflag"] == dim_salted["flag"])
+        & (fact["__salt"] == dim_salted["__salt"]),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.col("weight")
+            )
+            / 100.0
+        ).alias("weighted_price"),
+        F.count("*").alias("n"),
+    )
