@@ -895,24 +895,31 @@ def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_dist_funcs",
     oracle="""
     SELECT c_custkey,
-           ROUND(percent_rank() OVER
-             (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
-           ROUND(cume_dist() OVER
-             (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 6) AS cdist
+           CAST(floor(percent_rank() OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1000000) AS BIGINT)
+             AS pct_rank_micro,
+           CAST(floor(cume_dist() OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 1000000) AS BIGINT)
+             AS cdist_micro
     FROM customer
     """,
 )
 def window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank, cume_dist) — the
-    remaining ranking family members; one partitioning/sort serves both."""
+    remaining ranking family members; one partitioning/sort serves both.
+    Projected as fixed-point micro-units via floor: both values are
+    small-integer ratios that can land EXACTLY on a round-half boundary
+    (e.g. 3330/6400 = 0.5203125), where Spark's HALF_UP and DuckDB's
+    rounding disagree at 6 decimals; floor of the identical IEEE double
+    is deterministic on both engines."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.asc("c_acctbal"), F.asc("c_custkey")
     )
     return c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("pct_rank_micro"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cdist_micro"),
     )
 
 
