@@ -196,6 +196,14 @@ class SemanticQueryEngine:
             self._cache = entry
         else:
             self._cache = cache_ops.put(self._cache, entry, self.cache_capacity)
+        # Each probe/put chains another column rewrite onto the cache
+        # plan; unchecked, lineage grows per interaction and every probe
+        # replays the whole rewrite history.  Truncate it periodically —
+        # the same pattern operators/graph.py uses for its loop.  The
+        # cache is capacity-bounded (<= `cache_capacity` rows) so the
+        # materialization is tiny.
+        if self._cache_seq % 16 == 0:
+            self._cache = self._cache.localCheckpoint(eager=True)
 
     def ask(
         self, query: str, chat_id: Optional[str] = None, top_k: int = DEFAULT_TOP_K

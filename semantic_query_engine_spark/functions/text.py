@@ -38,8 +38,11 @@ def clean_text(c: ColumnOrName) -> Column:
 
 def words_of(c: ColumnOrName) -> Column:
     """Whitespace tokenization of cleaned text (the reference's
-    text.split(), /root/reference/app/main.py:388)."""
-    return F.split(clean_text(c), r"\s+")
+    text.split(), /root/reference/app/main.py:388).  Python's
+    ''.split() returns [] — Spark's split('') returns [''] — so empty
+    tokens are filtered to keep reference parity on empty/whitespace
+    documents (zero tokens, zero chunks)."""
+    return F.filter(F.split(clean_text(c), r"\s+"), lambda w: w != F.lit(""))
 
 
 def token_count(c: ColumnOrName) -> Column:

@@ -106,17 +106,18 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the nprobe nearest clusters, exact top-k inside them.
-    The cluster filter is an IN-list of constants, so with a
-    cluster-partitioned layout Catalyst prunes every other partition
-    before any I/O happens."""
+    Fully declarative: the probed cluster ids stay a (tiny) DataFrame
+    and reach the index as a broadcast LEFT SEMI join, so with a
+    cluster-partitioned layout Catalyst applies dynamic partition
+    pruning — no driver-side collect anywhere in the plan."""
     q = vector_lit(query_vec)
     near = (
         centroids.select("cluster_id", cosine("centroid", q).alias("csim"))
         .orderBy(F.desc("csim"), F.asc("cluster_id"))
         .limit(nprobe)
+        .select("cluster_id")
     )
-    probe_ids = [r.cluster_id for r in near.collect()]  # nprobe tiny constants
-    pruned = assigned.filter(F.col("cluster_id").isin(probe_ids))
+    pruned = assigned.join(F.broadcast(near), "cluster_id", "left_semi")
     return topk_similar(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 

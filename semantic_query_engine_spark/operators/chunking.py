@@ -28,13 +28,15 @@ def chunk_array(text_col, chunk_size: int = DEFAULT_CHUNK_SIZE) -> Column:
 
 
 def chunk_array_from_words(ws: Column, chunk_size: int = DEFAULT_CHUNK_SIZE) -> Column:
-    """Chunk array from a pre-tokenized words column."""
-    n_chunks = F.greatest(
-        F.lit(1), F.ceil(F.size(ws) / F.lit(float(chunk_size))).cast("int")
-    )
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(ws, i * chunk_size + 1, chunk_size), " "),
+    """Chunk array from a pre-tokenized words column.  Zero words ->
+    zero chunks, matching the reference's range(0, len(words), size)
+    loop (empty documents produce nothing, not one empty chunk)."""
+    n_chunks = F.ceil(F.size(ws) / F.lit(float(chunk_size))).cast("int")
+    return F.when(n_chunks <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.lit(1), n_chunks) - 1),
+            lambda i: F.array_join(F.slice(ws, i * chunk_size + 1, chunk_size), " "),
+        )
     )
 
 
@@ -80,7 +82,9 @@ def overlap_chunk_array_from_words(
         F.lit(1),
         F.ceil((F.size(ws) - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
     )
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(ws, i * stride + 1, chunk_size), " "),
+    return F.when(F.size(ws) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(ws, i * stride + 1, chunk_size), " "),
+        )
     )

@@ -98,9 +98,12 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    # sizes is one row per DOCUMENT — at the corpus scale this module
+    # targets that exceeds any broadcast budget, so leave the join
+    # strategy to Catalyst/AQE (it broadcasts when genuinely small).
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -114,20 +117,112 @@ def jaccard_pairs(
     )
 
 
+def _srp_planes(n_bands: int, bits: int, dim: int, seed: int) -> list[float]:
+    """Flat Rademacher (+/-1) hyperplane matrix, row-major over
+    (band, bit, dim).  Seeded Python PRNG on the driver — a pure plan
+    CONSTANT (no data touched, no collect), identical on every run."""
+    import random
+
+    rng = random.Random(seed)
+    return [1.0 if rng.random() < 0.5 else -1.0 for _ in range(n_bands * bits * dim)]
+
+
+def srp_band_table(
+    embeddings: DataFrame,
+    n_bands: int,
+    bits: int,
+    dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, key) sign-random-projection signature table.
+    bit_i = sign(v . h_(band,i)); key packs the band's bits.  The
+    hyperplanes ride along as one literal array, the band index is
+    exploded FIRST so the per-row key expression stays small (bits
+    aggregates, not bands*bits) — planning and codegen stay cheap.
+    Map-only: no shuffle, no fitted model."""
+    planes = F.lit(_srp_planes(n_bands, bits, dim, seed))
+
+    def _elem(i: int):
+        def _f(x, j):
+            idx = (F.col("band") * bits + F.lit(i)) * dim + j + 1
+            return x.cast("double") * F.element_at(planes, idx.cast("int"))
+
+        return _f
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        dot = F.aggregate(
+            F.transform(F.col(vec_col), _elem(i)), F.lit(0.0), lambda a, x: a + x
+        )
+        key = key + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias(vec_col),
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .select("id", "band", key.alias("key"))
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    srp_bands: int | None = None,
+    srp_bits: int = 4,
+    srp_dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
-    With block_col set (e.g. a cluster/label id), candidate pairs are
-    generated inside blocks via an equality join — the standard blocking
-    trick that keeps the pair count ~n²/B instead of n².  Without it,
-    falls back to a full pair join (fixture scale only).
+    Candidate generation, in order of preference:
+    - block_col set (e.g. a precomputed cluster/label id): equality join
+      inside blocks — pair count ~n²/B instead of n².
+    - srp_bands set: sign-random-projection LSH banding.  Each vector
+      gets srp_bands keys of srp_bits sign-bits; candidates are pairs
+      sharing any (band, key) — an EQUALITY join on the band key, map-only
+      signature computation, distinct'd before the exact cosine check.
+      Recall for a pair at cosine s is 1-(1-p^bits)^bands with
+      p = 1 - acos(s)/pi (s=0.98, bits=4, bands=8 -> miss ~1e-5).
+      This is the declared scale path: shuffle is keyed by (band, key),
+      never all-pairs.
+    - neither: full pair join — tiny inputs only.
+
+    Every candidate is confirmed with the exact cosine, so blocking only
+    affects recall, never precision.
     """
+    if srp_bands and not block_col:
+        bands = srp_band_table(
+            embeddings, srp_bands, srp_bits, srp_dim, seed, id_col, vec_col
+        )
+        la, lb = bands.alias("ba"), bands.alias("bb")
+        cand = (
+            la.join(
+                lb,
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.key") == F.col("bb.key"))
+                & (F.col("ba.id") < F.col("bb.id")),
+            )
+            .select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
+            .distinct()
+        )
+        va = embeddings.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        )
+        vb = embeddings.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        )
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
+        return (
+            pairs.withColumn("sim", F.round(cosine("vec_a", "vec_b"), 6))
+            .filter(F.col("sim") >= F.lit(threshold))
+            .select("id_a", "id_b", "sim")
+        )
     a = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

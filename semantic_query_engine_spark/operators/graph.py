@@ -55,6 +55,7 @@ def connected_components(
     sym = sym.distinct().localCheckpoint(eager=False)
 
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         prop = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("component")
@@ -69,6 +70,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Partially-propagated labels are silently WRONG clusters; a
+        # >max_iter-diameter graph (e.g. a long duplicate chain) must
+        # fail loudly.  The O(log n) fix is large-star/small-star
+        # (Kiveris et al.); raise until a caller needs it.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the iteration budget); raise "
+            "max_iter or switch to the large-star/small-star variant"
+        )
     return labels

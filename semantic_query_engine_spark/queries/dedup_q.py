@@ -116,8 +116,11 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.98) over vectors plus
-    slightly-perturbed copies.  Fixture-scale all-pairs here; the scale
-    path is LSH banding / IVF blocking (dedup_minhash_lsh, ann_ivf)."""
+    slightly-perturbed copies, via sign-random-projection LSH banding:
+    candidates come from an EQUALITY join on (band, key) — never a cross
+    join — then the exact cosine confirms.  8 bands x 4 bits gives
+    ~1e-5 miss probability per true pair at 0.98; the oracle is the
+    exact all-pairs ground truth, so the gate also checks recall."""
     from ..operators.dedup import embedding_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
@@ -130,7 +133,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 2, 10_000_000),
         ).alias("embedding"),
     )
-    return embedding_near_dups(base.unionByName(variants), threshold=0.98)
+    return embedding_near_dups(
+        base.unionByName(variants), threshold=0.98, srp_bands=8, srp_bits=4
+    )
 
 
 @register("dedup_minhash_lsh", oracle=None)

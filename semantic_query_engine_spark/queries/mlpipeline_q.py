@@ -214,8 +214,9 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
     c AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
       FROM t)
     SELECT doc_id, n_tokens, cum_tokens,
            CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS pack_id
@@ -224,17 +225,39 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed token-budget
-    training packs (2000 tokens) by running token count — every pretrain
-    dataloader's batch-assembly step, as a window running sum.  The
-    single global ordering here is the fixture-scale form; at 100 TB the
-    same plan runs per shard (partitionBy on a shard key) with pack ids
-    offset by per-shard totals — one extra tiny aggregate."""
+    training packs (2000 tokens) by running token count.  Scale shape:
+    the running sum is computed per SHARD (a contiguous range of the
+    sort key, so shard order == global order) with a partitioned window;
+    shard offsets come from one tiny per-shard-totals aggregate joined
+    back by broadcast.  No unpartitioned window anywhere — the global
+    cumulative sum is reconstructed exactly, but every wide operator
+    works on one shard at a time.  At 100 TB the shard key comes from a
+    range partitioner over the sort key; here a fixed doc_id width."""
+    shard_width = 128  # contiguous doc_id range per shard
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / shard_width).alias("shard"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("shard_cum", F.sum("n_tokens").over(w))
+    totals = t.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
+    # Offsets: for each shard, the sum of all earlier shards' totals.
+    # Triangle join on the totals frame — rows = #shards, a tiny constant.
+    offs = (
+        totals.select(F.col("shard").alias("s"))
+        .join(totals, F.col("shard") < F.col("s"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("shard_total"), F.lit(0)).alias("offset"))
+    )
+    c = c.join(F.broadcast(offs), c["shard"] == offs["s"]).withColumn(
+        "cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long")
+    )
     return c.select(
         "doc_id",
         "n_tokens",

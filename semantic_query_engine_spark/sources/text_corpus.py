@@ -18,6 +18,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def read_text_corpus_faithful(
+    spark: SparkSession,
+    corpus_dir: str,
+    prefix: str = "PMC",
+    suffix: str = ".txt",
+) -> DataFrame:
+    """(doc_id, text) with BYTE-FAITHFUL decoding parity with the
+    reference (app/main.py:430-437): decode the whole file as UTF-8,
+    and if the bytes are not valid UTF-8 decode the whole file as
+    latin-1 instead (a total byte->char mapping, so never fails).
+
+    Spark-first shape: the `binaryFile` source yields one (path,
+    content) row per file in a distributed scan; `is_valid_utf8` does
+    the validity check JVM-side (the expression twin of the reference's
+    try/except UnicodeDecodeError) and ISO-8859-1 decoding is total, so
+    the fallback branch can never throw.  All codegen'd expressions; no
+    Python touches the bytes."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{suffix}")
+        .load(corpus_dir)
+        .select(F.col("path"), F.col("content"))
+    )
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    utf8 = F.col("content").cast("string")
+    text = F.when(F.is_valid_utf8(utf8), utf8).otherwise(
+        F.decode("content", "ISO-8859-1")
+    )
+    return (
+        raw.withColumn("fname", fname)
+        .filter(F.col("fname").startswith(prefix) & F.col("fname").endswith(suffix))
+        .select(
+            F.regexp_replace("fname", f"{suffix}$", "").alias("doc_id"),
+            text.alias("text"),
+        )
+    )
+
+
 def read_text_corpus(
     spark: SparkSession,
     corpus_dir: str,

@@ -62,6 +62,16 @@ def test_ivf_partition_pruning(spark, sf_dir, tmp_path):
     assert {r.cluster_id for r in probe.select("cluster_id").distinct().collect()} <= {1, 3}
 
 
+def test_dedup_embedding_has_no_cartesian(spark, sf_dir):
+    """The declared embedding near-dup query must generate candidates
+    via the SRP band EQUALITY join — never an all-pairs cross join."""
+    from semantic_query_engine_spark.queries.dedup_q import dedup_embedding
+
+    plan = _plan(dedup_embedding(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Bucketed co-located join: both sides bucketed by the join key ->
     sort-merge join with NO shuffle exchange on either side.  This is

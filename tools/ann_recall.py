@@ -2,8 +2,17 @@
 force — recall@k over a probe set, plus candidate-scan fractions for
 IVF (the sublinearity evidence).
 
+Two sections:
+- fixture: IVF over the sf embeddings table (dim 64).  NOTE the fixture
+  vectors are pure random noise (max pairwise cosine ~0.46, no cluster
+  structure), so approximate recall on them is a FLOOR, not a ceiling.
+- dim-1024 synthetic: seeded clustered Gaussians (the geometry real
+  text-embedding corpora actually have, and the regime the reference's
+  HNSW m=64/ef=500 index serves, /root/reference/app/main.py:272-277).
+  Grids: LSH numHashTables x bucketLength; IVF nprobe.
+
 Usage: python tools/ann_recall.py [sf_dir] [n_probes] [k]
-Prints one JSON line.
+Prints one JSON line per section plus a markdown table for SCALE.md.
 """
 
 from __future__ import annotations
@@ -26,30 +35,176 @@ from semantic_query_engine_spark.session import get_spark  # noqa: E402
 from semantic_query_engine_spark.sources.fixtures import load_table  # noqa: E402
 
 
+def clustered_vectors(spark, n: int, dim: int, n_centers: int, sigma: float, seed: int):
+    """Seeded clustered Gaussian vectors, L2-normalized — deterministic
+    synthetic stand-in for an embedding corpus (unit sphere, cluster
+    structure).  Returns a DataFrame (vec_id long, embedding array<double>)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_centers, size=n)
+    pts = centers[assign] + sigma * rng.normal(size=(n, dim))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def topk_sets(df, k: int, probe_col="probe_id", id_col="vec_id") -> dict[int, set]:
+    sets: dict[int, set] = {}
+    for r in df.collect():
+        sets.setdefault(r[probe_col], set()).add(r[id_col])
+    return sets
+
+
+def recall(exact: dict[int, set], approx: dict[int, set]) -> float:
+    vals = [
+        len(exact[p] & approx.get(p, set())) / len(exact[p]) for p in exact
+    ]
+    return round(sum(vals) / len(vals), 4)
+
+
+def lsh_knn_join(probes, index, k: int, num_tables: int, bucket_length: float):
+    """Batch LSH kNN: approxSimilarityJoin on normalized vectors (bucket
+    equality candidates), then exact-cosine rank per probe.  The batch
+    twin of operators/ann.py:lsh_topk."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    from semantic_query_engine_spark.functions.vectors import l2_normalize
+
+    def featurize(df, id_name):
+        return df.select(
+            F.col("vec_id").alias(id_name),
+            array_to_vector(
+                l2_normalize(F.col("embedding")).cast("array<double>")
+            ).alias("features"),
+        )
+
+    fi = featurize(index, "vec_id")
+    fp = featurize(probes, "probe_id")
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=42,
+    ).fit(fi)
+    # threshold 2.0 = the unit-sphere diameter: candidate generation is
+    # therefore ONLY bucket collisions, no distance pre-filter help
+    pairs = model.approxSimilarityJoin(fp, fi, 2.0, distCol="dist")
+    w = Window.partitionBy("datasetA.probe_id").orderBy(
+        F.asc("dist"), F.asc("datasetB.vec_id")
+    )
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(
+            F.col("datasetA.probe_id").alias("probe_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+        )
+    )
+
+
+def eval_dim1024(spark, out: list[dict], table_lines: list[str]) -> None:
+    n, dim, n_centers, sigma = 2000, 1024, 20, 0.35
+    n_probe_rows, ks = 20, (3, 10)
+    allv = clustered_vectors(spark, n + n_probe_rows, dim, n_centers, sigma, seed=7)
+    probes = (
+        allv.filter(F.col("vec_id") < n_probe_rows)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    )
+    index = allv.filter(F.col("vec_id") >= n_probe_rows).localCheckpoint()
+
+    exact = {
+        k: topk_sets(
+            knn_join(probes, index, k=k), k
+        )
+        for k in ks
+    }
+
+    # --- LSH grid ---
+    for num_tables in (3, 5, 10):
+        for bucket_length in (0.5, 1.0, 2.0):
+            rec = {}
+            for k in ks:
+                approx = topk_sets(
+                    lsh_knn_join(
+                        probes.select(
+                            F.col("probe_id").alias("vec_id"),
+                            F.col("probe_vec").alias("embedding"),
+                        ),
+                        index,
+                        k,
+                        num_tables,
+                        bucket_length,
+                    ),
+                    k,
+                )
+                rec[k] = recall(exact[k], approx)
+            row = {
+                "method": "lsh",
+                "dim": dim,
+                "numHashTables": num_tables,
+                "bucketLength": bucket_length,
+                "recall_at_3": rec[3],
+                "recall_at_10": rec[10],
+            }
+            out.append(row)
+            table_lines.append(
+                f"| LSH | tables={num_tables}, bucketLen={bucket_length} "
+                f"| {rec[3]:.3f} | {rec[10]:.3f} | full scan of colliding buckets |"
+            )
+
+    # --- IVF grid ---
+    n_clusters = 20
+    assigned, centroids = build_ivf(index, n_clusters=n_clusters)
+    assigned = assigned.localCheckpoint()
+    for nprobe in (1, 2, 4):
+        rec = {}
+        for k in ks:
+            approx = topk_sets(
+                ivf_knn_join(probes, assigned, centroids, k=k, nprobe=nprobe), k
+            )
+            rec[k] = recall(exact[k], approx)
+        row = {
+            "method": "ivf",
+            "dim": dim,
+            "n_clusters": n_clusters,
+            "nprobe": nprobe,
+            "recall_at_3": rec[3],
+            "recall_at_10": rec[10],
+            "scan_fraction": round(nprobe / n_clusters, 4),
+        }
+        out.append(row)
+        table_lines.append(
+            f"| IVF | clusters={n_clusters}, nprobe={nprobe} "
+            f"| {rec[3]:.3f} | {rec[10]:.3f} | {nprobe}/{n_clusters} of index |"
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_probes = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     spark = get_spark("ann-recall")
+
+    # --- fixture section (dim 64, random noise: recall FLOOR) ---
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     index = emb.filter(F.col("vec_id") >= n_probes)
     n_index = index.count()
-
-    exact = knn_join(probes, index, k=k)
-    exact_sets = {
-        r.probe_id: set()
-        for r in exact.select("probe_id").distinct().collect()
-    }
-    for r in exact.collect():
-        exact_sets[r.probe_id].add(r.vec_id)
+    exact_sets = topk_sets(knn_join(probes, index, k=k), k)
 
     n_clusters = 16
     assigned, centroids = build_ivf(index, n_clusters=n_clusters)
-    out: dict[str, object] = {
+    fixture_out: dict[str, object] = {
+        "section": "fixture_noise",
         "sf_dir": sf_dir,
         "n_index": n_index,
         "n_probes": n_probes,
@@ -57,19 +212,26 @@ def main() -> None:
         "n_clusters": n_clusters,
     }
     for nprobe in (2, 4, 8):
-        approx = ivf_knn_join(probes, assigned, centroids, k=k, nprobe=nprobe)
-        approx_sets: dict[int, set] = {}
-        for r in approx.collect():
-            approx_sets.setdefault(r.probe_id, set()).add(r.vec_id)
-        recalls = [
-            len(exact_sets[p] & approx_sets.get(p, set())) / len(exact_sets[p])
-            for p in exact_sets
-        ]
-        out[f"ivf_recall_at_{k}_nprobe{nprobe}"] = round(
-            sum(recalls) / len(recalls), 4
+        approx_sets = topk_sets(
+            ivf_knn_join(probes, assigned, centroids, k=k, nprobe=nprobe), k
         )
-        out[f"ivf_scan_fraction_nprobe{nprobe}"] = round(nprobe / n_clusters, 4)
-    print(json.dumps(out))
+        fixture_out[f"ivf_recall_at_{k}_nprobe{nprobe}"] = recall(
+            exact_sets, approx_sets
+        )
+        fixture_out[f"ivf_scan_fraction_nprobe{nprobe}"] = round(
+            nprobe / n_clusters, 4
+        )
+    print(json.dumps(fixture_out))
+
+    # --- dim-1024 clustered section ---
+    rows: list[dict] = []
+    table_lines: list[str] = [
+        "| Method | Params | recall@3 | recall@10 | Cost model |",
+        "|---|---|---|---|---|",
+    ]
+    eval_dim1024(spark, rows, table_lines)
+    print(json.dumps({"section": "dim1024_clustered", "rows": rows}))
+    print("\n".join(table_lines))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,14 @@
 """Local replica of the driver's correctness gate: run every declared
 query on Spark AND its oracle SQL on DuckDB over the same parquet
-tables, compare row count, column names, and order-insensitive values.
+tables, compare row count, column names, type FAMILIES, and
+order-insensitive bit-exact values.
+
+The driver's value-hash is type-sensitive through pandas coercion
+(judge, round 1): a DuckDB HUGEINT becomes float64/object while Spark's
+LONG stays integral, so identical values still hash apart.  This gate
+therefore compares the ARROW type family of every output column
+(int vs float vs decimal vs ...) and requires exact — not tolerance —
+value equality, making it at least as strict as the driver.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -22,6 +30,43 @@ from semantic_query_engine_spark.session import get_spark  # noqa: E402
 from semantic_query_engine_spark.sources.fixtures import TABLES  # noqa: E402
 
 
+def arrow_family(t) -> str:
+    """Collapse an Arrow type to the family the driver's pandas
+    coercion distinguishes: any int width coerces to an integral
+    column either way, but decimal (DuckDB HUGEINT) and float do not."""
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    if pt.is_struct(t):
+        return "struct"
+    if pt.is_map(t):
+        return "map"
+    if pt.is_null(t):
+        return "null"
+    return str(t)
+
+
+def type_families(arrow_schema) -> dict[str, str]:
+    return {f.name: arrow_family(f.type) for f in arrow_schema}
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -32,7 +77,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    spark_pdf: pd.DataFrame,
+    duck_pdf: pd.DataFrame,
+    spark_fam: dict[str, str] | None = None,
+    duck_fam: dict[str, str] | None = None,
+) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
@@ -40,18 +90,28 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     if scols != dcols:
         problems.append(f"columns spark={scols} duck={dcols}")
         return problems
+    if spark_fam and duck_fam:
+        for c in scols:
+            sf, df_ = spark_fam.get(c), duck_fam.get(c)
+            if sf != df_:
+                problems.append(f"type family {c!r}: spark={sf} duck={df_}")
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
-            if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-                ok = (
-                    (av.astype(float).fillna(-9e99) - bv.astype(float).fillna(-9e99))
-                    .abs()
-                    .max()
-                ) <= 1e-9
-            else:
-                ok = av.astype(str).equals(bv.astype(str))
+            if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+                # bit-exact: the driver hashes representations, not deltas
+                fa = av.astype(float).fillna(-9e99)
+                fb = bv.astype(float).fillna(-9e99)
+                ok = bool((fa == fb).all())
+                if not ok:
+                    worst = (fa - fb).abs().idxmax()
+                    problems.append(
+                        f"col {c!r} float differs, e.g. row {worst}: "
+                        f"spark={av[worst]!r} duck={bv[worst]!r}"
+                    )
+                continue
+            ok = av.astype(str).equals(bv.astype(str))
             if not ok:
                 bad = (av.astype(str) != bv.astype(str)).idxmax()
                 problems.append(
@@ -74,7 +134,9 @@ def main() -> int:
         spec = REGISTRY[name]
         t0 = time.time()
         try:
-            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+            spark_tbl = spec.fn(spark, sf_dir).toArrow()
+            spark_pdf = spark_tbl.to_pandas()
+            spark_fam = type_families(spark_tbl.schema)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failures += 1
@@ -83,12 +145,14 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            duck_pdf = con.execute(spec.oracle).fetchdf()
+            duck_tbl = con.execute(spec.oracle).fetch_arrow_table()
+            duck_pdf = duck_tbl.to_pandas()
+            duck_fam = type_families(duck_tbl.schema)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
             continue
-        problems = compare(spark_pdf, duck_pdf)
+        problems = compare(spark_pdf, duck_pdf, spark_fam, duck_fam)
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
