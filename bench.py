@@ -44,6 +44,12 @@ HEADLINE = [
     "join_q5_region",    # 6-table star join
     "window_topk_per_group",
     "events_sessionize",
+    # LLM-pipeline breadth (round 2): regressions here must be visible
+    "pack_sequences",    # per-shard greedy packing
+    "hash_split",        # reproducible train/val/test buckets
+    "dedup_minhash_lsh",  # banded minhash near-dup
+    "ann_ivf_knn_join",  # partition-pruned IVF batch kNN
+    "stream_dedup",      # exactly-once streaming dedup (state store)
 ]
 
 

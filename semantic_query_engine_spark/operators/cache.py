@@ -66,7 +66,9 @@ def evict_lfu(cache: DataFrame, n: int = 1) -> DataFrame:
     """Drop the n least-frequent entries (deterministic LFU).  Expressed
     as a rank-filter rather than an anti-join: one window over a <=1000
     row table."""
-    w = Window.orderBy(F.asc("freq"), F.asc("insert_seq"))
+    # <=1000 rows by capacity: one partition is intentional; the constant
+    # partition key keeps WindowExec from warning about a global window
+    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("freq"), F.asc("insert_seq"))
     return (
         cache.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") > n)

@@ -161,7 +161,11 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn(
             "r",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+            # 20 rows post-limit: single partition is intentional, and the
+            # constant partition key keeps WindowExec from warning about it
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
         )
         .select("doc_id", F.col("r").alias("bm_r"))
     )
@@ -182,7 +186,10 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn(
             "r",
-            F.row_number().over(Window.orderBy(F.desc("cscore"), F.asc("doc_id"))),
+            # 20 rows post-limit: single partition is intentional (see bmtop)
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(F.desc("cscore"), F.asc("doc_id"))
+            ),
         )
         .select("doc_id", F.col("r").alias("c_r"))
     )

@@ -154,3 +154,23 @@ def test_decontaminate_flags_planted_docs(spark, sf_dir):
     assert all((t, t - 30000) in hits for t in planted_ids)
     assert len(planted_ids) >= 15
     assert all(r.shared_grams >= 1 for r in rows)
+
+
+def test_ivf_recall_dim1024_clustered(spark):
+    """IVF quality gate at the reference's embedding width (1024-dim,
+    /root/reference/app/main.py:272-277): on a clustered corpus — the
+    geometry real text embeddings have — probing 2/10 cells must reach
+    recall@3 >= 0.9 vs exact brute force."""
+    from tools.ann_recall import clustered_vectors, recall, topk_sets
+    from semantic_query_engine_spark.operators.ann import build_ivf, ivf_knn_join
+    from semantic_query_engine_spark.operators.retrieval import knn_join
+
+    allv = clustered_vectors(spark, 510, dim=1024, n_centers=10, sigma=0.35, seed=7)
+    probes = allv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    index = allv.filter(F.col("vec_id") >= 10).localCheckpoint()
+    exact = topk_sets(knn_join(probes, index, k=3), 3)
+    assigned, centroids = build_ivf(index, n_clusters=10)
+    approx = topk_sets(ivf_knn_join(probes, assigned, centroids, k=3, nprobe=2), 3)
+    assert recall(exact, approx) >= 0.9

@@ -45,7 +45,11 @@ def clustered_vectors(spark, n: int, dim: int, n_centers: int, sigma: float, see
     centers = rng.normal(size=(n_centers, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_centers, size=n)
-    pts = centers[assign] + sigma * rng.normal(size=(n, dim))
+    # noise scaled by 1/sqrt(dim) so its NORM is ~sigma at any width —
+    # per-component sigma would give noise norm sigma*sqrt(dim), which at
+    # dim 1024 (~11x the unit center) erases the cluster structure the
+    # fixture exists to model
+    pts = centers[assign] + (sigma / np.sqrt(dim)) * rng.normal(size=(n, dim))
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
     rows = [(int(i), [float(x) for x in pts[i]]) for i in range(n)]
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
