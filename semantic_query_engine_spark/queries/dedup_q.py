@@ -140,33 +140,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup join (shingle -> minhash signature -> banded
-    bucket join) via MLlib MinHashLSH, seed-pinned.  The scalable
-    near-dup path: signature computation is map-only and the join is an
-    equality join on hash buckets.  Rows-only (sketch internals have no
-    SQL twin); tests assert it recovers the planted 80%-prefix pairs."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    from ..operators.dedup import word_shingles
+    """MinHash+LSH near-dup join: shingle -> 64-perm minhash signature
+    -> 16-band bucket join -> exact-Jaccard confirm, all in whole-stage
+    codegen (operators/dedup.py:minhash_lsh_pairs).  Replaces the MLlib
+    MinHashLSH approxSimilarityJoin path, which at sf0.1 spent ~40 s in
+    VectorUDT-boxed key-distance evaluation for the identical result
+    shape.  Rows-only (sketch internals have no SQL twin); tests assert
+    it recovers the planted 80%-prefix pairs."""
+    from ..operators.dedup import minhash_lsh_pairs
 
     docs = _docs_with_truncated_copies(spark, sf_dir)
-    sh = docs.select("doc_id", word_shingles(F.col("text"), 2).alias("shingles"))
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
-    )
-    feat = tf.transform(sh)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
-    ).fit(feat)
-    pairs = lsh.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
-        )
-    )
+    return minhash_lsh_pairs(docs, threshold=0.5, n=2)
 
 
 @register("dedup_simhash", oracle=None)

@@ -117,3 +117,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+def test_minhash_lsh_no_cartesian_all_codegen(spark, sf_dir):
+    """The native MinHash+LSH path must be equality joins end-to-end (no
+    CartesianProduct/BroadcastNestedLoop) and stay out of Python: no
+    BatchEvalPython / ArrowEvalPython nodes — signatures are codegen
+    expressions, not UDFs."""
+    from semantic_query_engine_spark.queries.dedup_q import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -98,44 +98,51 @@ def lsh_knn_join(probes, index, k: int, num_tables: int, bucket_length: float):
     ).fit(fi)
     # threshold 2.0 = the unit-sphere diameter: candidate generation is
     # therefore ONLY bucket collisions, no distance pre-filter help
-    pairs = model.approxSimilarityJoin(fp, fi, 2.0, distCol="dist")
-    w = Window.partitionBy("datasetA.probe_id").orderBy(
-        F.asc("dist"), F.asc("datasetB.vec_id")
-    )
-    return (
+    pairs = model.approxSimilarityJoin(fp, fi, 2.0, distCol="dist").select(
+        F.col("datasetA.probe_id").alias("probe_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        "dist",
+    ).localCheckpoint()
+    n_candidates = pairs.count()
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    topk = (
         pairs.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
-        .select(
-            F.col("datasetA.probe_id").alias("probe_id"),
-            F.col("datasetB.vec_id").alias("vec_id"),
-        )
+        .select("probe_id", "vec_id")
     )
+    return topk, n_candidates
 
 
 def eval_dim1024(spark, out: list[dict], table_lines: list[str]) -> None:
-    n, dim, n_centers, sigma = 2000, 1024, 20, 0.35
+    """Recall/cost grid at the reference's embedding width, across three
+    cluster-noise regimes (noise NORM = sigma vs unit centers):
+    - 0.35: tight clusters — real text-embedding geometry
+    - 1.00: overlapping clusters — hard but structured
+    - 2.00: noise-dominated — adversarial floor (no index can win)
+    For LSH the cost column is the measured candidate-pair fraction
+    (candidates / n_probes*n_index) — recall without that number is
+    meaningless, since threshold-2.0 bucket collisions can approach a
+    full scan.  For IVF it is nprobe/n_clusters (exact by construction:
+    partition pruning)."""
+    n, dim, n_centers = 2000, 1024, 20
     n_probe_rows, ks = 20, (3, 10)
-    allv = clustered_vectors(spark, n + n_probe_rows, dim, n_centers, sigma, seed=7)
-    probes = (
-        allv.filter(F.col("vec_id") < n_probe_rows)
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
-    )
-    index = allv.filter(F.col("vec_id") >= n_probe_rows).localCheckpoint()
-
-    exact = {
-        k: topk_sets(
-            knn_join(probes, index, k=k), k
+    for sigma in (0.35, 1.0, 2.0):
+        allv = clustered_vectors(
+            spark, n + n_probe_rows, dim, n_centers, sigma, seed=7
         )
-        for k in ks
-    }
+        probes = allv.filter(F.col("vec_id") < n_probe_rows).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+        index = allv.filter(F.col("vec_id") >= n_probe_rows).localCheckpoint()
 
-    # --- LSH grid ---
-    for num_tables in (3, 5, 10):
-        for bucket_length in (0.5, 1.0, 2.0):
-            rec = {}
-            for k in ks:
-                approx = topk_sets(
-                    lsh_knn_join(
+        exact = {k: topk_sets(knn_join(probes, index, k=k), k) for k in ks}
+
+        # --- LSH grid ---
+        for num_tables in (3, 10):
+            for bucket_length in (0.5, 2.0):
+                rec, n_cand = {}, 0
+                for k in ks:
+                    approx_df, n_cand = lsh_knn_join(
                         probes.select(
                             F.col("probe_id").alias("vec_id"),
                             F.col("probe_vec").alias("embedding"),
@@ -144,49 +151,51 @@ def eval_dim1024(spark, out: list[dict], table_lines: list[str]) -> None:
                         k,
                         num_tables,
                         bucket_length,
-                    ),
-                    k,
+                    )
+                    rec[k] = recall(exact[k], topk_sets(approx_df, k))
+                cand_frac = round(n_cand / (n_probe_rows * n), 4)
+                row = {
+                    "method": "lsh",
+                    "dim": dim,
+                    "sigma": sigma,
+                    "numHashTables": num_tables,
+                    "bucketLength": bucket_length,
+                    "recall_at_3": rec[3],
+                    "recall_at_10": rec[10],
+                    "candidate_fraction": cand_frac,
+                }
+                out.append(row)
+                table_lines.append(
+                    f"| {sigma} | LSH | tables={num_tables}, bucketLen={bucket_length} "
+                    f"| {rec[3]:.3f} | {rec[10]:.3f} | {100*cand_frac:.1f}% of index scanned |"
+                )
+
+        # --- IVF grid ---
+        n_clusters = 20
+        assigned, centroids = build_ivf(index, n_clusters=n_clusters)
+        assigned = assigned.localCheckpoint()
+        for nprobe in (1, 2, 4):
+            rec = {}
+            for k in ks:
+                approx = topk_sets(
+                    ivf_knn_join(probes, assigned, centroids, k=k, nprobe=nprobe), k
                 )
                 rec[k] = recall(exact[k], approx)
             row = {
-                "method": "lsh",
+                "method": "ivf",
                 "dim": dim,
-                "numHashTables": num_tables,
-                "bucketLength": bucket_length,
+                "sigma": sigma,
+                "n_clusters": n_clusters,
+                "nprobe": nprobe,
                 "recall_at_3": rec[3],
                 "recall_at_10": rec[10],
+                "scan_fraction": round(nprobe / n_clusters, 4),
             }
             out.append(row)
             table_lines.append(
-                f"| LSH | tables={num_tables}, bucketLen={bucket_length} "
-                f"| {rec[3]:.3f} | {rec[10]:.3f} | full scan of colliding buckets |"
+                f"| {sigma} | IVF | clusters={n_clusters}, nprobe={nprobe} "
+                f"| {rec[3]:.3f} | {rec[10]:.3f} | {100*nprobe/n_clusters:.0f}% of index scanned |"
             )
-
-    # --- IVF grid ---
-    n_clusters = 20
-    assigned, centroids = build_ivf(index, n_clusters=n_clusters)
-    assigned = assigned.localCheckpoint()
-    for nprobe in (1, 2, 4):
-        rec = {}
-        for k in ks:
-            approx = topk_sets(
-                ivf_knn_join(probes, assigned, centroids, k=k, nprobe=nprobe), k
-            )
-            rec[k] = recall(exact[k], approx)
-        row = {
-            "method": "ivf",
-            "dim": dim,
-            "n_clusters": n_clusters,
-            "nprobe": nprobe,
-            "recall_at_3": rec[3],
-            "recall_at_10": rec[10],
-            "scan_fraction": round(nprobe / n_clusters, 4),
-        }
-        out.append(row)
-        table_lines.append(
-            f"| IVF | clusters={n_clusters}, nprobe={nprobe} "
-            f"| {rec[3]:.3f} | {rec[10]:.3f} | {nprobe}/{n_clusters} of index |"
-        )
 
 
 def main() -> None:
@@ -230,8 +239,8 @@ def main() -> None:
     # --- dim-1024 clustered section ---
     rows: list[dict] = []
     table_lines: list[str] = [
-        "| Method | Params | recall@3 | recall@10 | Cost model |",
-        "|---|---|---|---|---|",
+        "| noise sigma | Method | Params | recall@3 | recall@10 | Cost (measured) |",
+        "|---|---|---|---|---|---|",
     ]
     eval_dim1024(spark, rows, table_lines)
     print(json.dumps({"section": "dim1024_clustered", "rows": rows}))
