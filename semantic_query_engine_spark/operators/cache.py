@@ -66,9 +66,10 @@ def evict_lfu(cache: DataFrame, n: int = 1) -> DataFrame:
     """Drop the n least-frequent entries (deterministic LFU).  Expressed
     as a rank-filter rather than an anti-join: one window over a <=1000
     row table."""
-    # <=1000 rows by capacity: one partition is intentional; the constant
-    # partition key keeps WindowExec from warning about a global window
-    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("freq"), F.asc("insert_seq"))
+    # global window over <=CACHE_CAPACITY (1000) rows: the single
+    # partition is intentional and bounded — LFU order is a total order
+    # over the whole cache by definition
+    w = Window.orderBy(F.asc("freq"), F.asc("insert_seq"))
     return (
         cache.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") > n)

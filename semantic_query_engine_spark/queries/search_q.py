@@ -125,6 +125,27 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def _rank_tiny(top: DataFrame, score_col: str, rank_alias: str) -> DataFrame:
+    """Rank a POST-LIMIT (<=20 row) leg without a window: rank = 1 +
+    count of rows with a strictly better (score DESC, doc_id ASC) key,
+    via a broadcast self theta-join.  A global window here would move the
+    (tiny) leg to one partition and emit the WindowExec no-partition
+    warning on every run — the same warning class that flags REAL
+    scale bugs — so the bench tail stays clean for genuine signals.
+    (partitionBy(lit(0)) does not work: Catalyst constant-folds the
+    key away and the spec is empty again.)"""
+    x, y = top.alias("x"), top.alias("y")
+    better = (F.col(f"y.{score_col}") > F.col(f"x.{score_col}")) | (
+        (F.col(f"y.{score_col}") == F.col(f"x.{score_col}"))
+        & (F.col("y.doc_id") < F.col("x.doc_id"))
+    )
+    return (
+        x.join(F.broadcast(y), better, "left")
+        .groupBy(F.col("x.doc_id").alias("doc_id"))
+        .agg((F.count(F.col("y.doc_id")) + 1).cast("int").alias(rank_alias))
+    )
+
+
 @register(
     "hybrid_rrf",
     oracle=f"""
@@ -153,21 +174,12 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: reciprocal-rank fusion (k=60) of the BM25 top-20
     and the cosine top-20 — the standard way OpenSearch-style engines
     combine keyword and vector rankings.  Each leg is a top-k
-    (TakeOrderedAndProject) before ranking, so the window function only
-    ever sees k rows; the fusion join is two 20-row lists."""
+    (TakeOrderedAndProject) before ranking; ranks come from a 20x20
+    broadcast join (_rank_tiny), and the fusion join is two 20-row
+    lists."""
     bm = _bm25_scores(spark, sf_dir)
-    bmtop = (
-        bm.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "r",
-            # 20 rows post-limit: single partition is intentional, and the
-            # constant partition key keeps WindowExec from warning about it
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", F.col("r").alias("bm_r"))
+    bmtop = _rank_tiny(
+        bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(20), "score", "bm_r"
     )
     emb = load_table(spark, sf_dir, "embeddings")
     qside = F.broadcast(
@@ -181,17 +193,8 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine("embedding", "qvec"), 6).alias("cscore"),
         )
     )
-    ctop = (
-        cos.orderBy(F.desc("cscore"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "r",
-            # 20 rows post-limit: single partition is intentional (see bmtop)
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(F.desc("cscore"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", F.col("r").alias("c_r"))
+    ctop = _rank_tiny(
+        cos.orderBy(F.desc("cscore"), F.asc("doc_id")).limit(20), "cscore", "c_r"
     )
     fused = bmtop.join(ctop, "doc_id", "full")
     rrf = F.coalesce(1.0 / (60 + F.col("bm_r")), F.lit(0.0)) + F.coalesce(
