@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_lsh",  # banded minhash near-dup
     "ann_ivf_knn_join",  # partition-pruned IVF batch kNN
     "stream_dedup",      # exactly-once streaming dedup (state store)
+    "training_data_prep",  # composed clean->dedup->split->pack pipeline
 ]
 
 

@@ -299,3 +299,142 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("r") <= F.col("quota")).select(
         "doc_id", "source", "r"
     )
+
+
+def _quality_parts_sql() -> str:
+    """The quality_score oracle CTE body (textops.py) — reused verbatim
+    so the composed pipeline filters on the SAME rounded score."""
+    from .textops import _PUNCT_CLASS_SQL, _STOPS, _WORDS
+
+    return f"""
+      SELECT doc_id,
+             CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS DOUBLE)
+                       / CAST(len({_WORDS}) AS DOUBLE) END AS sw,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS pr,
+             CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                  ELSE list_sum(list_transform({_WORDS}, w -> CAST(length(w) AS DOUBLE)))
+                       / CAST(len({_WORDS}) AS DOUBLE) END AS awl
+      FROM documents"""
+
+
+def _training_prep_oracle() -> str:
+    from .textops import _WORDS
+
+    bucket = _bucket_expr("doc_id", "strpos")
+    return f"""
+    WITH parts AS ({_quality_parts_sql()}),
+    q AS (
+      SELECT doc_id,
+             ROUND(least(1.0, sw * 2.0) * 0.5
+                   + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                   + (1.0 - least(1.0, pr * 5.0)) * 0.2, 6) AS quality
+      FROM parts),
+    qf AS (
+      SELECT d.doc_id, d.text, q.quality
+      FROM documents d JOIN q USING (doc_id)
+      WHERE q.quality >= 0.6),
+    fp AS (
+      SELECT doc_id, md5(lower(array_to_string({_WORDS}, ' '))) AS fp FROM qf),
+    dd AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+    k AS (SELECT * FROM qf WHERE doc_id IN (SELECT doc_id FROM dd)),
+    s AS (
+      SELECT doc_id, quality, text, {bucket} AS bucket FROM k),
+    t AS (
+      SELECT doc_id, quality, bucket,
+             CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 230 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM s),
+    c AS (
+      SELECT doc_id, quality, bucket, split, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM t)
+    SELECT doc_id, quality, bucket, split, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+    FROM c
+    """
+
+
+@register("training_data_prep", oracle=_training_prep_oracle())
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep as ONE declarative plan: quality
+    filter -> exact dedup -> hash split -> per-split sequence packing.
+    The composition a 100 TB pretraining pipeline actually runs, and the
+    showcase that the individual operators compose without materializing
+    between stages (Catalyst sees the whole DAG; column pruning drops
+    `text` the moment the last text-derived column is computed).
+
+    Per-stage scale shapes, unchanged from the standalone operators:
+    - quality: map-only expression scoring (no shuffle);
+    - dedup: 16-byte md5 digest agg + semi join — bodies never shuffle;
+    - split: scan-local md5 bucket, deterministic membership;
+    - packing: per-(split, shard) windows + one tiny shard-offset
+      triangle join — the global running sum is reconstructed exactly
+      with no unpartitioned window.
+
+    The self-referencing stages (dedup semi join, window + totals) make
+    Catalyst scan `documents` more than once — the declarative
+    recompute-vs-materialize tradeoff.  The window and the totals agg
+    share the (split, shard) hash partitioning, so AQE reuses that
+    exchange; at 100 TB, `persist()` the post-dedup slim projection
+    before packing if scan cost dominates (a one-line change at the
+    call site, not a different plan)."""
+    from ..functions import text as TX
+
+    shard_width = 128
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "text", TX.quality_score("text").alias("quality")
+    ).filter(F.col("quality") >= 0.6)
+    fp = q.select("doc_id", TX.fingerprint("text").alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    k = q.join(keep, "doc_id", "left_semi")
+    bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
+    t = k.select(
+        "doc_id",
+        "quality",
+        bucket.alias("bucket"),
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / shard_width).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("shard_cum", F.sum("n_tokens").over(w))
+    totals = t.groupBy("split", "shard").agg(F.sum("n_tokens").alias("shard_total"))
+    offs = (
+        totals.select(F.col("split").alias("sp"), F.col("shard").alias("s"))
+        .join(
+            totals,
+            (F.col("split") == F.col("sp")) & (F.col("shard") < F.col("s")),
+            "left",
+        )
+        .groupBy("sp", "s")
+        .agg(F.coalesce(F.sum("shard_total"), F.lit(0)).alias("offset"))
+    )
+    c = c.join(
+        F.broadcast(offs), (c["split"] == offs["sp"]) & (c["shard"] == offs["s"])
+    ).withColumn("cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long"))
+    return c.select(
+        "doc_id",
+        "quality",
+        "bucket",
+        "split",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2000.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
