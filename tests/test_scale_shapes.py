@@ -129,3 +129,16 @@ def test_minhash_lsh_no_cartesian_all_codegen(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_repo_wide_plan_audit_clean(spark, sf_dir):
+    """No registered (non-streaming) query may plan an unpartitioned
+    window, a CartesianProduct, row-at-a-time Python, or an unexcused
+    BroadcastNestedLoopJoin — the invariant PLAN_AUDIT.md records.
+    Streaming queries execute on build; the CLI audit covers them."""
+    from semantic_query_engine_spark.queries import REGISTRY
+    from tools.plan_audit import STREAM_PREFIXES, run_audit
+
+    names = [n for n in REGISTRY if not n.startswith(STREAM_PREFIXES)]
+    bad = run_audit(spark, sf_dir, names)
+    assert bad == {}, bad

@@ -1,0 +1,126 @@
+"""Repo-wide physical-plan red-flag audit: build EVERY registered
+query's plan and flag the shapes that kill 100 TB runs —
+
+- UNPART_WINDOW: a window with no PARTITION BY (moves the whole input
+  to one partition; the class of bug pack_sequences had in round 1)
+- CARTESIAN: CartesianProduct (all-pairs on two distributed sides)
+- BNLJ: BroadcastNestedLoopJoin — only acceptable when one side is
+  PROVABLY tiny/bounded (a broadcast 1-row query vector, a <=#shards
+  totals table, a post-limit top-k leg); every acceptance is recorded
+  in ALLOWED_BNLJ with its justification
+- ROW_PYTHON: BatchEvalPython (row-at-a-time Python in the plan; the
+  Arrow-batched nodes — ArrowEvalPython, MapInPandas, FlatMapGroupsIn
+  Pandas — are fine and NOT flagged)
+
+Usage: python tools/plan_audit.py [sf_dir] [--markdown]
+Exit code 1 if any query has a flag not covered by an allowlist entry,
+so CI/tests can gate on it.  `--markdown` prints the PLAN_AUDIT.md
+report body.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
+from semantic_query_engine_spark.session import get_spark  # noqa: E402
+
+# Every acceptance is one provably-bounded side.  Anything new that
+# shows a BNLJ must either justify itself here or restructure the join.
+ALLOWED_BNLJ: dict[str, str] = {
+    "semantic_topk": "broadcast 1-row query-vector side",
+    "semantic_topk_dim1024": "broadcast 1-row query-vector side",
+    "semantic_topk_docs": "broadcast 1-row query-vector side",
+    "rag_ask_flagship": "broadcast 1-row query-vector side",
+    "cache_probe": "broadcast 1-row probe vs <=1000-row cache",
+    "knn_join": "broadcast bounded probe set vs index scan",
+    "ann_ivf_knn_join": "broadcast probes x #clusters centroid table",
+    "bm25_topk": "broadcast 1-row corpus-stats side",
+    "hybrid_rrf": "broadcast 1-row stats + 20-row post-limit rank legs",
+    "pack_sequences": "shard-totals triangle join, rows = #shards",
+    "training_data_prep": "shard-totals triangle join, rows = #shards",
+    "timeseries_gapfill": "tiny generated time-grid side",
+    "join_cross": "intentional CROSS JOIN demo on two bounded dims",
+    "join_range_bands": "intentional theta/range-join demo, banded sides",
+}
+ALLOWED_ROW_PYTHON: dict[str, str] = {
+    "udtf_word_index": "Python UDTF surface demo (BatchEvalPythonUDTF); "
+    "the production tokenizers are pure expressions",
+}
+# Streaming queries execute availableNow on build (slow, not just
+# planning) — the audit covers them when run via the CLI; the pytest
+# gate skips them to keep the suite fast.
+STREAM_PREFIXES = ("stream_", "session_window")
+
+
+def audit_one(spark, name: str, sf_dir: str) -> list[str]:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags = []
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and len(re.findall(r"\], \[", line)) < 2:
+            flags.append("UNPART_WINDOW")
+            break
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+        flags.append("BNLJ")
+    if "BatchEvalPython" in plan and name not in ALLOWED_ROW_PYTHON:
+        flags.append("ROW_PYTHON")
+    return flags
+
+
+def run_audit(spark, sf_dir: str, names=None) -> dict[str, list[str]]:
+    """{query: [unexcused flags]} — empty dict = clean repo."""
+    out: dict[str, list[str]] = {}
+    for name in sorted(names or REGISTRY):
+        try:
+            flags = audit_one(spark, name, sf_dir)
+        except Exception as e:  # a query that cannot even plan is a flag
+            flags = [f"BUILD_ERROR:{type(e).__name__}"]
+        if flags:
+            out[name] = flags
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--markdown"]
+    markdown = "--markdown" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    spark = get_spark("plan-audit")
+    bad = run_audit(spark, sf_dir)
+    if markdown:
+        print("# PLAN_AUDIT — repo-wide physical-plan red-flag sweep\n")
+        print(f"Queries audited: {len(REGISTRY)} (sf_dir={sf_dir})\n")
+        print("## Hard flags (must be empty)\n")
+        if bad:
+            for k, v in bad.items():
+                print(f"- **{k}**: {', '.join(v)}")
+        else:
+            print(
+                "NONE — no unpartitioned window, no CartesianProduct, no "
+                "row-at-a-time Python, no unexcused BroadcastNestedLoopJoin "
+                "in any registered query plan."
+            )
+        print("\n## Accepted bounded nested-loop joins\n")
+        print("| Query | Why the loop side is bounded |\n|---|---|")
+        for k, v in sorted(ALLOWED_BNLJ.items()):
+            print(f"| `{k}` | {v} |")
+        print("\n## Accepted Python-eval nodes\n")
+        print("| Query | Why |\n|---|---|")
+        for k, v in sorted(ALLOWED_ROW_PYTHON.items()):
+            print(f"| `{k}` | {v} |")
+    else:
+        for k, v in sorted(bad.items()):
+            print("FLAG", k, v)
+        print(f"{len(bad)} flagged of {len(REGISTRY)}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
