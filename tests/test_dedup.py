@@ -174,3 +174,39 @@ def test_ivf_recall_dim1024_clustered(spark):
     assigned, centroids = build_ivf(index, n_clusters=10)
     approx = topk_sets(ivf_knn_join(probes, assigned, centroids, k=3, nprobe=2), 3)
     assert recall(exact, approx) >= 0.9
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark):
+    """Cross-operator consistency: every pair MinHash+LSH reports must
+    also be an exact-Jaccard pair at the same threshold with the SAME
+    distance (banding prunes candidates; the confirm step makes
+    precision exact), on an adversarial mix of near-dups, partial
+    overlaps, and unrelated docs."""
+    from semantic_query_engine_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [
+        (1, base),
+        (2, base),                                # exact dup of 1
+        (3, base[: len(base) * 3 // 4]),          # 75% prefix of 1
+        (4, "totally different words " * 10),
+        (5, "alpha beta " + "unrelated tail " * 15),  # small overlap
+        (6, base.replace("delta", "DELTA")),      # near dup, case diff
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    mh = {
+        (r.id_a, r.id_b): r.jaccard_dist
+        for r in minhash_lsh_pairs(docs, threshold=0.5, n=2).collect()
+    }
+    jc = {
+        (r.id_a, r.id_b): round(1.0 - r.jaccard, 6)
+        for r in jaccard_pairs(docs, threshold=0.5, n=2).collect()
+    }
+    assert set(mh) <= set(jc), (set(mh) - set(jc))
+    for pair, dist in mh.items():
+        assert abs(dist - jc[pair]) < 1e-6, (pair, dist, jc[pair])
+    # the planted exact dup must be found
+    assert (1, 2) in mh and mh[(1, 2)] == 0.0
