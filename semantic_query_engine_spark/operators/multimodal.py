@@ -85,3 +85,90 @@ def frame_sample(
         "n_frames",
         F.explode(F.transform(idx, lambda i: i * every_nth)).alias("frame_idx"),
     )
+
+
+FEATURE_BINS = 16
+
+
+def extract_features(
+    df: DataFrame,
+    n_bins: int = FEATURE_BINS,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature extraction over opaque binary payloads: a normalized
+    byte-histogram embedding (n_bins buckets of 256/n_bins byte values),
+    as an Arrow-batched pandas UDF — the multimodal analog of the text
+    embedder, and the exact batch shape a real CLIP/wav2vec feature
+    extractor would use (payload batch in -> fixed-dim vector batch
+    out).  Deterministic: features depend only on the bytes.  Map-only;
+    payloads never shuffle."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    width = 256 // n_bins
+
+    # micro-unit integer output (floor(ratio * 1e6)): the repo-wide
+    # determinism discipline — float rounding modes (banker's vs
+    # half-away) diverge across engines exactly on the dyadic ratios a
+    # byte histogram produces
+    @pandas_udf("array<bigint>")
+    def feats(payloads: pd.Series) -> pd.Series:
+        out = []
+        for b in payloads:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            if arr.size == 0:
+                out.append([0] * n_bins)
+                continue
+            hist = np.bincount(arr // width, minlength=n_bins).astype("float64")
+            micro = np.floor(hist / arr.size * 1_000_000).astype("int64")
+            out.append([int(x) for x in micro])
+        return pd.Series(out)
+
+    return df.select(id_col, feats(F.col(payload_col)).alias("features"))
+
+
+def resize_stub(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """'Resize' for opaque payloads: nearest-neighbor byte resampling to
+    out_w*out_h bytes via mapInPandas — a deterministic stand-in for a
+    real image resize (no codecs in the container; a libvips/PIL-backed
+    fn slots into the same signature).  Output schema carries the new
+    payload plus its dimensions, mirroring how a real pipeline feeds
+    resized tensors downstream.  Map-only, Arrow-batched."""
+    import numpy as np
+
+    target = out_w * out_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, sizes = [], []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    res = np.zeros(target, dtype=np.uint8)
+                else:
+                    idx = (np.arange(target) * arr.size // target).clip(
+                        0, arr.size - 1
+                    )
+                    res = arr[idx]
+                payloads.append(res.tobytes())
+                sizes.append(int(arr.size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes_in": sizes,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": payloads,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "doc_id long, n_bytes_in long, out_w int, out_h int, resized binary"
+    )

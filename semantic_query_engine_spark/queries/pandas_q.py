@@ -136,3 +136,50 @@ def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_mean("c_acctbal").alias("mean_bal"),
         pd_count("c_acctbal").alias("n"),
     )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(length(text)),
+                            i -> CAST(floor(ascii(substr(text, i + 1, 1)) / 16)
+                                      AS INT)) AS bins,
+             length(text) AS n
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           CASE WHEN n = 0
+                THEN list_transform(range(16), k -> CAST(0 AS BIGINT))
+                ELSE list_transform(range(16),
+                       k -> CAST(floor(CAST(len(list_filter(bins, x -> x = k)) AS DOUBLE)
+                                  / n * 1000000) AS BIGINT))
+           END AS features
+    FROM b
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: opaque binary payload -> Arrow-
+    batched pandas UDF -> fixed-dim embedding (normalized 16-bin byte
+    histogram, micro-unit integers for cross-engine determinism).  The
+    fixture text is pure ASCII, so the byte histogram
+    equals a char-code histogram and DuckDB can verify the UDF's output
+    exactly — the Arrow batch plumbing (binary in, vector out) is the
+    part a real CLIP/wav2vec extractor would reuse unchanged."""
+    from ..operators.multimodal import attach_binary_payload, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return extract_features(attach_binary_payload(docs))
+
+
+@register("multimodal_resize", oracle=None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: payload -> nearest-neighbor byte resampling to
+    a fixed 8x8 'tensor' via mapInPandas (operators/multimodal.py:
+    resize_stub).  Rows-only: the resized payload is a binary column
+    DuckDB SQL cannot reconstruct cheaply; pytest pins determinism,
+    output size, and content (tests/test_sources_and_sinks.py)."""
+    from ..operators.multimodal import attach_binary_payload, resize_stub
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return resize_stub(attach_binary_payload(docs))

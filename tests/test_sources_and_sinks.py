@@ -160,3 +160,31 @@ def test_custom_corpus_datasource(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2  # one per matching file
     got = {r.doc_id: r.text for r in df.collect()}
     assert got == {"PMC7": "seven", "PMC8": "café"}
+
+
+def test_multimodal_resize_deterministic_shape(spark, sf_dir):
+    """resize_stub: every output payload is exactly out_w*out_h bytes,
+    deterministic across runs, and a nearest-neighbor subsample of the
+    input bytes (first byte preserved, bytes drawn from the input)."""
+    from semantic_query_engine_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_stub,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = resize_stub(attach_binary_payload(docs), out_w=8, out_h=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    again = {r.doc_id: r for r in resize_stub(
+        attach_binary_payload(docs), out_w=8, out_h=8).collect()}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert rows and set(rows) == set(texts)
+    for did, r in rows.items():
+        assert len(r.resized) == 64
+        assert r.resized == again[did].resized  # deterministic
+        src = texts[did].encode("utf-8")
+        assert r.n_bytes_in == len(src)
+        if src:
+            assert r.resized[0] == src[0]  # nearest-neighbor keeps byte 0
+            assert set(r.resized) <= set(src)
