@@ -167,3 +167,36 @@ def struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("profile.nation").alias("pnation"),
         (F.col("profile.balance") > 5000).alias("is_rich"),
     )
+
+
+_RECURSIVE_CLOSURE_SQL = """
+    WITH RECURSIVE base AS (
+      SELECT doc_id FROM documents WHERE doc_id < 100),
+    edges AS (
+      SELECT doc_id AS s, doc_id + 10000 AS d FROM base
+      UNION ALL
+      SELECT doc_id + 10000, doc_id + 20000 FROM base),
+    reach AS (
+      SELECT doc_id AS root, doc_id AS node, 0 AS depth FROM base
+      UNION ALL
+      SELECT reach.root, e.d, reach.depth + 1
+      FROM reach JOIN edges e ON e.s = reach.node)
+    SELECT root, node, depth FROM reach
+"""
+
+
+@register("recursive_closure", oracle=_RECURSIVE_CLOSURE_SQL)
+def recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x): data-driven transitive
+    closure with depth over the acyclic doc-derivation graph (base ->
+    80% copy -> 64% copy, the same planted lineage the dedup fixtures
+    use).  The IDENTICAL SQL text runs on Spark and DuckDB — the one
+    relational construct the engine surface gained in Spark 4 that the
+    iterative DataFrame loop (operators/graph.py) previously stood in
+    for.  Spark executes each recursion step as a join against the
+    prior frontier only (UNION ALL semantics; termination from the
+    DAG), the same per-round shuffle shape as the hand-written loop —
+    use the loop for cyclic graphs (UNION-dedup recursion is
+    unsupported) and the CTE for hierarchies/DAGs."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)
