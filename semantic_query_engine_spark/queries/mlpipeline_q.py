@@ -438,3 +438,73 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows, COUNT(doc_id) AS n_nonnull,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             MIN(CAST(doc_id AS VARCHAR)) AS min_v, MAX(CAST(doc_id AS VARCHAR)) AS max_v
+      FROM documents
+      UNION ALL
+      SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+             MIN(CAST(lang AS VARCHAR)), MAX(CAST(lang AS VARCHAR)) FROM documents
+      UNION ALL
+      SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+             MIN(CAST(source AS VARCHAR)), MAX(CAST(source AS VARCHAR)) FROM documents)
+    ORDER BY column_name
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (operators/profile.py): per-column row/non-null/
+    distinct counts and min/max over the documents table — the
+    governance pass a pipeline runs before trusting a data drop.  Exact
+    distinct here (oracle-checkable); `exact=False` switches to HLL
+    approx_count_distinct at corpus scale with the same schema."""
+    from ..operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, ["doc_id", "lang", "source"])
+
+
+@register(
+    "expect_documents",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'doc_id_null' AS rule,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      FROM documents
+      UNION ALL
+      SELECT 'empty_text',
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'unknown_lang',
+             CAST(SUM(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'negative_id',
+             CAST(SUM(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents)
+    ORDER BY rule
+    """,
+)
+def expect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checks (operators/profile.py): four data-contract
+    rules evaluated as ONE conditional aggregation over ONE scan — a
+    100 TB validation pass costs a single read.  Violation counts per
+    rule; a pipeline gates ingestion on violations == 0."""
+    from ..operators.profile import expect
+
+    docs = load_table(spark, sf_dir, "documents")
+    return expect(
+        docs,
+        {
+            "doc_id_null": F.col("doc_id").isNull(),
+            "empty_text": F.length(F.trim("text")) == 0,
+            "unknown_lang": ~F.col("lang").isin("en", "de", "fr", "es", "zh"),
+            "negative_id": F.col("doc_id") < 0,
+        },
+    )
