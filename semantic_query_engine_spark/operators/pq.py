@@ -1,0 +1,158 @@
+"""Product quantization (PQ) — the memory rung of the ANN ladder
+(SURVEY §4.3), complementing IVF partition pruning (operators/ann.py).
+
+Why it exists at 100 TB: raw 1024-dim float vectors cost ~8 KB each;
+PQ with m=8 subspaces x 16 codes stores ONE BYTE per subspace — 8 bytes
+a vector, a ~1000x working-set reduction — which is what lets a
+billion-vector index live in executor memory for asymmetric-distance
+(ADC) scoring.  This is the FAISS IVF-PQ design re-expressed in
+DataFrame terms:
+
+- build_pq: codebooks are trained on a bounded driver-side SAMPLE with
+  seeded numpy Lloyd iterations — the standard practice (FAISS trains
+  on samples too); the collect is bounded by the training-sample size,
+  never the corpus.
+- pq_encode: assigning each subvector to its nearest codeword is a pure
+  expression — m x k zip_with/aggregate dot products inside whole-stage
+  codegen; map-only, no shuffle, no UDF, no fitted-model broadcast.
+- pq_topk: the query's distance table (m x k floats) is computed
+  driver-side from the query vector alone and enters the plan as a
+  LITERAL; scoring a vector is m array lookups + adds.  Optional exact
+  re-rank of the top `refine` ADC candidates recovers near-exact
+  recall (ADC is a lossy estimate).
+
+All distances are squared L2 on L2-NORMALIZED vectors, monotone in
+cosine (d2 = 2 - 2cos), matching the reference's cosinesimil intent
+(/root/reference/app/main.py:272-277).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, l2_normalize, vector_lit
+
+SEED = 42
+
+
+def build_pq(
+    index: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: m codebooks of k centroids over dim/m-wide
+    subvectors, via seeded Lloyd iterations on a bounded sample.
+    Returns plain nested lists (a plan constant, like _srp_planes)."""
+    import numpy as np
+
+    rows = (
+        index.select(l2_normalize(vec_col).alias("v")).limit(sample).collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype="float64")
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(SEED)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _sub_dists(vec: Column, book: list[list[float]], j: int, sub: int) -> Column:
+    """array of squared L2 distances from subvector j to each codeword.
+    The codebook enters as ONE nested-array literal and the k distances
+    come from ONE transform() over it — k separate aggregate expressions
+    would blow up planning/codegen time m*k-fold (measured: 29 s -> <1 s
+    to encode the fixture)."""
+    subvec = F.slice(vec, j * sub + 1, sub)
+    return F.transform(
+        F.lit(book),
+        lambda cw: F.aggregate(
+            F.zip_with(subvec, cw, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_encode(
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): nearest-codeword assignment per subspace,
+    entirely in codegen (the 100 TB path: encoding is a map-only scan;
+    the encoded index is ~m bytes/vector)."""
+    sub = len(codebooks[0][0])
+    nv = index.select(F.col(id_col), l2_normalize(vec_col).alias("__nv"))
+    codes = []
+    for j, book in enumerate(codebooks):
+        d = _sub_dists(F.col("__nv"), book, j, sub)
+        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return nv.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Iterable[float],
+    k: int = 3,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: per-vector score = sum_j table_j[code_j], where the
+    m x k distance table comes from the query alone and rides in the
+    plan as a literal.  The ADC pass reads ONLY (id, codes) — never the
+    raw vectors — then the top `refine` candidates are re-ranked with
+    the exact cosine via a semi join back to the full-vector table
+    (reads `refine` vectors, not the corpus).  Returns (id, score)
+    sorted by exact cosine desc."""
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype="float64")
+    q = q / (np.linalg.norm(q) + 1e-9)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tables = []
+    for j, book in enumerate(codebooks):
+        qs = q[j * sub : (j + 1) * sub]
+        tables.append([float(((qs - np.asarray(cw)) ** 2).sum()) for cw in book])
+
+    approx = F.lit(0.0)
+    for j in range(m):
+        approx = approx + F.element_at(
+            F.lit(tables[j]), F.element_at("codes", j + 1) + 1
+        )
+    cand = (
+        encoded.select(id_col, approx.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(refine)
+        .select(id_col)
+    )
+    qlit = vector_lit([float(x) for x in q])
+    return (
+        index.join(F.broadcast(cand), id_col, "left_semi")
+        .select(F.col(id_col), F.round(cosine(vec_col, qlit), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -345,3 +345,21 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").alias("shared_grams"))
     )
+
+
+@register("ann_pq_topk", oracle=None)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-3 (SURVEY §4.3 memory rung,
+    operators/pq.py): sample-trained codebooks -> codegen encode (8
+    bytes/vector) -> ADC scoring over (id, codes) only -> exact re-rank
+    of the top-100 candidates.  Rows-only (KMeans-style codebooks have
+    no SQL twin); tests gate recall vs brute force and exactness at
+    refine >= index size."""
+    from ..operators.pq import build_pq, pq_encode, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    index = emb.filter(F.col("vec_id") != 0)
+    books = build_pq(index, m=8, k=16)
+    enc = pq_encode(index, books)
+    return pq_topk(enc, index, books, qvec, k=3, refine=100)

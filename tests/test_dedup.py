@@ -210,3 +210,51 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark):
         assert abs(dist - jc[pair]) < 1e-6, (pair, dist, jc[pair])
     # the planted exact dup must be found
     assert (1, 2) in mh and mh[(1, 2)] == 0.0
+
+
+def test_pq_recall_and_exactness(spark):
+    """PQ gates: (a) on dim-1024 clustered geometry, ADC top-50 + exact
+    re-rank reaches recall@3 >= 0.9 vs brute force; (b) refine >= index
+    size reproduces exact brute force bit-for-bit (ADC only prunes)."""
+    from semantic_query_engine_spark.operators.pq import (
+        build_pq,
+        pq_encode,
+        pq_topk,
+    )
+    from semantic_query_engine_spark.operators.retrieval import knn_join
+    from tools.ann_recall import clustered_vectors, topk_sets
+
+    allv = clustered_vectors(spark, 510, dim=1024, n_centers=10, sigma=0.35, seed=7)
+    probes = allv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    index = allv.filter(F.col("vec_id") >= 10).localCheckpoint()
+    books = build_pq(index, m=8, k=16)
+    enc = pq_encode(index, books).localCheckpoint()
+    exact = topk_sets(knn_join(probes, index, k=3), 3)
+    hits = denom = 0
+    first_probe = None
+    for p in probes.collect():
+        if first_probe is None:
+            first_probe = p
+        got = {
+            r.vec_id
+            for r in pq_topk(enc, index, books, p.probe_vec, k=3, refine=50).collect()
+        }
+        hits += len(exact[p.probe_id] & got)
+        denom += 3
+    assert hits / denom >= 0.9, hits / denom
+    # exactness: refine >= index size degrades to brute force
+    full = [
+        (r.vec_id, r.score)
+        for r in pq_topk(
+            enc, index, books, first_probe.probe_vec, k=3, refine=1000
+        ).collect()
+    ]
+    from semantic_query_engine_spark.operators.retrieval import topk_similar
+
+    brute = [
+        (r.vec_id, round(r.score, 6))
+        for r in topk_similar(index, first_probe.probe_vec, k=3).collect()
+    ]
+    assert full == brute, (full, brute)
