@@ -156,3 +156,42 @@ def pq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    encoded: DataFrame,
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Iterable[float],
+    k: int = 3,
+    nprobe: int = 2,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the billion-scale composition (FAISS IndexIVFPQ intent):
+    IVF partition pruning cuts the scan to nprobe/n_clusters of the
+    index (file-level pruning when the codes table is written
+    partitionBy(cluster_id)), PQ-ADC scores the survivors reading ~m
+    bytes a vector, and the exact re-rank touches only `refine` raw
+    vectors.  Fully declarative: probed cluster ids stay a 2-row
+    DataFrame reaching the codes via a broadcast semi join, mirroring
+    ivf_topk (operators/ann.py:102)."""
+    q = vector_lit([float(x) for x in query_vec])
+    near = (
+        centroids.select("cluster_id", cosine("centroid", q).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("cluster_id"))
+        .limit(nprobe)
+        .select("cluster_id")
+    )
+    pruned = (
+        encoded.join(assigned.select(id_col, "cluster_id"), id_col)
+        .join(F.broadcast(near), "cluster_id", "left_semi")
+        .select(id_col, "codes")
+    )
+    return pq_topk(
+        pruned, index, codebooks, query_vec,
+        k=k, refine=refine, id_col=id_col, vec_col=vec_col,
+    )

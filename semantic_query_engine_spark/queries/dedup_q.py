@@ -363,3 +363,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = build_pq(index, m=8, k=16)
     enc = pq_encode(index, books)
     return pq_topk(enc, index, books, qvec, k=3, refine=100)
+
+
+@register("ann_ivfpq_topk", oracle=None)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/pq.py:ivfpq_topk): KMeans cells
+    prune the scan to nprobe clusters, PQ-ADC ranks the survivors from
+    8-byte codes, exact cosine re-ranks the short list.  The Spark
+    answer to FAISS IndexIVFPQ / the reference's HNSW memory-speed
+    tradeoff (/root/reference/app/main.py:272-277).  Rows-only; recall
+    gated in tests/test_dedup.py."""
+    from ..operators.ann import build_ivf
+    from ..operators.pq import build_pq, ivfpq_topk, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).head().embedding
+    index = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf(index, n_clusters=8)
+    books = build_pq(index, m=8, k=16)
+    enc = pq_encode(index, books)
+    return ivfpq_topk(
+        assigned, centroids, enc, index, books, qvec, k=3, nprobe=4, refine=100
+    )

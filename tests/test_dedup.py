@@ -258,3 +258,40 @@ def test_pq_recall_and_exactness(spark):
         for r in topk_similar(index, first_probe.probe_vec, k=3).collect()
     ]
     assert full == brute, (full, brute)
+
+
+def test_ivfpq_recall_dim1024_clustered(spark):
+    """IVF-PQ (the composed billion-scale path) holds recall@3 >= 0.9
+    on the same dim-1024 clustered geometry as the IVF and PQ gates,
+    while scanning only nprobe/n_clusters of the codes."""
+    from semantic_query_engine_spark.operators.ann import build_ivf
+    from semantic_query_engine_spark.operators.pq import (
+        build_pq,
+        ivfpq_topk,
+        pq_encode,
+    )
+    from semantic_query_engine_spark.operators.retrieval import knn_join
+    from tools.ann_recall import clustered_vectors, topk_sets
+
+    allv = clustered_vectors(spark, 510, dim=1024, n_centers=10, sigma=0.35, seed=7)
+    probes = allv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    index = allv.filter(F.col("vec_id") >= 10).localCheckpoint()
+    assigned, centroids = build_ivf(index, n_clusters=10)
+    assigned = assigned.localCheckpoint()
+    books = build_pq(index, m=8, k=16)
+    enc = pq_encode(index, books).localCheckpoint()
+    exact = topk_sets(knn_join(probes, index, k=3), 3)
+    hits = denom = 0
+    for p in probes.collect():
+        got = {
+            r.vec_id
+            for r in ivfpq_topk(
+                assigned, centroids, enc, index, books, p.probe_vec,
+                k=3, nprobe=2, refine=50,
+            ).collect()
+        }
+        hits += len(exact[p.probe_id] & got)
+        denom += 3
+    assert hits / denom >= 0.9, hits / denom
