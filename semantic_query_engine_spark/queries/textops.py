@@ -297,3 +297,54 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenized.select(
         "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
     )
+
+
+@register(
+    "unigram_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter({_WORDS}, x -> x <> ''),
+                                   x -> lower(x))) AS word
+      FROM documents),
+    c AS (SELECT word, COUNT(*)::DOUBLE AS cnt FROM w GROUP BY word),
+    t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT doc_id,
+           ROUND(AVG(ln(cnt / total)), 6) AS avg_logprob,
+           ROUND(exp(-AVG(ln(cnt / total))), 4) AS ppl
+    FROM w JOIN c USING (word) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity scoring — the classic corpus-level quality
+    filter (CCNet/Gopher family): train token frequencies on the corpus
+    itself, score each document by the mean log-probability of its
+    tokens, report perplexity (low = in-distribution prose, high =
+    gibberish / vocabulary soup).
+
+    Scale shape: (1) the LM "training" is one hash aggregate with
+    map-side partial combine — the shuffle carries one row per distinct
+    word per task, never one row per token; (2) the total-token count
+    is a one-row aggregate broadcast back into the plan; (3) scoring
+    joins tokens to the frequency table keyed on word — stop-words make
+    this key hot, which is exactly the skew AQE's skew-join splitting
+    handles (left to AQE rather than a manual salt since the vocabulary
+    at 100 TB is too large to broadcast); (4) the per-doc reduction is
+    again a map-side-combined average.  No Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(TX.words_of(F.col("text"))).alias("__w")
+    ).select("doc_id", F.lower("__w").alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").cast("double").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    alp = F.avg(F.log(F.col("cnt") / F.col("total")))
+    return (
+        words.join(counts, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(alp, 6).alias("avg_logprob"),
+            F.round(F.exp(-alp), 4).alias("ppl"),
+        )
+    )

@@ -110,3 +110,27 @@ def test_overlap_chunking_invariants(spark):
         for a, b in zip(chunks, chunks[1:]):
             if len(a) == 16 and len(b) == 16:
                 assert a[-4:] == b[:4]
+
+
+def test_unigram_perplexity_ranks_gibberish_higher(spark):
+    """A document of corpus-frequent words must score lower perplexity
+    than one of rare (once-in-corpus) tokens; ppl == exp(-avg_logprob)."""
+    import math
+
+    from semantic_query_engine_spark.queries.registry import REGISTRY
+    import tempfile, os
+
+    common = "the cat sat on the mat " * 5
+    rare = "zyx qwv jkp bnm zzq xxo"
+    rows = [(0, common), (1, common), (2, common), (3, rare)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["unigram_perplexity"].fn(spark, d).collect()
+        }
+    assert out[3].ppl > out[0].ppl
+    for r in out.values():
+        assert math.isclose(r.ppl, math.exp(-r.avg_logprob), rel_tol=1e-3)
