@@ -188,3 +188,23 @@ def test_multimodal_resize_deterministic_shape(spark, sf_dir):
         if src:
             assert r.resized[0] == src[0]  # nearest-neighbor keeps byte 0
             assert set(r.resized) <= set(src)
+
+
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source/sink (SURVEY §2 Part B scans row): the columnar
+    alternative to parquet, with the same predicate-pushdown contract —
+    the nation fixture round-trips bit-for-bit and a pushed filter
+    appears in the scan."""
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    want = sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect())
+
+    orc_dir = str(tmp_path / "orc")
+    nation.write.mode("overwrite").orc(orc_dir)
+    got = spark.read.orc(orc_dir)
+    assert sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey) for r in got.collect()
+    ) == want
+    plan = got.filter("n_regionkey = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]" in plan, plan
