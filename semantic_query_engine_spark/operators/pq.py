@@ -51,10 +51,9 @@ def build_pq(
     Returns plain nested lists (a plan constant, like _srp_planes)."""
     import numpy as np
 
-    rows = (
-        index.select(l2_normalize(vec_col).alias("v")).limit(sample).collect()
-    )
-    X = np.asarray([r.v for r in rows], dtype="float64")
+    pdf = index.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
+    X = np.asarray(pdf["v"].tolist(), dtype="float64")
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-9)
     n, dim = X.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -80,7 +79,9 @@ def _sub_dists(vec: Column, book: list[list[float]], j: int, sub: int) -> Column
     The codebook enters as ONE nested-array literal and the k distances
     come from ONE transform() over it — k separate aggregate expressions
     would blow up planning/codegen time m*k-fold (measured: 29 s -> <1 s
-    to encode the fixture)."""
+    to encode the fixture).  Literal, not a broadcast 1-row data side:
+    Catalyst folds it to a single Literal and codegen specializes the
+    loop (the data-side variant measured 5x slower to evaluate)."""
     subvec = F.slice(vec, j * sub + 1, sub)
     return F.transform(
         F.lit(book),

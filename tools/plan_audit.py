@@ -41,6 +41,7 @@ ALLOWED_BNLJ: dict[str, str] = {
     "knn_join": "broadcast bounded probe set vs index scan",
     "ann_ivf_knn_join": "broadcast probes x #clusters centroid table",
     "bm25_topk": "broadcast 1-row corpus-stats side",
+    "unigram_perplexity": "broadcast 1-row total-token-count side",
     "hybrid_rrf": "broadcast 1-row stats + 20-row post-limit rank legs",
     "pack_sequences": "shard-totals triangle join, rows = #shards",
     "training_data_prep": "shard-totals triangle join, rows = #shards",
