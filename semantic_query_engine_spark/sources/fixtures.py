@@ -36,16 +36,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read nanos as long and floor-divide to micros
-        # with integer `div` (a float path would lose precision above
-        # 2^53).  DuckDB also truncates nanos->micros, so both engines
-        # see identical values.
+        # Old-style fixtures wrote events.ts as parquet TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; with nanosAsLong set the
+        # column arrives as bigint and needs an integer floor-div to
+        # micros (a float path would lose precision above 2^53 — DuckDB
+        # also truncates nanos->micros, so both engines see identical
+        # values).  Newer fixtures are TIMESTAMP(MICROS) and read as a
+        # timestamp directly, so the conversion must be conditional on
+        # the loaded dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # Watermarks/event-time require TIMESTAMP, not TIMESTAMP_NTZ;
+            # with the session timezone pinned to UTC above the cast is a
+            # pure re-tag (identical micros), matching DuckDB's naive
+            # wall-clock rendering.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -23,21 +23,31 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a streaming source.  Schema comes from a batch
-    read (streaming file sources need explicit schemas); the NANOS
-    timestamp is carried as long and floor-divided to micros, exactly as
-    the batch loader does."""
+    read (streaming file sources need explicit schemas).  Old NANOS-typed
+    fixtures arrive as bigint (nanosAsLong) and get floor-divided to
+    micros; MICROS-typed fixtures already read as timestamps and pass
+    through — same guard as the batch loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    batch = spark.read.parquet(path)
+    ts_dtype = dict(batch.dtypes).get("ts")
     # the file-stream source wants a directory: stream the sf_dir with a
     # filename glob so only events.parquet is picked up
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_dtype == "timestamp_ntz":
+        # watermarks require TIMESTAMP; UTC session tz makes this cast a
+        # pure re-tag (see sources/fixtures.py)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_to_memory(
