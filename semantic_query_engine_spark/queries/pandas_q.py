@@ -147,15 +147,19 @@ def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                             i -> CAST(floor(ascii(substr(text, i + 1, 1)) / 16)
                                       AS INT)) AS bins,
              length(text) AS n
-      FROM documents WHERE doc_id < 200)
-    SELECT doc_id,
-           CASE WHEN n = 0
-                THEN list_transform(range(16), k -> CAST(0 AS BIGINT))
-                ELSE list_transform(range(16),
-                       k -> CAST(floor(CAST(len(list_filter(bins, x -> x = k)) AS DOUBLE)
-                                  / n * 1000000) AS BIGINT))
-           END AS features
-    FROM b
+      FROM documents WHERE doc_id < 200),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN n = 0
+                  THEN list_transform(range(16), k -> CAST(0 AS BIGINT))
+                  ELSE list_transform(range(16),
+                         k -> CAST(floor(CAST(len(list_filter(bins, x -> x = k)) AS DOUBLE)
+                                    / n * 1000000) AS BIGINT))
+             END AS features
+      FROM b)
+    SELECT doc_id, CAST(k AS INT) AS bin_idx,
+           features[CAST(k AS INT) + 1] AS value
+    FROM f, range(16) AS t(k)
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,11 +169,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture text is pure ASCII, so the byte histogram
     equals a char-code histogram and DuckDB can verify the UDF's output
     exactly — the Arrow batch plumbing (binary in, vector out) is the
-    part a real CLIP/wav2vec extractor would reuse unchanged."""
+    part a real CLIP/wav2vec extractor would reuse unchanged.
+
+    Declared output is exploded (doc_id, bin_idx, value) rows — scalar
+    columns only, so any engine/driver can sort and hash them; API users
+    wanting the vector use operators.multimodal.extract_features
+    directly."""
     from ..operators.multimodal import attach_binary_payload, extract_features
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return extract_features(attach_binary_payload(docs))
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin_idx", "value")
+    )
 
 
 @register("multimodal_resize", oracle=None)
