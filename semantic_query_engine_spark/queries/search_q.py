@@ -73,31 +73,54 @@ def _eq(term: str):
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + BM25 score (rounded to 4) for the fixed query TERMS."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    # tokenize ONCE into a named column; deriving dl and every tf from
+    # the same array reference keeps a single split per row instead of
+    # len(TERMS)+1 (Catalyst does not CSE the split across independent
+    # projection expressions — measured ~25% of the hybrid_rrf wall)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    d = toks.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
+        F.size("toks").alias("dl"),
         *[
-            F.size(F.filter(F.split("text", " "), _eq(t))).alias(f"tf{i}")
+            F.size(F.filter("toks", _eq(t))).alias(f"tf{i}")
             for i, t in enumerate(TERMS)
         ],
     )
-    stats = F.broadcast(
-        d.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            *[
-                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-                for i in range(len(TERMS))
-            ],
-        )
-    )
-    scored = d.crossJoin(stats)
+    # corpus stats are 2 + len(TERMS) scalars; collect them ONCE and
+    # inline as plan literals (classic two-phase BM25).  The broadcast-
+    # crossJoin variant re-evaluated the whole tokenize subtree under
+    # the stats agg AND the scoring scan — measured 1.19s vs 0.66s for
+    # stats-pass + scoring-pass at sf0.1.  At 100 TB this is one scalar
+    # aggregate job whose 7-double result rides the closure.
+    #
+    # The stats pass itself is ARRAY-FREE: dl = spaces+1 (identical to
+    # size(split) including empty-token runs), and docfreq uses padded
+    # substring containment (' '||text||' ' contains ' term ') which is
+    # exactly single-space token membership — no per-row array
+    # materialization on this pass.
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("avgdl"),
+        *[
+            F.sum(F.contains(padded, F.lit(f" {t} ")).cast("long")).alias(
+                f"df{i}"
+            )
+            for i, t in enumerate(TERMS)
+        ],
+    ).collect()[0]
+    n_docs, avgdl = F.lit(stats["n_docs"]), F.lit(stats["avgdl"])
+    scored = d
     parts = [
         F.log(
-            1 + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            1 + (n_docs - F.lit(stats[f"df{i}"]) + 0.5) / (F.lit(stats[f"df{i}"]) + 0.5)
         )
         * (F.col(f"tf{i}") * (K1 + 1))
-        / (F.col(f"tf{i}") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+        / (F.col(f"tf{i}") + K1 * (1 - B + B * F.col("dl") / avgdl))
         for i in range(len(TERMS))
     ]
     total = parts[0]
@@ -126,23 +149,27 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rank_tiny(top: DataFrame, score_col: str, rank_alias: str) -> DataFrame:
-    """Rank a POST-LIMIT (<=20 row) leg without a window: rank = 1 +
-    count of rows with a strictly better (score DESC, doc_id ASC) key,
-    via a broadcast self theta-join.  A global window here would move the
-    (tiny) leg to one partition and emit the WindowExec no-partition
-    warning on every run — the same warning class that flags REAL
-    scale bugs — so the bench tail stays clean for genuine signals.
-    (partitionBy(lit(0)) does not work: Catalyst constant-folds the
-    key away and the spec is empty again.)"""
-    x, y = top.alias("x"), top.alias("y")
-    better = (F.col(f"y.{score_col}") > F.col(f"x.{score_col}")) | (
-        (F.col(f"y.{score_col}") == F.col(f"x.{score_col}"))
-        & (F.col("y.doc_id") < F.col("x.doc_id"))
+    """Rank a POST-LIMIT (<=20 row) leg without a window: collect the
+    leg into ONE array, `array_sort` it by (score DESC, doc_id ASC) via
+    a (-score, doc_id) struct key, and `posexplode` back to rows with
+    rank = position + 1.  One single-partition aggregate over <=20 rows
+    — no WindowExec no-partition warning (that warning class flags REAL
+    scale bugs; the bench tail stays clean for genuine signals), and no
+    join/groupBy shuffle pair (the broadcast theta-join variant used in
+    rounds 2-3 cost +36% on the hybrid_rrf bench)."""
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("neg_score"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            )
+        ).alias("a")
     )
-    return (
-        x.join(F.broadcast(y), better, "left")
-        .groupBy(F.col("x.doc_id").alias("doc_id"))
-        .agg((F.count(F.col("y.doc_id")) + 1).cast("int").alias(rank_alias))
+    return arr.select(F.posexplode("a").alias("pos", "s")).select(
+        F.col("s.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).cast("int").alias(rank_alias),
     )
 
 

@@ -28,9 +28,26 @@ TABLES = (
 )
 
 
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; choose from {TABLES}")
+    # Memoize the (immutable) DataFrame plan per session: parquet schema
+    # inference costs ~100ms per read.parquet and multi-table queries
+    # were paying it on every call.  Keyed on the JVM session id so a
+    # restarted session never sees a stale plan.
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp rendering must match the DuckDB oracle's naive wall-clock
     # regardless of the host session's default timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
