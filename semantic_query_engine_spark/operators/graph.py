@@ -5,33 +5,67 @@ representative per group.  The reference stops at pairwise similarity
 (its cache/top-k scans, /root/reference/app/main.py:78-87); grouping is
 the north-star extension a training-data dedup pipeline actually needs.
 
-Algorithm: iterative min-label propagation — every node starts labeled
-with its own id; each round a node takes the min label across itself and
-its neighbors; fixpoint = per-component min node id.  Converges in
-O(graph diameter) rounds, and near-dup graphs are shallow (dup clusters
-are cliques or short chains), so a handful of rounds suffice.
+Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", 2014).  Each round
+rewires edges toward the minimum id in every neighborhood:
+
+- large-star(u): m = min(N(u) + {u}); replace each edge (u, v) with
+  v > u by (v, m).
+- small-star(u): orient every edge toward its larger endpoint, then
+  with m = min(N(u)) emit (v, m) for every smaller neighbor v plus
+  (u, m).
+
+The edge set converges to a forest of stars — every node linked
+directly to its component's minimum id — in O(log n) rounds even on
+adversarial diameters (a path graph collapses geometrically), unlike
+plain min-label propagation whose round count is the graph DIAMETER.
 
 Scale notes (100 TB):
-- Each round is ONE shuffle (join on node + min-agg).  Labels are two
-  longs; document bodies never enter the loop.
-- `localCheckpoint` after every round truncates the lineage — without
-  it the plan doubles per iteration and Catalyst analysis time blows up
-  long before data size matters.  On a cluster, prefer reliable
+- Each half-round is ONE hash-partition shuffle: the neighborhood min
+  is a window aggregate over partitionBy(u) — no join in the loop.
+  Edges are two longs; document bodies never enter the loop.
+- `localCheckpoint` per round truncates lineage — without it the plan
+  doubles per iteration and Catalyst analysis time blows up long
+  before data size matters.  On a cluster, prefer reliable
   `checkpoint()` to survive executor loss across a long loop.
-- Convergence is detected with a one-number action (sum of labels,
-  which strictly decreases until fixpoint) — no driver-side collect of
-  the label table.
-- For adversarial graphs (long chains, giant components) the
-  O(diameter) bound degrades; the published fix is alternating
-  large-star/small-star rounds (Kiveris et al., "Connected Components
-  in MapReduce and Beyond"), which converges in O(log n) rounds with
-  the same join+min building block.
+- Convergence is detected with a one-row action (edge count + xxhash64
+  content sum, both order-insensitive) — no driver-side collect of the
+  edge table.
+- Known skew: a giant star (one node adjacent to most of the graph)
+  lands its whole neighborhood in one window partition.  That is the
+  terminal SHAPE of the algorithm (stars), reached in the last rounds;
+  the paper's alternation keeps intermediate neighborhoods balanced.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: (u,v) edges -> (v, min(N(u)+{u})) for v>u."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over larger-endpoint-oriented edges."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    w = Window.partitionBy("u")
+    om = o.withColumn("m", F.min("v").over(w))
+    nbrs = om.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfe = om.select("u", F.col("m").alias("v"))
+    return nbrs.union(selfe).filter(F.col("u") != F.col("v")).distinct()
 
 
 def connected_components(
@@ -39,48 +73,60 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     nodes: DataFrame | None = None,
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, component) for every node, component = min node id in its
     connected component.  `edges` is undirected pairs; `nodes` optionally
     supplies isolated vertices (single-row column of ids) so they appear
-    in the output as their own singleton components."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    sym = e.union(e.select(F.col("d"), F.col("s")))
-    verts = sym.select(F.col("s").alias("node"))
+    in the output as their own singleton components.
+
+    max_iter bounds large+small round PAIRS; convergence needs
+    O(log n) of them, so 50 covers any graph that fits in storage —
+    the loud failure below guards algorithm bugs, not graph shape.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_nodes = edges.select(F.col(src).alias("node")).union(
+        edges.select(F.col(dst).alias("node"))
+    )
     if nodes is not None:
         first = nodes.columns[0]
-        verts = verts.union(nodes.select(F.col(first).alias("node")))
-    labels = verts.distinct().select("node", F.col("node").alias("component"))
-    sym = sym.distinct().localCheckpoint(eager=False)
+        all_nodes = all_nodes.union(nodes.select(F.col(first).alias("node")))
+    all_nodes = all_nodes.distinct().localCheckpoint(eager=False)
 
-    prev_sum = None
+    prev = None
     converged = False
     for _ in range(max_iter):
-        prop = sym.join(labels, sym["s"] == labels["node"]).select(
-            F.col("d").alias("node"), F.col("component")
-        )
-        # lazy checkpoint: the convergence-sum action below materializes
-        # it, so each round costs ONE job instead of two
-        labels = (
-            labels.union(prop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = labels.agg(F.sum("component")).first()[0]
-        if cur_sum == prev_sum:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # one-row fingerprint action materializes the lazy checkpoint;
+        # (count, xor of content hashes) is order-insensitive, cannot
+        # overflow under ANSI mode (sum of hashes can), and changes
+        # whenever the distinct edge set changes
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        cur = (row["n"], row["h"])
+        if cur == prev:
             converged = True
             break
-        prev_sum = cur_sum
+        prev = cur
     if not converged:
-        # Partially-propagated labels are silently WRONG clusters; a
-        # >max_iter-diameter graph (e.g. a long duplicate chain) must
-        # fail loudly.  The O(log n) fix is large-star/small-star
-        # (Kiveris et al.); raise until a caller needs it.
+        # Partially-rewired edges are silently WRONG clusters; fail
+        # loudly — hitting this means a bug, not a big graph (50
+        # alternating rounds handle any representable diameter).
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
-            "rounds (graph diameter exceeds the iteration budget); raise "
-            "max_iter or switch to the large-star/small-star variant"
+            "large/small-star round pairs"
         )
-    return labels
+    # At fixpoint every non-root node has exactly one star edge to its
+    # component root; roots and isolated vertices map to themselves.
+    member = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    selfmap = all_nodes.join(
+        member.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return member.union(selfmap)

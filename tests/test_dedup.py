@@ -109,8 +109,8 @@ def test_ivf_knn_join_full_probe_equals_bruteforce(spark, sf_dir):
 
 
 def test_connected_components_chain_and_isolated(spark):
-    """Min-label propagation: a 3-node chain collapses to one component
-    (transitivity), an isolated node keeps its own label."""
+    """A 3-node chain collapses to one component (transitivity), an
+    isolated node keeps its own label."""
     from semantic_query_engine_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
@@ -122,6 +122,46 @@ def test_connected_components_chain_and_isolated(spark):
         for r in connected_components(edges, nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Adversarial diameter: a 60-node path (plus reversed/odd edge
+    orientations) far exceeds the old min-label 25-round cap; the
+    large-star/small-star loop must converge in O(log n) rounds and
+    label the whole path with its min id."""
+    from semantic_query_engine_spark.operators.graph import connected_components
+
+    n = 60
+    # alternate edge orientation so neither endpoint order is special
+    pairs = [(i, i + 1) if i % 2 == 0 else (i + 1, i) for i in range(n - 1)]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_two_cliques_bridge(spark):
+    """Two 5-cliques joined by one bridge edge form a single component;
+    removing the bridge gives two."""
+    from itertools import combinations
+
+    from semantic_query_engine_spark.operators.graph import connected_components
+
+    c1 = list(combinations(range(5), 2))
+    c2 = list(combinations(range(10, 15), 2))
+    bridge = [(4, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, ["id_a", "id_b"])
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert set(got.values()) == {0}
+    edges2 = spark.createDataFrame(c1 + c2, ["id_a", "id_b"])
+    got2 = {
+        r.node: r.component for r in connected_components(edges2).collect()
+    }
+    assert {got2[i] for i in range(5)} == {0}
+    assert {got2[i] for i in range(10, 15)} == {10}
 
 
 def test_dedup_cluster_groups_three_generations(spark, sf_dir):
