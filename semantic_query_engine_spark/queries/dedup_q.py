@@ -98,6 +98,59 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOP_SHINGLE_CAP = 20
+
+
+@register(
+    "dedup_jaccard_capped",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base),
+    sh0 AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM alldocs),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (
+      SELECT sh0.id, sh0.shingle FROM sh0
+      JOIN freq ON freq.shingle = sh0.shingle
+      WHERE freq.df <= {_STOP_SHINGLE_CAP}),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_jaccard with the skew valve ENGAGED: shingles appearing in
+    more than {cap} documents are stop-shingles (boilerplate at corpus
+    scale) and are dropped from both the candidate join and the per-doc
+    set sizes BEFORE pairing — a boilerplate-heavy shingle would
+    otherwise contribute O(freq²) candidate pairs on one join key.  The
+    oracle applies the identical cap, so the gate checks the capped
+    SEMANTICS, not just that the valve exists.  This is the declared
+    scale path; plain dedup_jaccard is the exact-Jaccard reference."""
+    return jaccard_pairs(
+        _docs_with_truncated_copies(spark, sf_dir),
+        threshold=0.5,
+        n=2,
+        max_shingle_freq=_STOP_SHINGLE_CAP,
+    )
+
+
 @register(
     "dedup_embedding",
     oracle="""

@@ -131,6 +131,34 @@ def test_minhash_lsh_no_cartesian_all_codegen(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_jaccard_capped_has_stop_shingle_semi_join(spark, sf_dir):
+    """The skew valve must materialize as a semi-join pruning hot
+    shingle keys BEFORE the candidate self-join: LeftSemi on shingle in
+    the optimized plan, and the valve actually removes rows (the
+    synthetic corpus has bigrams above the cap)."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.operators.dedup import shingle_table
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _STOP_SHINGLE_CAP,
+        _docs_with_truncated_copies,
+        dedup_jaccard_capped,
+    )
+
+    plan = _optimized(dedup_jaccard_capped(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the cap must bite on this corpus, else the test proves nothing
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    hot = (
+        shingle_table(docs, n=2)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _STOP_SHINGLE_CAP)
+        .count()
+    )
+    assert hot > 0
+
+
 def test_repo_wide_plan_audit_clean(spark, sf_dir):
     """No registered (non-streaming) query may plan an unpartitioned
     window, a CartesianProduct, row-at-a-time Python, or an unexcused
