@@ -9,7 +9,10 @@ end-to-end query latency" (BASELINE.md).  Per-query timings for the
 wider operator surface ride along in "queries".
 
 Each query is fully materialized (count) so timings cover
-scan -> shuffle -> result, not plan construction.
+scan -> shuffle -> result, not plan construction.  Each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN:
+single-run timings showed ±25% noise on sub-second queries across
+rounds 1-2 — bigger than the regressions the bench exists to catch.
 """
 
 from __future__ import annotations
@@ -66,11 +69,16 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch class loading
     REGISTRY[names[0]].fn(spark, sf_dir).limit(1).collect()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 4)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        # median; the first (coldest) run naturally falls out at runs>=3
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(

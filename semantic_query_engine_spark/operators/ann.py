@@ -104,7 +104,11 @@ def build_ivf(
     rng = np.random.default_rng(SEED)
     C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)].copy()
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin_c ||x-c||^2 == argmin_c (||c||^2 - 2 x.c): one BLAS
+        # matmul instead of an n x k x dim broadcast tensor (the tensor
+        # form allocated ~30 MB per iteration and dominated build time)
+        cn = (C * C).sum(axis=1)
+        d = cn[None, :] - 2.0 * (X @ C.T)
         a = d.argmin(axis=1)
         for c in range(len(C)):
             members = X[a == c]
