@@ -75,14 +75,20 @@ def embed_with_pandas_udf(
     dim: int = DEFAULT_DIM,
     text_col: str = "text",
     out_col: str = "embedding",
+    max_retries: int = 2,
+    backoff_s: float = 0.1,
 ) -> DataFrame:
     """Arrow-batched embedding via a Pandas iterator UDF.  `embed_fn`
     maps a batch of texts to vectors; the default is a deterministic
     hash-bucket embedder (a stand-in for a real model — the container
     ships no model weights).  Empty text -> zero vector, matching the
-    reference's guard."""
+    reference's guard.  A flaky embed_fn is retried max_retries times
+    per batch and then degrades to zero vectors — the reference's
+    error path (app/embedding_gen.py:147-148), not a task failure."""
 
     from pyspark.sql.pandas.functions import pandas_udf
+
+    from .resilience import with_retries, zero_vector_fallback
 
     if embed_fn is None:
 
@@ -101,10 +107,17 @@ def embed_with_pandas_udf(
                 out.append([float(x) for x in v])
             return out
 
+    resilient_fn = with_retries(
+        embed_fn,
+        max_retries=max_retries,
+        backoff_s=backoff_s,
+        on_exhausted=zero_vector_fallback(dim),
+    )
+
     @pandas_udf("array<double>")
     def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
             texts = ["" if t is None else str(t) for t in batch.tolist()]
-            yield pd.Series(embed_fn(texts))
+            yield pd.Series(resilient_fn(texts))
 
     return docs.withColumn(out_col, _embed(F.col(text_col)))

@@ -36,15 +36,21 @@ def generate_with_pandas_udf(
     generate_fn: Optional[Callable[[list[str]], list[Optional[str]]]] = None,
     prompt_col: str = "prompt",
     out_col: str = "answer",
+    max_retries: int = 2,
+    backoff_s: float = 0.1,
 ) -> DataFrame:
     """Batched generation via an Arrow iterator UDF.  `generate_fn` maps
     a batch of prompts to answers (None allowed per-row = generation
     failure).  Concurrency against an external service is bounded by
     partition count — the Spark analog of the reference's semaphore 5
     (/root/reference/app/main.py:31,186): `prompts.coalesce(5)` gives at
-    most 5 concurrent in-flight batches."""
+    most 5 concurrent in-flight batches.  A raising generate_fn is
+    retried max_retries times per batch, then the batch degrades to
+    NULL answers — the reference's error path (app/main.py:223-242)."""
 
     from pyspark.sql.pandas.functions import pandas_udf
+
+    from .resilience import null_answer_fallback, with_retries
 
     if generate_fn is None:
 
@@ -55,9 +61,16 @@ def generate_with_pandas_udf(
                 for p in batch
             ]
 
+    resilient_fn = with_retries(
+        generate_fn,
+        max_retries=max_retries,
+        backoff_s=backoff_s,
+        on_exhausted=null_answer_fallback,
+    )
+
     @pandas_udf("string")
     def _gen(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
-            yield pd.Series(generate_fn(batch.tolist()))
+            yield pd.Series(resilient_fn(batch.tolist()), dtype="object")
 
     return prompts.withColumn(out_col, _gen(F.col(prompt_col)))

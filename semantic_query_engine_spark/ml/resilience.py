@@ -1,0 +1,67 @@
+"""Bounded retry + error-null semantics for external-service adapters.
+
+The reference's HTTP paths degrade, they don't crash: a failed
+embedding call yields a ZERO VECTOR
+(/root/reference/app/embedding_gen.py:147-148,164-166) and a failed
+generation yields None (/root/reference/app/main.py:223-242).  This
+module gives the pandas-UDF adapters the same contract: each BATCH
+call is retried with exponential backoff, and when retries are
+exhausted the batch resolves to a caller-supplied fallback instead of
+an exception that would fail the task (and with it, at 100 TB, a
+multi-hour stage — task-level retries re-run the whole partition; a
+batch-level fallback loses one batch).
+
+Executor-side only: the wrapper rides the UDF closure, holds no state,
+and sleeps with a DETERMINISTIC schedule (no jitter) so behavior is
+reproducible under test.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+from typing import Optional, TypeVar
+
+B = TypeVar("B", bound=Sequence)
+R = TypeVar("R")
+
+
+def with_retries(
+    fn: Callable[[B], R],
+    max_retries: int = 2,
+    backoff_s: float = 0.1,
+    on_exhausted: Optional[Callable[[B], R]] = None,
+) -> Callable[[B], R]:
+    """Wrap a batch callable: up to max_retries re-attempts with
+    backoff_s * 2^attempt sleeps; after exhaustion, return
+    on_exhausted(batch) (the error-null path) or re-raise if no
+    fallback was given."""
+
+    def wrapped(batch: B) -> R:
+        attempt = 0
+        while True:
+            try:
+                return fn(batch)
+            except Exception:  # noqa: BLE001 — adapter boundary
+                if attempt >= max_retries:
+                    if on_exhausted is not None:
+                        return on_exhausted(batch)
+                    raise
+                time.sleep(backoff_s * (2**attempt))
+                attempt += 1
+
+    return wrapped
+
+
+def zero_vector_fallback(dim: int) -> Callable[[list[str]], list[list[float]]]:
+    """Embedding error-null: one zero vector per input text."""
+
+    def fallback(texts: list[str]) -> list[list[float]]:
+        return [[0.0] * dim for _ in texts]
+
+    return fallback
+
+
+def null_answer_fallback(batch: list[str]) -> list[Optional[str]]:
+    """Generation error-null: None per prompt."""
+    return [None for _ in batch]

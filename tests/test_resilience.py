@@ -1,0 +1,82 @@
+"""Bounded-retry + error-null adapter semantics (reference parity:
+zero vector on embed failure, None on generation failure — the HTTP
+error paths at app/embedding_gen.py:147-148 and app/main.py:223-242)."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantic_query_engine_spark.ml.resilience import (
+    null_answer_fallback,
+    with_retries,
+    zero_vector_fallback,
+)
+
+
+class Flaky:
+    """Fails the first n calls, then succeeds."""
+
+    def __init__(self, fail_times: int):
+        self.fail_times = fail_times
+        self.calls = 0
+
+    def __call__(self, batch):
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise ConnectionError("transient")
+        return [f"ok:{x}" for x in batch]
+
+
+def test_retry_recovers_within_budget():
+    fn = Flaky(fail_times=2)
+    wrapped = with_retries(fn, max_retries=2, backoff_s=0.0)
+    assert wrapped(["a", "b"]) == ["ok:a", "ok:b"]
+    assert fn.calls == 3
+
+
+def test_retry_exhaustion_uses_fallback():
+    fn = Flaky(fail_times=10)
+    wrapped = with_retries(
+        fn, max_retries=1, backoff_s=0.0, on_exhausted=null_answer_fallback
+    )
+    assert wrapped(["a", "b"]) == [None, None]
+    assert fn.calls == 2  # initial + 1 retry, then fallback
+
+
+def test_retry_exhaustion_reraises_without_fallback():
+    wrapped = with_retries(Flaky(fail_times=10), max_retries=1, backoff_s=0.0)
+    with pytest.raises(ConnectionError):
+        wrapped(["a"])
+
+
+def test_zero_vector_fallback_shape():
+    fb = zero_vector_fallback(4)
+    assert fb(["x", "y"]) == [[0.0] * 4, [0.0] * 4]
+
+
+def test_embedder_degrades_to_zero_vectors(spark):
+    """End-to-end through the Arrow UDF: a permanently-failing embed_fn
+    must yield zero vectors, not a task failure."""
+    from semantic_query_engine_spark.ml.embedder import embed_with_pandas_udf
+
+    def always_fails(texts):
+        raise ConnectionError("service down")
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    out = embed_with_pandas_udf(
+        docs, embed_fn=always_fails, dim=4, max_retries=1, backoff_s=0.0
+    ).collect()
+    assert all(r.embedding == [0.0] * 4 for r in out)
+
+
+def test_generator_degrades_to_null_answers(spark):
+    from semantic_query_engine_spark.ml.generator import generate_with_pandas_udf
+
+    def always_fails(batch):
+        raise TimeoutError("service down")
+
+    prompts = spark.createDataFrame([(1, "p1"), (2, "p2")], ["id", "prompt"])
+    out = generate_with_pandas_udf(
+        prompts, generate_fn=always_fails, max_retries=1, backoff_s=0.0
+    ).collect()
+    assert all(r.answer is None for r in out)
