@@ -55,6 +55,7 @@ class SemanticQueryEngine:
         chunk_size: int = 512,  # /root/reference/app/main.py:37
         dim: int = 64,
         generate_fn: Optional[Callable[[str], str]] = None,
+        generate_stream_fn: Optional[Callable[[str], Iterator[str]]] = None,
         cache_capacity: int = cache_ops.CACHE_CAPACITY,
         cache_threshold: float = cache_ops.CACHE_SIM_THRESHOLD,
     ):
@@ -62,6 +63,10 @@ class SemanticQueryEngine:
         self.chunk_size = chunk_size
         self.dim = dim
         self.generate = generate_fn or _default_generator
+        # A19: a real token-streaming model (the reference's OpenAI
+        # delta loop, app/main.py:638-643) plugs in here; None falls
+        # back to word-chunking the completed answer
+        self.generate_stream = generate_stream_fn
         self.cache_capacity = cache_capacity
         self.cache_threshold = cache_threshold
         self.index: Optional[DataFrame] = None
@@ -238,7 +243,13 @@ class SemanticQueryEngine:
         """A26: same pipeline, streamed generation; cache written only
         after the stream completes; no conversation memory on this path
         (preserving the reference's divergence,
-        /root/reference/app/main.py:650-735)."""
+        /root/reference/app/main.py:650-735).
+
+        With a generate_stream_fn configured, token deltas are yielded
+        AS THE MODEL PRODUCES THEM (true incremental emission, A19 —
+        the reference's delta loop at app/main.py:638-643) and the
+        full answer is accumulated for the post-stream cache write.
+        Otherwise the completed answer is chunked by words."""
         if not query or not query.strip():
             yield "No query provided."
             return
@@ -249,10 +260,17 @@ class SemanticQueryEngine:
             return
         hits = self.search(query, top_k).collect()
         prompt = self._build_prompt(query, self._assemble_context(hits), "")
-        answer = self.generate(prompt)
-        words = answer.split(" ")
-        for i in range(0, len(words), chunk_words):
-            yield " ".join(words[i : i + chunk_words])
+        if self.generate_stream is not None:
+            parts: list[str] = []
+            for delta in self.generate_stream(prompt):
+                parts.append(delta)
+                yield delta
+            answer = "".join(parts)
+        else:
+            answer = self.generate(prompt)
+            words = answer.split(" ")
+            for i in range(0, len(words), chunk_words):
+                yield " ".join(words[i : i + chunk_words])
         self._cache_put(qvec, answer)  # app/main.py:724-727
 
     # ------------------------------------------------------------------

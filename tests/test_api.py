@@ -59,6 +59,37 @@ def test_ask_stream_chunks_and_caches(engine):
     assert engine.ask(q) == full
 
 
+def test_ask_stream_incremental_token_emission(spark, sf_dir):
+    """A19 true streaming: deltas must reach the consumer BEFORE the
+    generator finishes, and the cache write must wait for exhaustion."""
+    from semantic_query_engine_spark.api import SemanticQueryEngine
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    produced = []
+
+    def stream_fn(prompt):
+        for tok in ("alpha ", "beta ", "gamma"):
+            produced.append(tok)
+            yield tok
+
+    docs = load_table(spark, sf_dir, "documents").limit(50).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    eng = SemanticQueryEngine(
+        spark, chunk_size=32, generate_stream_fn=stream_fn
+    ).build_from_documents(docs)
+
+    q = "incremental stream probe query words"
+    it = eng.ask_stream(q)
+    first = next(it)
+    # lazy: only the first delta has been produced when we receive it
+    assert first == "alpha " and produced == ["alpha "]
+    rest = list(it)
+    assert rest == ["beta ", "gamma"]
+    # cache-after-stream (A26): next ask returns the accumulated answer
+    assert eng.ask(q) == "alpha beta gamma"
+
+
 def test_upload_text_validation_and_tenancy(engine):
     with pytest.raises(ValueError):
         engine.upload_text("u1", "", "body", batch_ts=123)
