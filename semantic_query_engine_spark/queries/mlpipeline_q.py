@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.prefix import exclusive_prefix_sum
 from ..sources.fixtures import load_table
 from ..streaming.jobs import read_events_stream, run_to_memory
 from .registry import register
@@ -228,11 +229,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     training packs (2000 tokens) by running token count.  Scale shape:
     the running sum is computed per SHARD (a contiguous range of the
     sort key, so shard order == global order) with a partitioned window;
-    shard offsets come from one tiny per-shard-totals aggregate joined
-    back by broadcast.  No unpartitioned window anywhere — the global
-    cumulative sum is reconstructed exactly, but every wide operator
-    works on one shard at a time.  At 100 TB the shard key comes from a
-    range partitioner over the sort key; here a fixed doc_id width."""
+    shard offsets come from a hierarchical exclusive prefix sum over the
+    per-shard totals (operators/prefix.py: bounded windows per level,
+    O(S log S)) — no unpartitioned window anywhere, and no O(S²)
+    triangle join (the round-2/3 form, quadratic in shard count — 200M
+    shards at 100 TB made it a stop-ship).  At 100 TB the shard key
+    comes from a range partitioner over the sort key; here a fixed
+    doc_id width."""
     shard_width = 128  # contiguous doc_id range per shard
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -247,13 +250,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = t.withColumn("shard_cum", F.sum("n_tokens").over(w))
     totals = t.groupBy("shard").agg(F.sum("n_tokens").alias("shard_total"))
-    # Offsets: for each shard, the sum of all earlier shards' totals.
-    # Triangle join on the totals frame — rows = #shards, a tiny constant.
-    offs = (
-        totals.select(F.col("shard").alias("s"))
-        .join(totals, F.col("shard") < F.col("s"), "left")
-        .groupBy("s")
-        .agg(F.coalesce(F.sum("shard_total"), F.lit(0)).alias("offset"))
+    offs = exclusive_prefix_sum(totals, "shard", "shard_total").select(
+        F.col("shard").alias("s"), "offset"
     )
     c = c.join(F.broadcast(offs), c["shard"] == offs["s"]).withColumn(
         "cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long")
@@ -374,9 +372,10 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     - quality: map-only expression scoring (no shuffle);
     - dedup: 16-byte md5 digest agg + semi join — bodies never shuffle;
     - split: scan-local md5 bucket, deterministic membership;
-    - packing: per-(split, shard) windows + one tiny shard-offset
-      triangle join — the global running sum is reconstructed exactly
-      with no unpartitioned window.
+    - packing: per-(split, shard) windows + a hierarchical exclusive
+      prefix sum over shard totals (operators/prefix.py, O(S log S)) —
+      the global running sum is reconstructed exactly with no
+      unpartitioned window and no quadratic totals self-join.
 
     The self-referencing stages (dedup semi join, window + totals) make
     Catalyst scan `documents` more than once — the declarative
@@ -414,16 +413,9 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = t.withColumn("shard_cum", F.sum("n_tokens").over(w))
     totals = t.groupBy("split", "shard").agg(F.sum("n_tokens").alias("shard_total"))
-    offs = (
-        totals.select(F.col("split").alias("sp"), F.col("shard").alias("s"))
-        .join(
-            totals,
-            (F.col("split") == F.col("sp")) & (F.col("shard") < F.col("s")),
-            "left",
-        )
-        .groupBy("sp", "s")
-        .agg(F.coalesce(F.sum("shard_total"), F.lit(0)).alias("offset"))
-    )
+    offs = exclusive_prefix_sum(
+        totals, "shard", "shard_total", part_cols=("split",)
+    ).select(F.col("split").alias("sp"), F.col("shard").alias("s"), "offset")
     c = c.join(
         F.broadcast(offs), (c["split"] == offs["sp"]) & (c["shard"] == offs["s"])
     ).withColumn("cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long"))
