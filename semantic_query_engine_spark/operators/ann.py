@@ -73,6 +73,22 @@ def lsh_topk(
     )
 
 
+def sample_vectors(
+    index: DataFrame, vec_col: str = "embedding", sample: int = 2048
+):
+    """Bounded driver-side L2-normalized training sample (numpy n x dim).
+    Pull ONCE and pass to build_ivf AND build_pq — composed builds like
+    ann_ivfpq_topk otherwise pay the toPandas job twice."""
+    import numpy as np
+
+    # Arrow-batched toPandas + numpy-side normalization: ~3x faster to
+    # pull the training sample than row-object collect of a HOF-normalized
+    # projection
+    pdf = index.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
+    X = np.asarray(pdf["v"].tolist(), dtype="float64")
+    return X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-9)
+
+
 def build_ivf(
     index: DataFrame,
     n_clusters: int = 10,
@@ -80,6 +96,7 @@ def build_ivf(
     vec_col: str = "embedding",
     sample: int = 2048,
     iters: int = 8,
+    sample_X=None,
 ) -> tuple[DataFrame, DataFrame]:
     """One-time index build: coarse centroids trained on a bounded
     driver-side SAMPLE with seeded numpy Lloyd iterations (the FAISS
@@ -95,12 +112,7 @@ def build_ivf(
     prune at the file level."""
     import numpy as np
 
-    # Arrow-batched toPandas + numpy-side normalization: ~3x faster to
-    # pull the training sample than row-object collect of a HOF-normalized
-    # projection
-    pdf = index.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
-    X = np.asarray(pdf["v"].tolist(), dtype="float64")
-    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-9)
+    X = sample_vectors(index, vec_col, sample) if sample_X is None else sample_X
     rng = np.random.default_rng(SEED)
     C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)].copy()
     for _ in range(iters):

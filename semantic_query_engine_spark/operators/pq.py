@@ -45,15 +45,18 @@ def build_pq(
     sample: int = 2048,
     iters: int = 10,
     vec_col: str = "embedding",
+    sample_X=None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: m codebooks of k centroids over dim/m-wide
-    subvectors, via seeded Lloyd iterations on a bounded sample.
-    Returns plain nested lists (a plan constant, like _srp_planes)."""
+    subvectors, via seeded Lloyd iterations on a bounded sample
+    (pass sample_X from ann.sample_vectors to share one pull with
+    build_ivf).  Returns plain nested lists (a plan constant, like
+    _srp_planes)."""
     import numpy as np
 
-    pdf = index.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
-    X = np.asarray(pdf["v"].tolist(), dtype="float64")
-    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-9)
+    from .ann import sample_vectors
+
+    X = sample_vectors(index, vec_col, sample) if sample_X is None else sample_X
     n, dim = X.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -426,14 +426,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer to FAISS IndexIVFPQ / the reference's HNSW memory-speed
     tradeoff (/root/reference/app/main.py:272-277).  Rows-only; recall
     gated in tests/test_dedup.py."""
-    from ..operators.ann import build_ivf
+    from ..operators.ann import build_ivf, sample_vectors
     from ..operators.pq import build_pq, ivfpq_topk, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).head().embedding
     index = emb.filter(F.col("vec_id") != 0)
-    assigned, centroids = build_ivf(index, n_clusters=8)
-    books = build_pq(index, m=8, k=16)
+    X = sample_vectors(index)  # one pull feeds both trainers
+    assigned, centroids = build_ivf(index, n_clusters=8, sample_X=X)
+    books = build_pq(index, m=8, k=16, sample_X=X)
     enc = pq_encode(index, books)
     return ivfpq_topk(
         assigned, centroids, enc, index, books, qvec, k=3, nprobe=4, refine=100
