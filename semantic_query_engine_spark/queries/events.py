@@ -130,6 +130,50 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS s_user, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'signup' AND user_id < 20),
+    p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+    SELECT s_user, COUNT(*) AS n_hits,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM s JOIN p ON p.ts >= s.start_ts AND p.ts < s.end_ts
+    GROUP BY s_user
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: every purchase (any user) falling
+    inside the hour after each early user's signup, aggregated per
+    signup user.  Executed as a BUCKETED interval join
+    (operators/rangejoin.py): intervals explode to 15-min cells, points
+    map to one cell, and the match is an EQUALITY join on the cell
+    refined by the exact range — never the BroadcastNestedLoopJoin the
+    naive BETWEEN predicate plans (quadratic at 100 TB).  The oracle IS
+    the naive theta join, so the gate proves the bucketed rewrite is
+    exact."""
+    from ..operators.rangejoin import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    intervals = e.filter(
+        (F.col("event_type") == "signup") & (F.col("user_id") < 20)
+    ).select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    points = e.filter(F.col("event_type") == "purchase").select("ts", "value")
+    j = interval_join(points, intervals, bucket_width_s=900)
+    return j.groupBy("s_user").agg(
+        F.count("*").alias("n_hits"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+    )
+
+
+@register(
     "events_value_stats",
     oracle="""
     SELECT user_id,

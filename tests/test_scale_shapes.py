@@ -159,6 +159,17 @@ def test_jaccard_capped_has_stop_shingle_semi_join(spark, sf_dir):
     assert hot > 0
 
 
+def test_range_join_is_equality_join(spark, sf_dir):
+    """The bucketed interval join must plan as an equality join on the
+    time cell — the naive BETWEEN theta join would be a
+    BroadcastNestedLoopJoin (quadratic)."""
+    from semantic_query_engine_spark.queries.events import range_join
+
+    plan = _plan(range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_repo_wide_plan_audit_clean(spark, sf_dir):
     """No registered (non-streaming) query may plan an unpartitioned
     window, a CartesianProduct, row-at-a-time Python, or an unexcused
