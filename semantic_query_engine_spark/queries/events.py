@@ -83,6 +83,52 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_hourly_daily",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+             MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value,
+           MIN(min_v) AS min_value, MAX(max_v) AS max_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY rollup is
+    re-aggregated FROM the HOURLY rollup, not from raw events — every
+    aggregate is algebraic (sum of sums, sum of counts, min of mins,
+    max of maxes), so each resolution reads the one below it.  At
+    100 TB the raw log is touched once per hour-partition; the daily/
+    weekly/monthly ladder aggregates frames that are orders of
+    magnitude smaller (the TimescaleDB continuous-aggregate idea as a
+    two-level declarative plan; materialize the hourly level with
+    foreachBatch incrementally in the streaming variant)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    return hourly.groupBy(
+        F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("cents") / 100.0).alias("total_value"),
+        F.min("min_v").alias("min_value"),
+        F.max("max_v").alias("max_value"),
+    )
+
+
+@register(
     "asof_join",
     oracle=f"""
     WITH tagged AS (
