@@ -68,17 +68,47 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.union(selfe).filter(F.col("u") != F.col("v")).distinct()
 
 
+def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact union-find with min-id roots (driver-side small-graph path)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     nodes: DataFrame | None = None,
     max_iter: int = 50,
+    driver_cc_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node, component = min node id in its
     connected component.  `edges` is undirected pairs; `nodes` optionally
     supplies isolated vertices (single-row column of ids) so they appear
     in the output as their own singleton components.
+
+    Size-adaptive: when the distinct edge set fits
+    `driver_cc_threshold` rows (two longs each — 16 MB at the 1M
+    default), it is collected and solved with exact union-find on the
+    driver: a near-dup graph that small does not justify paying
+    several distributed stages PER ROUND (measured ~5s/round of pure
+    stage overhead on a 200-edge fixture graph).  Larger graphs run
+    the alternating star rounds — the 100 TB path.  Both produce the
+    identical (node, min-id) labeling.
 
     max_iter bounds large+small round PAIRS; convergence needs
     O(log n) of them, so 50 covers any graph that fits in storage —
@@ -97,6 +127,20 @@ def connected_components(
         first = nodes.columns[0]
         all_nodes = all_nodes.union(nodes.select(F.col(first).alias("node")))
     all_nodes = all_nodes.distinct().localCheckpoint(eager=False)
+
+    n_edges = e.count()  # materializes the checkpoint either way
+    if n_edges <= driver_cc_threshold:
+        labels = _union_find_labels(
+            [(r["u"], r["v"]) for r in e.collect()]
+        )
+        spark = edges.sparkSession
+        member = spark.createDataFrame(
+            list(labels.items()) or [(None, None)], "node long, component long"
+        ).filter(F.col("node").isNotNull())
+        selfmap = all_nodes.join(
+            member.select("node"), "node", "left_anti"
+        ).select("node", F.col("node").alias("component"))
+        return member.union(selfmap)
 
     prev = None
     converged = False

@@ -135,8 +135,11 @@ def test_connected_components_long_chain_converges(spark):
     # alternate edge orientation so neither endpoint order is special
     pairs = [(i, i + 1) if i % 2 == 0 else (i + 1, i) for i in range(n - 1)]
     edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    # driver_cc_threshold=0 forces the distributed star loop — the
+    # default would solve this size driver-side
     got = {
-        r.node: r.component for r in connected_components(edges).collect()
+        r.node: r.component
+        for r in connected_components(edges, driver_cc_threshold=0).collect()
     }
     assert got == {i: 0 for i in range(n)}
 
@@ -152,10 +155,14 @@ def test_connected_components_two_cliques_bridge(spark):
     c2 = list(combinations(range(10, 15), 2))
     bridge = [(4, 10)]
     edges = spark.createDataFrame(c1 + c2 + bridge, ["id_a", "id_b"])
+    # exercise the distributed star loop on one case...
     got = {
-        r.node: r.component for r in connected_components(edges).collect()
+        r.node: r.component
+        for r in connected_components(edges, driver_cc_threshold=0).collect()
     }
     assert set(got.values()) == {0}
+    # ...and the driver-side union-find path on the other (default
+    # threshold); both must produce the identical labeling scheme
     edges2 = spark.createDataFrame(c1 + c2, ["id_a", "id_b"])
     got2 = {
         r.node: r.component for r in connected_components(edges2).collect()
