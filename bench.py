@@ -69,6 +69,8 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch class loading
     REGISTRY[names[0]].fn(spark, sf_dir).limit(1).collect()
+    from semantic_query_engine_spark.streaming.jobs import drop_live_sinks
+
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in names:
@@ -79,6 +81,9 @@ def main() -> None:
             samples.append(time.time() - t0)
         # median; the first (coldest) run naturally falls out at runs>=3
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        # a streaming query's last memory sink would otherwise pin its
+        # result in memory for every subsequent query's timing
+        drop_live_sinks(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(

@@ -406,6 +406,15 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.floor(F.col("doc_id") / shard_width).alias("shard"),
     )
+    # Truncate here: without it Catalyst re-derives this slim frame for
+    # the window side, the totals side, AND the prefix-sum levels — SIX
+    # full `documents` scans in one plan, each repeating the quality
+    # regex and dedup md5.  The checkpoint is the "persist the
+    # post-dedup slim projection" tradeoff the round-2 docstring
+    # deferred to call sites, now taken inside the plan: 6 narrow
+    # columns, materialized once (on a cluster use reliable
+    # checkpoint()/a staging table).
+    t = t.localCheckpoint(eager=False)
     w = (
         Window.partitionBy("split", "shard")
         .orderBy("doc_id")

@@ -53,6 +53,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LIVE_SINKS: list[str] = []
 
 
+def drop_live_sinks(spark: SparkSession) -> None:
+    """Drop any memory-sink table still registered (see run_to_memory's
+    one-live-sink contract).  Call after consuming a streaming query's
+    result when the session will keep doing other work — a live sink
+    pins its full result in memory."""
+    while _LIVE_SINKS:
+        name = _LIVE_SINKS.pop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def run_to_memory(
     streaming_df: DataFrame,
     output_mode: str = "complete",
@@ -66,13 +79,7 @@ def run_to_memory(
     unrelated queries after three streaming runs at sf0.1).  The
     returned DataFrame is therefore valid until the NEXT run_to_memory
     call; materialize it before starting another streaming query."""
-    spark0 = streaming_df.sparkSession
-    while _LIVE_SINKS:
-        old = _LIVE_SINKS.pop()
-        try:
-            spark0.catalog.dropTempView(old)
-        except Exception:  # noqa: BLE001 — sink may belong to a dead session
-            pass
+    drop_live_sinks(streaming_df.sparkSession)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         streaming_df.writeStream.format("memory")
