@@ -1,0 +1,51 @@
+"""Events-loader robustness across parquet timestamp physical types —
+the round-3 incident class: the driver regenerated events.parquet as
+TIMESTAMP(MICROS) and an unconditional nanos->micros conversion threw
+on every events query.  The loader must normalize ts to TIMESTAMP
+(session-UTC) whatever the file says."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from semantic_query_engine_spark.sources.fixtures import load_table
+
+_ROWS = [
+    (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 7, "signup", 1.5, "{}"),
+    (2, datetime.datetime(2024, 1, 1, 0, 30, 0), 7, "purchase", 2.5, "{}"),
+]
+
+
+def _write_events(dirpath, ts_unit: str) -> str:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+            "ts": pa.array([r[1] for r in _ROWS], pa.timestamp(ts_unit)),
+            "user_id": pa.array([r[2] for r in _ROWS], pa.int64()),
+            "event_type": pa.array([r[3] for r in _ROWS]),
+            "value": pa.array([r[4] for r in _ROWS], pa.float64()),
+            "props": pa.array([r[5] for r in _ROWS]),
+        }
+    )
+    pq.write_table(tbl, f"{dirpath}/events.parquet")
+    return str(dirpath)
+
+
+@pytest.mark.parametrize("ts_unit", ["ns", "us", "ms"])
+def test_load_events_normalizes_ts_across_physical_types(
+    spark, tmp_path, ts_unit
+):
+    sf_dir = _write_events(tmp_path, ts_unit)
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(
+        (r.event_id, r.ts.strftime("%Y-%m-%d %H:%M:%S")) for r in df.collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:30:00"),
+    ]
