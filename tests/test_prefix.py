@@ -60,6 +60,35 @@ def test_prefix_sum_partitioned_recursive(spark):
     assert got == naive
 
 
+def test_prefix_sum_property_random_frames(spark):
+    """Property: for arbitrary sparse keys/values/widths the hierarchical
+    result equals the naive prefix sum (one combined example set to keep
+    Spark round trips bounded)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        kv=st.dictionaries(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=1_000),
+            min_size=1,
+            max_size=60,
+        ),
+        width=st.sampled_from([2, 3, 7, 128]),
+    )
+    def check(kv, width):
+        rows = [(0, k, v) for k, v in kv.items()]
+        df = spark.createDataFrame(rows, ["p", "key", "val"])
+        got = {
+            (0, r.key): r.offset
+            for r in exclusive_prefix_sum(df, "key", "val", width=width).collect()
+        }
+        assert got == _naive(rows)
+
+    check()
+
+
 def test_pack_sequences_cum_tokens_is_global_running_sum(spark, sf_dir):
     """End-to-end: cum_tokens over doc_id order must equal the naive
     global running sum of n_tokens."""
