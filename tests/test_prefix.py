@@ -1,6 +1,7 @@
 """Hierarchical exclusive prefix sum (operators/prefix.py) — the
 O(S log S) shard-offset machinery behind pack_sequences /
-training_data_prep.  Small widths force multi-level recursion so the
+training_data_prep.  The base case closes any frame of ≤ width² rows
+with one window pass; small widths force multi-level recursion so the
 tests cover the path fixture-scale queries never reach."""
 
 from __future__ import annotations
@@ -29,7 +30,8 @@ def test_prefix_sum_base_case_matches_naive(spark):
 
 
 def test_prefix_sum_recursive_levels_match_naive(spark):
-    """width=4 over 50 sparse keys → 3 recursion levels."""
+    """width=4 over 50 sparse keys → recursion above the width²=16 base
+    case (50 → ~37 sup keys → ≤16, two recursive levels)."""
     keys = [3 * k + (k % 2) for k in range(50)]  # sparse, increasing
     rows = [(0, k, (k * 11) % 17 + 1) for k in keys]
     df = spark.createDataFrame(rows, ["p", "key", "val"])
