@@ -18,6 +18,7 @@ reproducible under test.
 
 from __future__ import annotations
 
+import logging
 import time
 from collections.abc import Callable, Sequence
 from typing import Optional, TypeVar
@@ -25,26 +26,55 @@ from typing import Optional, TypeVar
 B = TypeVar("B", bound=Sequence)
 R = TypeVar("R")
 
+_LOG = logging.getLogger(__name__)
+
+# Transient-looking failures worth re-attempting: network/IO hiccups and
+# service-side errors surface as OSError subclasses (ConnectionError,
+# TimeoutError, socket errors) or library RuntimeErrors.  Deterministic
+# caller bugs — TypeError, ValueError, shape mismatches — are NOT here:
+# retrying them wastes the backoff and falling back would silently
+# convert a code bug into degraded data.
+DEFAULT_RETRYABLE: tuple[type[BaseException], ...] = (
+    OSError,
+    TimeoutError,
+    RuntimeError,
+)
+
 
 def with_retries(
     fn: Callable[[B], R],
     max_retries: int = 2,
     backoff_s: float = 0.1,
     on_exhausted: Optional[Callable[[B], R]] = None,
+    retryable: tuple[type[BaseException], ...] = DEFAULT_RETRYABLE,
 ) -> Callable[[B], R]:
     """Wrap a batch callable: up to max_retries re-attempts with
-    backoff_s * 2^attempt sleeps; after exhaustion, return
-    on_exhausted(batch) (the error-null path) or re-raise if no
-    fallback was given."""
+    backoff_s * 2^attempt sleeps on `retryable` exceptions; after
+    exhaustion, log a warning and return on_exhausted(batch) (the
+    error-null path) or re-raise if no fallback was given.
+
+    Non-retryable exceptions propagate immediately — a deterministic
+    bug in a user-supplied embed/generate fn should fail the job, not
+    be masked as a zero-vector/NULL corpus.  Pass
+    ``retryable=(Exception,)`` to restore degrade-on-anything."""
 
     def wrapped(batch: B) -> R:
         attempt = 0
         while True:
             try:
                 return fn(batch)
-            except Exception:  # noqa: BLE001 — adapter boundary
+            except retryable as exc:
                 if attempt >= max_retries:
                     if on_exhausted is not None:
+                        # observable degradation: a silent zero-vector
+                        # corpus is worse than a noisy one
+                        _LOG.warning(
+                            "with_retries: %d attempts exhausted for batch "
+                            "of %d; applying fallback (%r)",
+                            attempt + 1,
+                            len(batch) if hasattr(batch, "__len__") else -1,
+                            exc,
+                        )
                         return on_exhausted(batch)
                     raise
                 time.sleep(backoff_s * (2**attempt))

@@ -68,8 +68,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.union(selfe).filter(F.col("u") != F.col("v")).distinct()
 
 
-def _union_find_labels(pairs: list[tuple[int, int]]) -> dict[int, int]:
-    """Exact union-find with min-id roots (driver-side small-graph path)."""
+def _union_find_labels(pairs) -> dict[int, int]:
+    """Exact union-find with min-id roots (driver-side small-graph path).
+    `pairs` is any iterable of (u, v) int pairs."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -94,7 +95,7 @@ def connected_components(
     dst: str = "id_b",
     nodes: DataFrame | None = None,
     max_iter: int = 50,
-    driver_cc_threshold: int = 1_000_000,
+    driver_cc_threshold: int = 250_000,
 ) -> DataFrame:
     """(node, component) for every node, component = min node id in its
     connected component.  `edges` is undirected pairs; `nodes` optionally
@@ -102,13 +103,18 @@ def connected_components(
     in the output as their own singleton components.
 
     Size-adaptive: when the distinct edge set fits
-    `driver_cc_threshold` rows (two longs each — 16 MB at the 1M
-    default), it is collected and solved with exact union-find on the
-    driver: a near-dup graph that small does not justify paying
-    several distributed stages PER ROUND (measured ~5s/round of pure
-    stage overhead on a 200-edge fixture graph).  Larger graphs run
-    the alternating star rounds — the 100 TB path.  Both produce the
-    identical (node, min-id) labeling.
+    `driver_cc_threshold` rows, it is pulled to the driver via Arrow
+    (two int64 numpy columns — 4 MB at the 250k default) and solved
+    with exact union-find: a near-dup graph that small does not
+    justify paying several distributed stages PER ROUND (measured
+    ~5s/round of pure stage overhead on a 200-edge fixture graph).
+    The union-find dict itself is Python objects — roughly 100-200
+    bytes per distinct node — so the REAL driver cost at the default
+    is tens of MB plus sub-second single-threaded time, not just the
+    raw Arrow bytes; that is why the default is 250k and not higher.
+    Larger graphs run the alternating star rounds — the 100 TB path.
+    Both produce the identical (node, min-id) labeling
+    (tests/test_graph.py pins them equal across the boundary).
 
     max_iter bounds large+small round PAIRS; convergence needs
     O(log n) of them, so 50 covers any graph that fits in storage —
@@ -130,8 +136,10 @@ def connected_components(
 
     n_edges = e.count()  # materializes the checkpoint either way
     if n_edges <= driver_cc_threshold:
+        # Arrow transfer: two int64 columns, no per-row Row objects
+        pdf = e.toPandas()
         labels = _union_find_labels(
-            [(r["u"], r["v"]) for r in e.collect()]
+            zip(pdf["u"].tolist(), pdf["v"].tolist())
         )
         spark = edges.sparkSession
         member = spark.createDataFrame(

@@ -28,40 +28,66 @@ TABLES = (
 )
 
 
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_PLAN_CACHE_MAX = 256  # a few sessions × 10 tables; evicts oldest wholesale
+
+
+def _file_stamp(path: str) -> tuple[int, int]:
+    """(mtime_ns, size) of a parquet file or directory — changes when a
+    fixture at the same path is regenerated, invalidating cached plans."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; choose from {TABLES}")
-    # Memoize the (immutable) DataFrame plan per session: parquet schema
-    # inference costs ~100ms per read.parquet and multi-table queries
-    # were paying it on every call.  Keyed on the JVM session id so a
-    # restarted session never sees a stale plan.
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    # Memoize the DataFrame plan: parquet schema inference costs ~100ms
+    # per read.parquet and multi-table queries were paying it on every
+    # call.  Keyed on the PYTHON session object id (a restarted session
+    # is a new object, so it never sees a stale plan) plus the file's
+    # (mtime, size) stamp, so a fixture regenerated at the same path
+    # within one session re-reads instead of returning the old
+    # schema/ts conversion.
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    key = (id(spark), path, name, _file_stamp(path))
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
+        # Confs are session state, not plan state: a caller may have
+        # changed the session timezone since the plan was cached, which
+        # would silently skew timestamp rendering vs the DuckDB oracle.
+        _pin_confs(spark, name)
         return cached
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.clear()  # rare; also unpins plans of stopped sessions
     df = _load_table_uncached(spark, sf_dir, name)
     _PLAN_CACHE[key] = df
     return df
 
 
-def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _pin_confs(spark: SparkSession, name: str) -> None:
     # Timestamp rendering must match the DuckDB oracle's naive wall-clock
     # regardless of the host session's default timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_confs(spark, name)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Old-style fixtures wrote events.ts as parquet TIMESTAMP(NANOS),
-        # which the vectorized reader rejects; with nanosAsLong set the
-        # column arrives as bigint and needs an integer floor-div to
-        # micros (a float path would lose precision above 2^53 — DuckDB
-        # also truncates nanos->micros, so both engines see identical
-        # values).  Newer fixtures are TIMESTAMP(MICROS) and read as a
-        # timestamp directly, so the conversion must be conditional on
-        # the loaded dtype.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # which the vectorized reader rejects; with nanosAsLong pinned
+        # (_pin_confs) the column arrives as bigint and needs an integer
+        # floor-div to micros (a float path would lose precision above
+        # 2^53 — DuckDB also truncates nanos->micros, so both engines
+        # see identical values).  Newer fixtures are TIMESTAMP(MICROS)
+        # and read as a timestamp directly, so the conversion must be
+        # conditional on the loaded dtype.
         df = spark.read.parquet(path)
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":

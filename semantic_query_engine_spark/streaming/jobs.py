@@ -50,20 +50,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-_LIVE_SINKS: list[str] = []
+# (session object id, sink name) pairs: memory-sink temp views are
+# SESSION-scoped, so dropping must be bookkept per session — popping
+# another session's name would silently no-op the dropTempView there
+# and leak that sink for its session's lifetime.
+_LIVE_SINKS: list[tuple[int, str]] = []
 
 
 def drop_live_sinks(spark: SparkSession) -> None:
-    """Drop any memory-sink table still registered (see run_to_memory's
-    one-live-sink contract).  Call after consuming a streaming query's
-    result when the session will keep doing other work — a live sink
-    pins its full result in memory."""
-    while _LIVE_SINKS:
-        name = _LIVE_SINKS.pop()
+    """Drop any memory-sink table still registered FOR THIS SESSION (see
+    run_to_memory's one-live-sink contract).  Call after consuming a
+    streaming query's result when the session will keep doing other
+    work — a live sink pins its full result in memory."""
+    sid = id(spark)
+    remaining = []
+    for entry_sid, name in _LIVE_SINKS:
+        if entry_sid != sid:
+            remaining.append((entry_sid, name))
+            continue
         try:
             spark.catalog.dropTempView(name)
         except Exception:  # noqa: BLE001
             pass
+    _LIVE_SINKS[:] = remaining
 
 
 def run_to_memory(
@@ -89,5 +98,5 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
-    _LIVE_SINKS.append(name)
+    _LIVE_SINKS.append((id(streaming_df.sparkSession), name))
     return streaming_df.sparkSession.table(name)

@@ -171,6 +171,38 @@ def test_connected_components_two_cliques_bridge(spark):
     assert {got2[i] for i in range(10, 15)} == {10}
 
 
+def test_connected_components_paths_agree_at_threshold_boundary(spark):
+    """The driver union-find path and the distributed star loop must
+    produce the IDENTICAL (node, component) map on the same graph —
+    pinned on a mixed graph (chain + clique + singleton + self-loop)
+    run once just under and once just over the threshold."""
+    from itertools import combinations
+
+    from semantic_query_engine_spark.operators.graph import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(20)]            # 21-node chain
+        + list(combinations(range(100, 105), 2))   # 5-clique
+        + [(200, 200), (300, 301)]                 # self-loop + pair
+    )
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(999,)], ["node"])  # isolated vertex
+    driver = {
+        r.node: r.component
+        for r in connected_components(
+            edges, nodes=nodes, driver_cc_threshold=10_000
+        ).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(
+            edges, nodes=nodes, driver_cc_threshold=0
+        ).collect()
+    }
+    assert driver == dist
+    assert driver[20] == 0 and driver[104] == 100 and driver[999] == 999
+
+
 def test_dedup_cluster_groups_three_generations(spark, sf_dir):
     """Every doc's two prefix copies land in ITS component (label = base
     id), even when A~A64 only connects through A80."""

@@ -49,3 +49,36 @@ def test_load_events_normalizes_ts_across_physical_types(
         (1, "2024-01-01 00:00:00"),
         (2, "2024-01-01 00:30:00"),
     ]
+
+
+def test_plan_cache_invalidates_on_file_regeneration(spark, tmp_path):
+    """Regenerating a fixture at the same path within one session (the
+    round-3 incident class) must evict the cached plan — including a
+    physical-type change from NANOS to MICROS."""
+    import os
+    import time
+
+    sf_dir = _write_events(tmp_path, "ns")
+    first = load_table(spark, sf_dir, "events")
+    assert first.count() == 2
+    assert load_table(spark, sf_dir, "events") is first  # cache hit
+
+    time.sleep(0.02)  # ensure a distinct mtime_ns even on coarse clocks
+    tbl = pa.table(
+        {
+            "event_id": pa.array([9], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2025, 6, 1, 12, 0, 0)], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([0.5], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(tbl, os.path.join(sf_dir, "events.parquet"))
+    fresh = load_table(spark, sf_dir, "events")
+    assert fresh is not first
+    rows = fresh.collect()
+    assert [r.event_id for r in rows] == [9]
+    assert dict(fresh.dtypes)["ts"] == "timestamp"

@@ -49,6 +49,34 @@ def test_retry_exhaustion_reraises_without_fallback():
         wrapped(["a"])
 
 
+def test_deterministic_bug_propagates_immediately():
+    """A TypeError (caller bug, not transient) must fail fast — no
+    retries burned, no silent zero-vector/NULL masking."""
+    calls = {"n": 0}
+
+    def buggy(batch):
+        calls["n"] += 1
+        raise TypeError("shape mismatch")
+
+    wrapped = with_retries(
+        buggy, max_retries=3, backoff_s=0.0, on_exhausted=null_answer_fallback
+    )
+    with pytest.raises(TypeError):
+        wrapped(["a"])
+    assert calls["n"] == 1
+
+
+def test_retryable_override_restores_degrade_on_anything():
+    wrapped = with_retries(
+        lambda b: (_ for _ in ()).throw(TypeError("bug")),
+        max_retries=0,
+        backoff_s=0.0,
+        on_exhausted=null_answer_fallback,
+        retryable=(Exception,),
+    )
+    assert wrapped(["a"]) == [None]
+
+
 def test_zero_vector_fallback_shape():
     fb = zero_vector_fallback(4)
     assert fb(["x", "y"]) == [[0.0] * 4, [0.0] * 4]
