@@ -54,6 +54,7 @@ HEADLINE = [
     "ann_ivf_knn_join",  # partition-pruned IVF batch kNN
     "stream_dedup",      # exactly-once streaming dedup (state store)
     "training_data_prep",  # composed clean->dedup->split->pack pipeline
+    "training_data_prep_neardup",  # + capped-jaccard near-dedup + CC stage
     "ann_ivfpq_topk",    # IVF-PQ: cluster-pruned 8-byte-code ADC scan
     "unigram_perplexity",  # corpus-LM quality scoring
 ]

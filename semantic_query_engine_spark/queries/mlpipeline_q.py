@@ -299,7 +299,7 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_parts_sql() -> str:
+def _quality_parts_sql(from_rel: str = "documents") -> str:
     """The quality_score oracle CTE body (textops.py) — reused verbatim
     so the composed pipeline filters on the SAME rounded score."""
     from .textops import _PUNCT_CLASS_SQL, _STOPS, _WORDS
@@ -315,7 +315,7 @@ def _quality_parts_sql() -> str:
              CASE WHEN len({_WORDS}) = 0 THEN 0.0
                   ELSE list_sum(list_transform({_WORDS}, w -> CAST(length(w) AS DOUBLE)))
                        / CAST(len({_WORDS}) AS DOUBLE) END AS awl
-      FROM documents"""
+      FROM {from_rel}"""
 
 
 def _training_prep_oracle() -> str:
@@ -415,6 +415,174 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns, materialized once (on a cluster use reliable
     # checkpoint()/a staging table).
     t = t.localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("shard_cum", F.sum("n_tokens").over(w))
+    totals = t.groupBy("split", "shard").agg(F.sum("n_tokens").alias("shard_total"))
+    offs = exclusive_prefix_sum(
+        totals, "shard", "shard_total", part_cols=("split",)
+    ).select(F.col("split").alias("sp"), F.col("shard").alias("s"), "offset")
+    c = c.join(
+        F.broadcast(offs), (c["split"] == offs["sp"]) & (c["shard"] == offs["s"])
+    ).withColumn("cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long"))
+    return c.select(
+        "doc_id",
+        "quality",
+        "bucket",
+        "split",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2000.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def _training_prep_neardup_oracle() -> str:
+    from .textops import _WORDS
+
+    bucket = _bucket_expr("doc_id", "strpos")
+    cap = 20
+    return f"""
+    WITH RECURSIVE
+    base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    planted AS (
+      SELECT doc_id + 10000 AS doc_id,
+             array_to_string(ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)], ' ') AS text
+      FROM (SELECT doc_id, {_WORDS} AS ws FROM documents WHERE doc_id < 100)),
+    pool AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    parts AS ({_quality_parts_sql("pool")}),
+    q AS (
+      SELECT doc_id,
+             ROUND(least(1.0, sw * 2.0) * 0.5
+                   + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                   + (1.0 - least(1.0, pr * 5.0)) * 0.2, 6) AS quality
+      FROM parts),
+    qf AS (
+      SELECT p.doc_id, p.text, q.quality
+      FROM pool p JOIN q USING (doc_id)
+      WHERE q.quality >= 0.6),
+    fp AS (
+      SELECT doc_id, md5(lower(array_to_string({_WORDS}, ' '))) AS f FROM qf),
+    dd AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    k AS (SELECT * FROM qf WHERE doc_id IN (SELECT doc_id FROM dd)),
+    sh0 AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len({_WORDS}) - 1, 1) AS BIGINT)),
+               i -> array_to_string({_WORDS}[i + 1:i + 2], ' ')))) AS shingle
+      FROM k),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+    sh AS (
+      SELECT sh0.id, sh0.shingle FROM sh0
+      JOIN freq ON freq.shingle = sh0.shingle
+      WHERE freq.df <= {cap}),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM k
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    reps AS (SELECT node AS doc_id FROM comp WHERE node = component),
+    k2 AS (SELECT k.* FROM k JOIN reps USING (doc_id)),
+    s AS (SELECT doc_id, quality, text, {bucket} AS bucket FROM k2),
+    t AS (
+      SELECT doc_id, quality, bucket,
+             CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 230 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM s),
+    c AS (
+      SELECT doc_id, quality, bucket, split, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM t)
+    SELECT doc_id, quality, bucket, split, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2000.0) AS BIGINT) AS pack_id
+    FROM c
+    """
+
+
+@register("training_data_prep_neardup", oracle=_training_prep_neardup_oracle())
+def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_data_prep with the NEAR-dup stage a real pretraining
+    prep runs: quality filter -> exact dedup -> capped-Jaccard pair
+    generation -> connected components -> keep each duplicate cluster's
+    min-id representative -> hash split -> sequence packing.  Near-dups
+    are planted in-plan (80%-prefix copies at id+10000 — exact dedup
+    cannot catch them, the Jaccard stage must), so the gate proves the
+    near-dup stage actually removes rows.
+
+    Scale shapes, all inherited from the proven standalone operators:
+    the pair stage is the skew-capped shingle join (stop-shingles
+    dropped before pairing, operators/dedup.py), clustering is
+    size-adaptive connected components (alternating star rounds above
+    the driver threshold, operators/graph.py), and the representative
+    filter is a semi join on the component labels — document bodies
+    never enter the pair/cluster shuffles."""
+    from ..functions import text as TX
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.graph import connected_components
+    from ..functions.text import words_of
+
+    shard_width = 128
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 200)
+    small = docs.filter(F.col("doc_id") < 100)
+    ws = words_of(F.col("text"))
+    keep_w = F.ceil(F.size(ws) * 0.8).cast("int")
+    planted = small.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep_w), " ").alias("text"),
+    )
+    pool = base.unionByName(planted)
+    q = pool.select(
+        "doc_id", "text", TX.quality_score("text").alias("quality")
+    ).filter(F.col("quality") >= 0.6)
+    fp = q.select("doc_id", TX.fingerprint("text").alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    k = q.join(keep, "doc_id", "left_semi")
+    # the pair/cluster stages see only (doc_id, text)-derived shingles
+    # and (id, id) edges — never the full row
+    edges = jaccard_pairs(
+        k.select("doc_id", "text"), threshold=0.5, n=2, max_shingle_freq=20
+    )
+    cc = connected_components(
+        edges.select("id_a", "id_b"), nodes=k.select("doc_id")
+    )
+    reps = cc.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    k2 = k.join(reps, "doc_id", "left_semi")
+    bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
+    t = k2.select(
+        "doc_id",
+        "quality",
+        bucket.alias("bucket"),
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / shard_width).alias("shard"),
+    )
+    t = t.localCheckpoint(eager=False)  # window + totals + count reuse it
     w = (
         Window.partitionBy("split", "shard")
         .orderBy("doc_id")
