@@ -558,6 +558,12 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = q.select("doc_id", TX.fingerprint("text").alias("fp"))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     k = q.join(keep, "doc_id", "left_semi")
+    # Truncate: k (the quality+exact-dedup chain) feeds the pair stage,
+    # the CC nodes side, AND the representative semi join — without the
+    # checkpoint each branch re-derives it from the parquet scan (the
+    # same multi-scan blowup training_data_prep fixed; measured 2.7x
+    # growth on a BOUNDED pool at the 10x scale run without this).
+    k = k.localCheckpoint(eager=False)
     # the pair/cluster stages see only (doc_id, text)-derived shingles
     # and (id, id) edges — never the full row
     edges = jaccard_pairs(

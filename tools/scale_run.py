@@ -1,0 +1,74 @@
+"""Scale-evidence harness: time a set of headline queries at two scale
+factors and report the wall-clock ratio per query.
+
+The sf1 fixtures are generated from the driver's sf0.1 parquet by
+replicating rows 10x with id offsets (text/vectors perturbed per
+replica so exact/near-dedup stages see distinct content) — see
+SCALE.md for the construction.  A query whose input scales 10x should
+show time growth well under 10x on local[32] (partial aggregation,
+pushdown, bounded shuffles); a query bounded by construction
+(doc_id < K filters) should stay flat because the filter reaches the
+scan.
+
+Usage: python tools/scale_run.py [sf_small_dir] [sf_big_dir]
+Prints one JSON line: {query: {"small": s, "big": s, "ratio": r}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
+from semantic_query_engine_spark.session import get_spark  # noqa: E402
+from semantic_query_engine_spark.streaming.jobs import drop_live_sinks  # noqa: E402
+
+# The 6 most expensive headline queries (VERDICT r4) + the unbounded
+# full-corpus pipelines that best expose scaling behavior.
+QUERIES = [
+    "training_data_prep",      # full corpus: quality+dedup+split+pack
+    "training_data_prep_neardup",  # bounded pool (<200 docs) by construction
+    "pack_sequences",          # full corpus: windows + prefix sum
+    "dedup_exact",             # full corpus x2: digest agg + semi join
+    "ann_ivfpq_topk",          # full embeddings: IVF-PQ build + scan
+    "dedup_cluster",           # bounded (<100 docs) by construction
+    "stream_dedup",            # full events x2 through the state store
+    "dedup_minhash_lsh",       # bounded (<100 docs) by construction
+    "hybrid_rrf",              # full corpus BM25 + full embeddings cosine
+]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _median_time(spark, name: str, sf_dir: str) -> float:
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        samples.append(time.time() - t0)
+        drop_live_sinks(spark)
+    return round(sorted(samples)[len(samples) // 2], 3)
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".scale_data/sf1")
+    spark = get_spark("scale-run")
+    names = [n for n in QUERIES if n in REGISTRY]
+    REGISTRY[names[0]].fn(spark, small).limit(1).collect()  # warm JVM
+    out = {}
+    for name in names:
+        s = _median_time(spark, name, small)
+        b = _median_time(spark, name, big)
+        out[name] = {"small": s, "big": b, "ratio": round(b / s, 2) if s else None}
+        print(f"# {name}: {s}s -> {b}s ({out[name]['ratio']}x)", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
