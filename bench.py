@@ -62,6 +62,14 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # The console progress bar writes \r-separated frames that interleave
+    # with stdout when the caller captures both streams, corrupting the
+    # one-JSON-line contract (BENCH_r04's tail carried raw progress
+    # frames).  Must be set before the JVM starts.
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--conf spark.ui.showConsoleProgress=false pyspark-shell",
+    )
     from semantic_query_engine_spark.queries import REGISTRY
     from semantic_query_engine_spark.session import get_spark
 
@@ -86,18 +94,20 @@ def main() -> None:
         # result in memory for every subsequent query's timing
         drop_live_sinks(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "flagship_rag_e2e_latency",
-                "value": timings[FLAGSHIP],
-                "unit": "sec",
-                "queries": timings,
-                "total_sec": round(sum(timings.values()), 4),
-                "sf": float(sf) if sf else None,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "flagship_rag_e2e_latency",
+            "value": timings[FLAGSHIP],
+            "unit": "sec",
+            "queries": timings,
+            "total_sec": round(sum(timings.values()), 4),
+            "sf": float(sf) if sf else None,
+        }
     )
+    # own line + explicit flush: the JSON must be the last clean stdout
+    # line even if a library wrote a partial line before it
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
