@@ -77,6 +77,7 @@ def embed_with_pandas_udf(
     out_col: str = "embedding",
     max_retries: int = 2,
     backoff_s: float = 0.1,
+    per_row_fallback: bool = False,
 ) -> DataFrame:
     """Arrow-batched embedding via a Pandas iterator UDF.  `embed_fn`
     maps a batch of texts to vectors; the default is a deterministic
@@ -84,7 +85,9 @@ def embed_with_pandas_udf(
     ships no model weights).  Empty text -> zero vector, matching the
     reference's guard.  A flaky embed_fn is retried max_retries times
     per batch and then degrades to zero vectors — the reference's
-    error path (app/embedding_gen.py:147-148), not a task failure."""
+    error path (app/embedding_gen.py:147-148), not a task failure.
+    per_row_fallback=True isolates a poisoned row to itself instead of
+    zeroing its whole Arrow batch (ml/resilience.py)."""
 
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -112,6 +115,7 @@ def embed_with_pandas_udf(
         max_retries=max_retries,
         backoff_s=backoff_s,
         on_exhausted=zero_vector_fallback(dim),
+        per_row_fallback=per_row_fallback,
     )
 
     @pandas_udf("array<double>")

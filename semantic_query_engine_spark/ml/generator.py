@@ -38,6 +38,7 @@ def generate_with_pandas_udf(
     out_col: str = "answer",
     max_retries: int = 2,
     backoff_s: float = 0.1,
+    per_row_fallback: bool = False,
 ) -> DataFrame:
     """Batched generation via an Arrow iterator UDF.  `generate_fn` maps
     a batch of prompts to answers (None allowed per-row = generation
@@ -66,6 +67,7 @@ def generate_with_pandas_udf(
         max_retries=max_retries,
         backoff_s=backoff_s,
         on_exhausted=null_answer_fallback,
+        per_row_fallback=per_row_fallback,
     )
 
     @pandas_udf("string")

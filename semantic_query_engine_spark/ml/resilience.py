@@ -47,6 +47,7 @@ def with_retries(
     backoff_s: float = 0.1,
     on_exhausted: Optional[Callable[[B], R]] = None,
     retryable: tuple[type[BaseException], ...] = DEFAULT_RETRYABLE,
+    per_row_fallback: bool = False,
 ) -> Callable[[B], R]:
     """Wrap a batch callable: up to max_retries re-attempts with
     backoff_s * 2^attempt sleeps on `retryable` exceptions; after
@@ -56,29 +57,61 @@ def with_retries(
     Non-retryable exceptions propagate immediately — a deterministic
     bug in a user-supplied embed/generate fn should fail the job, not
     be masked as a zero-vector/NULL corpus.  Pass
-    ``retryable=(Exception,)`` to restore degrade-on-anything."""
+    ``retryable=(Exception,)`` to restore degrade-on-anything.
 
-    def wrapped(batch: B) -> R:
+    per_row_fallback=True splits an exhausted multi-row batch into
+    single-row calls (each with its own retry budget) so one poisoned
+    row degrades only itself, not its batch-mates.  Requires the
+    fn([x1..xn]) -> [y1..yn] elementwise contract both adapters
+    already follow (ml/embedder.py, ml/generator.py)."""
+
+    def attempt_batch(batch: B) -> R:
         attempt = 0
         while True:
             try:
                 return fn(batch)
-            except retryable as exc:
+            except retryable:
                 if attempt >= max_retries:
-                    if on_exhausted is not None:
-                        # observable degradation: a silent zero-vector
-                        # corpus is worse than a noisy one
-                        _LOG.warning(
-                            "with_retries: %d attempts exhausted for batch "
-                            "of %d; applying fallback (%r)",
-                            attempt + 1,
-                            len(batch) if hasattr(batch, "__len__") else -1,
-                            exc,
-                        )
-                        return on_exhausted(batch)
                     raise
                 time.sleep(backoff_s * (2**attempt))
                 attempt += 1
+
+    def wrapped(batch: B) -> R:
+        try:
+            return attempt_batch(batch)
+        except retryable as exc:
+            if per_row_fallback and hasattr(batch, "__len__") and len(batch) > 1:
+                _LOG.warning(
+                    "with_retries: batch of %d exhausted (%r); retrying "
+                    "row-by-row to isolate the failure",
+                    len(batch),
+                    exc,
+                )
+                out: list = []
+                for row in batch:
+                    single = type(batch)([row]) if isinstance(batch, list) else [row]
+                    try:
+                        out.extend(attempt_batch(single))  # type: ignore[arg-type]
+                    except retryable as row_exc:
+                        if on_exhausted is None:
+                            raise
+                        _LOG.warning(
+                            "with_retries: row exhausted; applying fallback (%r)",
+                            row_exc,
+                        )
+                        out.extend(on_exhausted(single))  # type: ignore[arg-type]
+                return out  # type: ignore[return-value]
+            if on_exhausted is not None:
+                # observable degradation: a silent zero-vector corpus is
+                # worse than a noisy one
+                _LOG.warning(
+                    "with_retries: retries exhausted for batch of %s; "
+                    "applying fallback (%r)",
+                    len(batch) if hasattr(batch, "__len__") else "?",
+                    exc,
+                )
+                return on_exhausted(batch)
+            raise
 
     return wrapped
 

@@ -77,6 +77,65 @@ def test_retryable_override_restores_degrade_on_anything():
     assert wrapped(["a"]) == [None]
 
 
+def test_per_row_fallback_isolates_poisoned_row():
+    """One permanently-failing row degrades only itself; batch-mates
+    still get real results."""
+
+    def poisoned(batch):
+        if any(x == "bad" for x in batch):
+            raise ConnectionError("poisoned row")
+        return [f"ok:{x}" for x in batch]
+
+    wrapped = with_retries(
+        poisoned,
+        max_retries=1,
+        backoff_s=0.0,
+        on_exhausted=null_answer_fallback,
+        per_row_fallback=True,
+    )
+    assert wrapped(["a", "bad", "c"]) == ["ok:a", None, "ok:c"]
+
+
+def test_per_row_fallback_off_degrades_whole_batch():
+    def poisoned(batch):
+        if any(x == "bad" for x in batch):
+            raise ConnectionError("poisoned row")
+        return [f"ok:{x}" for x in batch]
+
+    wrapped = with_retries(
+        poisoned, max_retries=1, backoff_s=0.0, on_exhausted=null_answer_fallback
+    )
+    assert wrapped(["a", "bad", "c"]) == [None, None, None]
+
+
+def test_embedder_per_row_fallback(spark):
+    """Through the Arrow UDF: only the poisoned text gets a zero
+    vector."""
+    from semantic_query_engine_spark.ml.embedder import embed_with_pandas_udf
+
+    def poisoned(texts):
+        if any("bad" in t for t in texts):
+            raise ConnectionError("poisoned")
+        return [[1.0] * 4 for _ in texts]
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "bad doc"), (3, "world")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.embedding
+        for r in embed_with_pandas_udf(
+            docs,
+            embed_fn=poisoned,
+            dim=4,
+            max_retries=0,
+            backoff_s=0.0,
+            per_row_fallback=True,
+        ).collect()
+    }
+    assert out[1] == [1.0] * 4 and out[3] == [1.0] * 4
+    assert out[2] == [0.0] * 4
+
+
 def test_zero_vector_fallback_shape():
     fb = zero_vector_fallback(4)
     assert fb(["x", "y"]) == [[0.0] * 4, [0.0] * 4]
