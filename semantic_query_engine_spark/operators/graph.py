@@ -132,19 +132,29 @@ def connected_components(
     if nodes is not None:
         first = nodes.columns[0]
         all_nodes = all_nodes.union(nodes.select(F.col(first).alias("node")))
-    all_nodes = all_nodes.distinct().localCheckpoint(eager=False)
+    all_nodes = all_nodes.distinct()  # single-use: no checkpoint needed
 
-    n_edges = e.count()  # materializes the checkpoint either way
-    if n_edges <= driver_cc_threshold:
-        # Arrow transfer: two int64 columns, no per-row Row objects
-        pdf = e.toPandas()
+    # One probe job decides the path AND delivers the edges: pull at
+    # most threshold+1 rows via Arrow (limit stops early on big
+    # graphs).  Replaces the count()-then-collect pair — at fixture
+    # scale the saved action is a whole Spark job per CC call.
+    head = e.limit(driver_cc_threshold + 1).toPandas()
+    if len(head) <= driver_cc_threshold:
         labels = _union_find_labels(
-            zip(pdf["u"].tolist(), pdf["v"].tolist())
+            zip(head["u"].tolist(), head["v"].tolist())
         )
         spark = edges.sparkSession
+        import pandas as pd  # Arrow-path createDataFrame, no Row objects
+
         member = spark.createDataFrame(
-            list(labels.items()) or [(None, None)], "node long, component long"
-        ).filter(F.col("node").isNotNull())
+            pd.DataFrame(
+                {
+                    "node": pd.Series(list(labels.keys()), dtype="int64"),
+                    "component": pd.Series(list(labels.values()), dtype="int64"),
+                }
+            ),
+            "node long, component long",
+        )
         selfmap = all_nodes.join(
             member.select("node"), "node", "left_anti"
         ).select("node", F.col("node").alias("component"))

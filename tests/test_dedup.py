@@ -203,6 +203,21 @@ def test_connected_components_paths_agree_at_threshold_boundary(spark):
     assert driver[20] == 0 and driver[104] == 100 and driver[999] == 999
 
 
+def test_connected_components_empty_edge_set(spark):
+    """Only self-loops (filtered out) -> every node is its own
+    singleton component; the empty driver-side label frame must not
+    break the Arrow createDataFrame path."""
+    from semantic_query_engine_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 1), (2, 2)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["node"])
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
 def test_dedup_cluster_groups_three_generations(spark, sf_dir):
     """Every doc's two prefix copies land in ITS component (label = base
     id), even when A~A64 only connects through A80."""
