@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",       # exact dedup at 2x corpus
     "dedup_jaccard",     # shingle-join near-dup
     "dedup_cluster",     # connected-components dup grouping
+    "dedup_semantic",    # embedding pairs -> CC -> representatives
     "decontaminate",     # eval-set n-gram overlap check
     "bm25_topk",         # full-text keyword retrieval
     "hybrid_rrf",        # BM25 + cosine rank fusion

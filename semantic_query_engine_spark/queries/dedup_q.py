@@ -191,6 +191,74 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+    alle AS (
+      SELECT id, v FROM base
+      UNION ALL
+      SELECT id + 10000, list_concat([v[1] + 0.1], v[2:]) FROM base),
+    edges AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM alle a JOIN alle b ON a.id < b.id)
+      WHERE sim >= 0.98),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT id AS node, id AS r FROM alle
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+    comp AS (SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT vec_id, component, (vec_id = component) AS keep FROM comp
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): embedding
+    near-dup PAIRS (cosine >= 0.98 via SRP-LSH banded candidates +
+    exact confirm) -> connected components -> per-cluster min-id
+    representative.  Output labels every vector with its duplicate
+    cluster and a keep flag — the "drop semantic duplicates before
+    training" pass, which catches paraphrases exact/shingle dedup
+    cannot.  Near-dups are planted as first-component perturbations at
+    id+10000 (same construction as dedup_embedding, whose oracle is the
+    exact all-pairs ground truth — so this gate also checks LSH
+    recall end-to-end through the clustering).
+
+    Scale: candidate pairs come from an equality join on (band, key) —
+    8-byte keys, never all-pairs, vectors leave the scan only for the
+    bounded confirm; clustering is the size-adaptive CC operator
+    (star rounds above the driver threshold)."""
+    from ..operators.dedup import embedding_near_dups
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    variants = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 10_000_000),
+        ).alias("embedding"),
+    )
+    pool = base.unionByName(variants)
+    pairs = embedding_near_dups(pool, threshold=0.98, srp_bands=8, srp_bits=4)
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), nodes=pool.select("vec_id")
+    )
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
 @register("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup join: shingle -> 64-perm minhash signature
