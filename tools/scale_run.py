@@ -40,6 +40,8 @@ QUERIES = [
     "stream_dedup",            # full events x2 through the state store
     "dedup_minhash_lsh",       # bounded (<100 docs) by construction
     "hybrid_rrf",              # full corpus BM25 + full embeddings cosine
+    "dedup_semantic",          # bounded (<100 vecs) by construction
+    "semantic_topk_dim1024",   # full embeddings at the reference's width
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
