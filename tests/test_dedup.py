@@ -234,6 +234,35 @@ def test_dedup_cluster_groups_three_generations(spark, sf_dir):
     assert full_chains >= 0.8 * len(base_ids), (full_chains, len(base_ids))
 
 
+def test_training_prep_neardup_removes_planted_near_dups(spark, sf_dir):
+    """Every planted 80%-prefix copy whose ORIGINAL survives the
+    quality filter must be removed by the near-dup stage (the original
+    is the cluster's min-id representative); survivors at id+10000 are
+    only legitimate when their original was quality-filtered away."""
+    from semantic_query_engine_spark.functions.text import quality_score
+    from semantic_query_engine_spark.queries.mlpipeline_q import (
+        training_data_prep_neardup,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    kept = {
+        r.doc_id for r in training_data_prep_neardup(spark, sf_dir).collect()
+    }
+    orig_quality_ok = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", quality_score("text").alias("q"))
+        .filter(F.col("q") >= 0.6)
+        .collect()
+    }
+    # no planted copy may survive alongside its surviving original
+    bad = {d - 10000 for d in kept if d >= 10000} & orig_quality_ok
+    assert not bad, f"planted near-dups kept despite surviving originals: {bad}"
+    # and the pipeline must actually keep something from the originals
+    assert any(d < 200 for d in kept)
+
+
 def test_decontaminate_flags_planted_docs(spark, sf_dir):
     """Each planted half-prefix (id+30000) with >=8 words must be
     flagged against its own eval source; clean train docs stay clean."""

@@ -1,0 +1,74 @@
+"""Generate the sf1 scale fixtures used by tools/scale_run.py and the
+SCALE.md evidence table.
+
+/root/testdata is read-only and the driver provides no sf1, so this
+replicates the driver's sf0.1 parquet 10x into .scale_data/sf1/
+(gitignored) with id offsets; replica 0 is bit-identical to sf0.1:
+
+- documents: doc_id + k*1e6; text gets a per-replica suffix token
+  (' zqK') so fingerprints and shingle sets differ across replicas —
+  dedup pipelines see 10x DISTINCT content, not 90% trivial dups.
+- embeddings: vec_id + k*1e6; embedding[0] += 0.001*k so vectors are
+  distinct with preserved cluster geometry.
+- events: event_id + k*1e7; ts/user untouched (10x events per user).
+- small TPC-H dims copied as-is (the scale queries don't read them).
+
+Deterministic: same input -> same output; no randomness.
+
+Usage: python tools/make_scale_fixtures.py [src_sf_dir] [dst_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+COPY_AS_IS = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def make(src: str, dst: str, replicas: int = 10) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"(SELECT unnest(range({replicas})) AS k) r"
+    con.sql(f"""
+    COPY (
+      SELECT d.doc_id + r.k * 1000000 AS doc_id,
+             CASE WHEN r.k = 0 THEN d.text ELSE d.text || ' zq' || r.k END AS text,
+             d.lang, d.source, d.n_chars
+      FROM read_parquet('{src}/documents.parquet') d, {rep}
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT e.vec_id + r.k * 1000000 AS vec_id,
+             CASE WHEN r.k = 0 THEN e.embedding
+                  ELSE CAST(list_concat([e.embedding[1] + 0.001 * r.k],
+                                        e.embedding[2:]) AS FLOAT[]) END AS embedding,
+             e.label
+      FROM read_parquet('{src}/embeddings.parquet') e, {rep}
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+    COPY (
+      SELECT e.event_id + r.k * 10000000 AS event_id,
+             e.ts, e.user_id, e.event_type, e.value, e.props
+      FROM read_parquet('{src}/events.parquet') e, {rep}
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+    """)
+    for t in COPY_AS_IS:
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    for t in ("documents", "embeddings", "events"):
+        n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n}")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".scale_data/sf1")
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    make(src, dst, replicas)
