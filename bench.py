@@ -58,6 +58,8 @@ HEADLINE = [
     "training_data_prep_neardup",  # + capped-jaccard near-dedup + CC stage
     "ann_ivfpq_topk",    # IVF-PQ: cluster-pruned 8-byte-code ADC scan
     "unigram_perplexity",  # corpus-LM quality scoring
+    "substring_dedup",   # repeated k-token span detection (Lee et al.)
+    "merge_upsert",      # CDC MERGE as broadcast anti-join + union
 ]
 
 

@@ -4,6 +4,7 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 
 from . import advanced_q  # noqa: F401,E402
 from . import dedup_q  # noqa: F401,E402
+from . import curation_q  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import mlpipeline_q  # noqa: F401,E402
 from . import pandas_q  # noqa: F401,E402

@@ -1,0 +1,282 @@
+"""Corpus-curation operators beyond the basic dedup suite: repeated
+k-token span detection (substring-level dedup signal, Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better" — the k-gram
+fingerprint approximation of their suffix-array ExactSubstr), shingle
+containment (doc-in-doc / quotation detection, complementing Jaccard
+which misses subset relations), deterministic stratified sampling, and
+CDC-style MERGE/upsert.  All four are fully oracle-checked.
+
+Like dedup_q, the fixture corpus has no natural duplicates, so the span
+and containment queries plant 80%-prefix copies IN-PLAN (ids +10000) —
+the identical construction runs in the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words_of
+from ..operators.dedup import shingle_table
+from ..sources.fixtures import load_table
+from .mlpipeline_q import _bucket_expr
+from .registry import register
+
+_CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
+_WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
+
+# Span length (words) for the repeated-substring detector.  The fixture
+# documents run 10-99 words; 8 keeps every 80%-prefix copy sharing at
+# least one span with its original.  Real pretraining corpora use ~50
+# BPE tokens (Lee et al. §4) — the plan is length-agnostic.
+_K = 8
+
+
+def _prefix_copy_pool(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """documents[:limit] as word arrays, plus an 80%-prefix copy of each
+    at id+10000 (same construction as dedup_q's oracle pool)."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < limit)
+        .select("doc_id", words_of(F.col("text")).alias("w"))
+    )
+    keep = F.ceil(F.size("w") * 0.8).cast("int")
+    copies = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.slice("w", 1, keep).alias("w")
+    )
+    return base.unionByName(copies)
+
+
+_POOL_SQL = f"""
+    base AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 150),
+    pool AS (
+      SELECT doc_id, w FROM base
+      UNION ALL
+      SELECT doc_id + 10000, w[1:CAST(ceil(0.8 * len(w)) AS BIGINT)] FROM base)
+"""
+
+
+@register(
+    "substring_dedup",
+    oracle=f"""
+    WITH {_POOL_SQL},
+    spans AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(w[pos:pos + {_K - 1}], ' ')) AS h
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, CAST(len(w) AS BIGINT) - {_K - 2})) AS pos
+            FROM pool)),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, pos,
+             LEAST({_K}, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  pos + {_K}) - pos) AS c
+      FROM spans s JOIN dup USING (h)),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+             CAST(SUM(c) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id),
+    sizes AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM pool)
+    SELECT p.doc_id, n_tokens, dup_spans, dup_tokens,
+           ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_frac
+    FROM perdoc p JOIN sizes USING (doc_id)
+    """,
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated K-token (K=8) span detection — the k-gram-fingerprint
+    approximation of suffix-array substring dedup (Lee et al. 2022).
+    Every token position emits one 16-byte md5 of its K-word window;
+    spans whose fingerprint occurs in >=2 documents are duplicated.
+    Per-doc output: span count, exact covered-token count (interval
+    union via one LEAD window — overlapping spans are not
+    double-counted), and duplicated-text fraction.
+
+    Scale shape: the shuffle carries (16-byte digest, id, pos) per
+    token position — linear in corpus tokens, the published cost of the
+    fingerprint method.  The group-by key is the digest (uniform —
+    no skew); boilerplate spans repeated in millions of docs are the
+    hot-key risk and take the same stop-shingle frequency cap as
+    jaccard_pairs when needed.  No all-pairs stage anywhere."""
+    pool = _prefix_copy_pool(spark, sf_dir, 150)
+    spans = (
+        pool.filter(F.size("w") >= _K)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - (_K - 1))).alias("pos"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.array_join(F.slice(F.col("w"), F.col("pos"), _K), " ")).alias("h"),
+        )
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = spans.join(dup, "h")
+    nxt = F.lead("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+    cov = hits.withColumn(
+        "c", F.least(F.lit(_K), F.coalesce(nxt, F.col("pos") + _K) - F.col("pos"))
+    )
+    perdoc = cov.groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans"), F.sum("c").alias("dup_tokens")
+    )
+    sizes = pool.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return perdoc.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_spans",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_POOL_SQL},
+    sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(w) - 1, 1) AS BIGINT)),
+               i -> array_to_string(w[i + 1:i + 2], ' ')))) AS shingle
+      FROM pool),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, containment FROM (
+      SELECT id_a, id_b,
+             ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b)
+    WHERE containment >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs: |A∩B| / min(|A|,|B|) >= 0.9 over word
+    bigram shingles.  Containment catches subset relations (a document
+    quoted inside a larger one) that Jaccard dilutes — the 80%-prefix
+    copies here score ~1.0 containment but only ~0.8 Jaccard.  Same
+    shingle-keyed self-join candidate generation as dedup_jaccard
+    (never all-pairs); the denominator is the only change."""
+    pool = _prefix_copy_pool(spark, sf_dir, 150).select(
+        "doc_id", F.array_join("w", " ").alias("text")
+    )
+    sh = shingle_table(pool, "text", "doc_id", n=2)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i") / F.least("na", "nb"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus,
+           CAST({_bucket_expr('o_orderkey', 'strpos')} AS BIGINT) AS bucket
+    FROM orders
+    WHERE {_bucket_expr('o_orderkey', 'strpos')} <
+          CASE o_orderstatus WHEN 'O' THEN 26 WHEN 'F' THEN 64 ELSE 128 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (~10% of
+    open orders, ~25% of finished, ~50% of the rest) decided by md5
+    bucket of the key — reproducible membership, unlike df.sampleBy's
+    RNG.  Map-only (filter reaches the scan; no shuffle, no state):
+    the standard way to downsample a 100-TB corpus per-source without
+    a sort or a global count."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.expr(_bucket_expr("o_orderkey", "instr", "STRING"))
+    thresh = (
+        F.when(F.col("o_orderstatus") == "O", 26)
+        .when(F.col("o_orderstatus") == "F", 64)
+        .otherwise(128)
+    )
+    return orders.filter(bucket < thresh).select(
+        "o_orderkey", "o_orderstatus", bucket.cast("long").alias("bucket")
+    )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey < 1000),
+    chg AS (
+      SELECT o_orderkey AS k, o_totalprice * 1.1 AS p, 'U' AS op
+      FROM orders WHERE o_orderkey < 500
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'D' FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 600
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'I' FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200)
+    SELECT k AS o_orderkey, p AS price, 'kept' AS change_type
+    FROM tgt WHERE k NOT IN (SELECT k FROM chg)
+    UNION ALL
+    SELECT k, p, CASE op WHEN 'U' THEN 'updated' ELSE 'inserted' END
+    FROM chg WHERE op <> 'D'
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE INTO semantics (update / insert / delete in one pass)
+    as a Delta-style upsert over a plain snapshot.  Changes are derived
+    in-plan: keys <500 get a 10% price update, 500-599 are deleted,
+    1000-1199 are inserted.
+
+    Scale shape: NOT the naive full-outer join (never broadcastable).
+    Instead two broadcast-able passes — target ANTI JOIN change-keys
+    (drops updated+deleted rows from the snapshot scan, map-side when
+    changes << target, which is the normal CDC regime) UNION the
+    non-delete changes.  One scan of the big side, zero shuffle when
+    the change set broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    chg = (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", (F.col("o_totalprice") * 1.1).alias("p"), F.lit("U").alias("op"))
+        .unionByName(
+            orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 600)).select(
+                "o_orderkey", F.col("o_totalprice").alias("p"), F.lit("D").alias("op")
+            )
+        )
+        .unionByName(
+            orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1200)).select(
+                "o_orderkey", F.col("o_totalprice").alias("p"), F.lit("I").alias("op")
+            )
+        )
+        .withColumnRenamed("o_orderkey", "k")
+    )
+    kept = tgt.join(F.broadcast(chg.select("k")), "k", "left_anti").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("p").alias("price"),
+        F.lit("kept").alias("change_type"),
+    )
+    applied = chg.filter(F.col("op") != "D").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("p").alias("price"),
+        F.when(F.col("op") == "U", "updated").otherwise("inserted").alias("change_type"),
+    )
+    return kept.unionByName(applied)

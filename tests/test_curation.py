@@ -1,0 +1,66 @@
+"""Semantic tests for the curation operators (curation_q.py) beyond
+the oracle gate: planted-duplicate recall, MERGE row accounting,
+sampling determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_query_engine_spark.queries import REGISTRY
+
+
+def _run(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_substring_dedup_flags_planted_copies(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in _run(spark, sf_dir, "substring_dedup").collect()}
+    assert rows, "no duplicated spans found despite planted prefix copies"
+    # every copy long enough to hold one 8-token span must be flagged,
+    # and its original (id - 10000) must be flagged too
+    copies = [d for d in rows if d >= 10000]
+    assert copies
+    for d in copies:
+        assert d - 10000 in rows
+    # interval-union coverage can never exceed the document
+    for r in rows.values():
+        assert 0 < r["dup_tokens"] <= r["n_tokens"]
+        assert 0 < r["dup_frac"] <= 1.0
+        assert r["dup_spans"] <= r["n_tokens"]
+
+
+def test_dedup_containment_scores_prefix_copies_as_one(spark, sf_dir):
+    pairs = _run(spark, sf_dir, "dedup_containment").collect()
+    planted = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in pairs
+        if r["id_b"] == r["id_a"] + 10000
+    }
+    assert planted, "no planted (orig, copy) pair scored >= 0.9"
+    # a contiguous prefix's shingle set is a subset of the original's,
+    # so min-denominator containment is exactly 1.0
+    assert all(abs(c - 1.0) < 1e-9 for c in planted.values())
+
+
+def test_merge_upsert_row_accounting(spark, sf_dir):
+    out = _run(spark, sf_dir, "merge_upsert")
+    by_type = {
+        r["change_type"]: r["n"]
+        for r in out.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    keys = [r["o_orderkey"] for r in out.select("o_orderkey").collect()]
+    # deleted band must be gone; inserted band must be present
+    assert not [k for k in keys if 500 <= k < 600]
+    assert by_type.get("inserted", 0) == len([k for k in keys if k >= 1000])
+    # updated rows are exactly the target rows under 500
+    assert by_type.get("updated", 0) == len([k for k in keys if k < 500])
+    assert len(keys) == len(set(keys)), "MERGE produced duplicate keys"
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    a = sorted(_run(spark, sf_dir, "stratified_sample").collect())
+    b = sorted(_run(spark, sf_dir, "stratified_sample").collect())
+    assert a == b, "stratified sample is not reproducible"
+    thresh = {"O": 26, "F": 64, "P": 128}
+    for r in a:
+        assert r["bucket"] < thresh.get(r["o_orderstatus"], 128)
