@@ -323,3 +323,116 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(ts) AS t2 FROM events e
+      JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(ts) AS t3 FROM events e
+      JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+    SELECT s1.user_id,
+           CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT)
+             AS funnel_stage,
+           strftime(t1, '{_DTS_FMT_S}') AS t_view,
+           strftime(t2, '{_DTS_FMT_S}') AS t_click,
+           strftime(t3, '{_DTS_FMT_S}') AS t_purchase
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: each stage's
+    timestamp is the first qualifying event STRICTLY AFTER the previous
+    stage (the product-analytics semantics — a click before the first
+    view does not count).
+
+    Scale shape: every stage is a groupBy(user_id) over a
+    predicate-pushed scan of one event type, and every join is keyed on
+    user_id — all exchanges share the same hash partitioning, so AQE
+    reuses one shuffle layout end-to-end; no window over the full event
+    stream, no per-user sort of unfiltered events."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.cast("long").alias("funnel_stage"),
+            F.date_format("t1", _TS_FMT_S).alias("t_view"),
+            F.date_format("t2", _TS_FMT_S).alias("t_click"),
+            F.date_format("t3", _TS_FMT_S).alias("t_purchase"),
+        )
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each subsequent active day (day_offset 0, 1, 2, ...) —
+    the classic growth-analytics rollup.
+
+    Scale shape: first-seen and distinct-activity both hash-partition
+    on user_id (AQE shares the exchange), the join is user_id-keyed,
+    and the final agg is over (cohort, offset) — bounded by days², not
+    by events.  No window, no driver state."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
