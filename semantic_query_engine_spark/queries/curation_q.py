@@ -31,35 +31,46 @@ _WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
 _K = 8
 
 
-def _prefix_copy_pool(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
-    """documents[:limit] as word arrays, plus an 80%-prefix copy of each
-    at id+10000 (same construction as dedup_q's oracle pool)."""
-    base = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < limit)
-        .select("doc_id", words_of(F.col("text")).alias("w"))
-    )
+def _prefix_copy_pool(
+    spark: SparkSession, sf_dir: str, limit: int | None = 150
+) -> DataFrame:
+    """documents (all of them when limit is None) as word arrays, plus an
+    80%-prefix copy of documents[:150] at id+10000 (same planted-dup
+    construction as dedup_q's oracle pool)."""
+    docs = load_table(spark, sf_dir, "documents")
+    if limit is not None:
+        docs = docs.filter(F.col("doc_id") < limit)
+    base = docs.select("doc_id", words_of(F.col("text")).alias("w"))
+    planted = base.filter(F.col("doc_id") < 150)
     keep = F.ceil(F.size("w") * 0.8).cast("int")
-    copies = base.select(
+    copies = planted.select(
         (F.col("doc_id") + 10000).alias("doc_id"), F.slice("w", 1, keep).alias("w")
     )
     return base.unionByName(copies)
 
 
-_POOL_SQL = f"""
+def _pool_sql(where: str) -> str:
+    return f"""
     base AS (
-      SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < 150),
+      SELECT doc_id, {_WORDS} AS w FROM documents {where}),
     pool AS (
       SELECT doc_id, w FROM base
       UNION ALL
-      SELECT doc_id + 10000, w[1:CAST(ceil(0.8 * len(w)) AS BIGINT)] FROM base)
+      SELECT doc_id + 10000, w[1:CAST(ceil(0.8 * len(w)) AS BIGINT)]
+      FROM base WHERE doc_id < 150)
 """
+
+
+# bounded pool for the quadratic-candidate containment join; the span
+# detector runs over the FULL corpus (its cost is linear in tokens)
+_POOL_SQL = _pool_sql("WHERE doc_id < 150")
+_POOL_SQL_ALL = _pool_sql("")
 
 
 @register(
     "substring_dedup",
     oracle=f"""
-    WITH {_POOL_SQL},
+    WITH {_POOL_SQL_ALL},
     spans AS (
       SELECT doc_id, CAST(pos AS BIGINT) AS pos,
              md5(array_to_string(w[pos:pos + {_K - 1}], ' ')) AS h
@@ -96,8 +107,9 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint method.  The group-by key is the digest (uniform —
     no skew); boilerplate spans repeated in millions of docs are the
     hot-key risk and take the same stop-shingle frequency cap as
-    jaccard_pairs when needed.  No all-pairs stage anywhere."""
-    pool = _prefix_copy_pool(spark, sf_dir, 150)
+    jaccard_pairs when needed.  No all-pairs stage anywhere — the query
+    runs over the FULL corpus (planted copies guarantee signal)."""
+    pool = _prefix_copy_pool(spark, sf_dir, limit=None)
     spans = (
         pool.filter(F.size("w") >= _K)
         .select(
