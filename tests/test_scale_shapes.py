@@ -181,3 +181,42 @@ def test_repo_wide_plan_audit_clean(spark, sf_dir):
     names = [n for n in REGISTRY if not n.startswith(STREAM_PREFIXES)]
     bad = run_audit(spark, sf_dir, names)
     assert bad == {}, bad
+
+
+def test_merge_upsert_is_broadcast_anti_join(spark, sf_dir):
+    """MERGE must stay the broadcast-anti + union shape, never a
+    full-outer shuffle join of target and changes."""
+    from semantic_query_engine_spark.queries.curation_q import merge_upsert
+
+    plan = _plan(merge_upsert(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "FullOuter" not in plan and "SortMergeJoin" not in plan
+
+
+def test_substring_dedup_no_allpairs(spark, sf_dir):
+    """The span detector joins on the k-gram digest — no cartesian or
+    nested-loop stage may appear even though it self-compares docs."""
+    from semantic_query_engine_spark.queries.curation_q import substring_dedup
+
+    plan = _plan(substring_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_map_only(spark, sf_dir):
+    """Per-stratum hash sampling must be a pure scan+filter — any
+    Exchange means the sample shuffled 100 TB for a row-local decision."""
+    from semantic_query_engine_spark.queries.curation_q import stratified_sample
+
+    plan = _plan(stratified_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_events_funnel_single_partitioning(spark, sf_dir):
+    """Every stage keys on user_id; the plan must not sort the full
+    event stream (no unpartitioned window/global sort)."""
+    from semantic_query_engine_spark.queries.events import events_funnel
+
+    plan = _plan(events_funnel(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "GlobalSort" not in plan and "Sort [ts" not in plan

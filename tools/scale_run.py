@@ -42,6 +42,10 @@ QUERIES = [
     "hybrid_rrf",              # full corpus BM25 + full embeddings cosine
     "dedup_semantic",          # bounded (<100 vecs) by construction
     "semantic_topk_dim1024",   # full embeddings at the reference's width
+    "substring_dedup",         # full corpus: one digest per token position
+    "merge_upsert",            # key-band CDC over orders (broadcast anti)
+    "events_funnel",           # full events: per-user staged min-ts
+    "events_retention",        # full events: cohort triangle
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
