@@ -123,13 +123,16 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(F.slice(F.col("w"), F.col("pos"), _K), " ")).alias("h"),
         )
     )
-    dup = (
-        spans.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    # cross-document occurrence == min(doc_id) != max(doc_id) over the
+    # digest partition: ONE shuffle on h (window), instead of a
+    # count-distinct agg plus a join back of the span table on h
+    wh = Window.partitionBy("h")
+    hits = (
+        spans.withColumn("mn", F.min("doc_id").over(wh))
+        .withColumn("mx", F.max("doc_id").over(wh))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "pos")
     )
-    hits = spans.join(dup, "h")
     nxt = F.lead("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
     cov = hits.withColumn(
         "c", F.least(F.lit(_K), F.coalesce(nxt, F.col("pos") + _K) - F.col("pos"))
