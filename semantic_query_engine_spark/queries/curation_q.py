@@ -109,7 +109,16 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key risk and take the same stop-shingle frequency cap as
     jaccard_pairs when needed.  No all-pairs stage anywhere — the query
     runs over the FULL corpus (planted copies guarantee signal)."""
-    pool = _prefix_copy_pool(spark, sf_dir, limit=None)
+    return _span_report(_prefix_copy_pool(spark, sf_dir, limit=None))
+
+
+def _span_report(pool: DataFrame, max_span_freq: int | None = None) -> DataFrame:
+    """Per-doc duplicated-span report over a (doc_id, w) word-array pool.
+    max_span_freq is the skew valve: a span fingerprint occurring more
+    than that many times corpus-wide (license boilerplate, headers) is
+    dropped before dup marking — it would otherwise mark every document
+    as a duplicate of every other AND concentrate its whole occurrence
+    list on one reduce key."""
     spans = (
         pool.filter(F.size("w") >= _K)
         .select(
@@ -127,12 +136,14 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digest partition: ONE shuffle on h (window), instead of a
     # count-distinct agg plus a join back of the span table on h
     wh = Window.partitionBy("h")
-    hits = (
-        spans.withColumn("mn", F.min("doc_id").over(wh))
-        .withColumn("mx", F.max("doc_id").over(wh))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("doc_id", "pos")
+    keep = F.col("mn") != F.col("mx")
+    marked = spans.withColumn("mn", F.min("doc_id").over(wh)).withColumn(
+        "mx", F.max("doc_id").over(wh)
     )
+    if max_span_freq is not None:
+        marked = marked.withColumn("cnt", F.count("*").over(wh))
+        keep = keep & (F.col("cnt") <= max_span_freq)
+    hits = marked.filter(keep).select("doc_id", "pos")
     nxt = F.lead("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
     cov = hits.withColumn(
         "c", F.least(F.lit(_K), F.coalesce(nxt, F.col("pos") + _K) - F.col("pos"))
@@ -148,6 +159,81 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
     )
+
+
+# ten boilerplate words appended to EVERY document for the capped
+# variant — the license-header scenario that breaks uncapped span dedup
+_BOILER = (
+    "license notice this document is provided under the public terms"
+).split()
+
+
+@register(
+    "substring_dedup_capped",
+    oracle=f"""
+    WITH orig AS (
+      SELECT doc_id, {_WORDS} AS ow FROM documents),
+    base AS (
+      SELECT doc_id,
+             list_concat(ow, {_BOILER!r}::VARCHAR[]) AS w
+      FROM orig),
+    pool AS (
+      SELECT doc_id, w FROM base
+      UNION ALL
+      SELECT doc_id + 10000, ow[1:CAST(ceil(0.8 * len(ow)) AS BIGINT)]
+      FROM orig WHERE doc_id < 150),
+    spans AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(array_to_string(w[pos:pos + {_K - 1}], ' ')) AS h
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, CAST(len(w) AS BIGINT) - {_K - 2})) AS pos
+            FROM pool)),
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               MIN(doc_id) OVER (PARTITION BY h) AS mn,
+               MAX(doc_id) OVER (PARTITION BY h) AS mx,
+               COUNT(*) OVER (PARTITION BY h) AS cnt
+        FROM spans)
+      WHERE mn <> mx AND cnt <= 100),
+    cov AS (
+      SELECT doc_id, pos,
+             LEAST({_K}, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                  pos + {_K}) - pos) AS c
+      FROM hits),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+             CAST(SUM(c) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id),
+    sizes AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM pool)
+    SELECT p.doc_id, n_tokens, dup_spans, dup_tokens,
+           ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_frac
+    FROM perdoc p JOIN sizes USING (doc_id)
+    """,
+)
+def substring_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup with the frequency cap ENGAGED against planted
+    license boilerplate: ten fixed words are appended to EVERY document
+    in-plan, so uncapped span dedup would mark the entire corpus as
+    inter-duplicated through those spans (and pile every row onto one
+    reduce key).  Spans occurring more than 100 times corpus-wide are
+    dropped before dup marking (cnt <= 100 in the same digest window —
+    zero extra shuffles); the corpus-wide boilerplate spans vanish and
+    the report flags the planted prefix copies plus the rare genuine
+    boundary overlaps, NOT the whole corpus.  The oracle applies the
+    IDENTICAL cap, so this stays hash-exact, like dedup_jaccard_capped."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_of(F.col("text")).alias("ow")
+    )
+    base = docs.select(
+        "doc_id",
+        F.concat("ow", F.array(*[F.lit(x) for x in _BOILER])).alias("w"),
+    )
+    keep = F.ceil(F.size("ow") * 0.8).cast("int")
+    copies = docs.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.slice("ow", 1, keep).alias("w")
+    )
+    return _span_report(base.unionByName(copies), max_span_freq=100)
 
 
 @register(

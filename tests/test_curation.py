@@ -64,3 +64,45 @@ def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
     thresh = {"O": 26, "F": 64, "P": 128}
     for r in a:
         assert r["bucket"] < thresh.get(r["o_orderstatus"], 128)
+
+
+def test_substring_dedup_cap_suppresses_boilerplate(spark, sf_dir):
+    """Every doc carries the planted license boilerplate.  Build the
+    UNCAPPED report over the identical boilerplated pool and compare:
+    the cap must strictly reduce total duplicated-token coverage (the
+    corpus-wide boilerplate spans are dropped), while the planted
+    prefix copies survive it."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.curation_q import (
+        _BOILER,
+        _span_report,
+    )
+    from semantic_query_engine_spark.functions.text import words_of
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    capped_rows = _run(spark, sf_dir, "substring_dedup_capped").collect()
+    capped = {r["doc_id"]: r for r in capped_rows}
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_of(F.col("text")).alias("ow")
+    )
+    base = docs.select(
+        "doc_id", F.concat("ow", F.array(*[F.lit(x) for x in _BOILER])).alias("w")
+    )
+    keep = F.ceil(F.size("ow") * 0.8).cast("int")
+    copies = docs.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.slice("ow", 1, keep).alias("w")
+    )
+    uncapped_rows = _span_report(base.unionByName(copies)).collect()
+    uncapped = {r["doc_id"]: r for r in uncapped_rows}
+
+    assert capped, "cap removed everything, including real duplicates"
+    assert set(capped) <= set(uncapped)
+    cap_cov = sum(r["dup_tokens"] for r in capped_rows)
+    uncap_cov = sum(r["dup_tokens"] for r in uncapped_rows)
+    assert cap_cov < uncap_cov, (
+        f"cap did not drop any boilerplate coverage ({cap_cov} vs {uncap_cov})"
+    )
+    planted = [d for d in capped if d >= 10000]
+    assert planted and all(d - 10000 in capped for d in planted)
