@@ -683,3 +683,54 @@ def expect_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negative_id": F.col("doc_id") < 0,
         },
     )
+
+
+@register(
+    "profile_embeddings",
+    oracle="""
+    WITH n AS (
+      SELECT embedding::DOUBLE[] AS e,
+             len(embedding) AS dim,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
+    SELECT
+      COUNT(*) AS n_vectors,
+      CAST(SUM(CASE WHEN e IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CAST(MIN(dim) AS BIGINT) AS dim_min,
+      CAST(MAX(dim) AS BIGINT) AS dim_max,
+      CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      ROUND(MIN(nrm), 6) AS min_norm,
+      ROUND(MAX(nrm), 6) AS max_norm,
+      ROUND(AVG(nrm), 6) AS mean_norm
+    FROM n
+    """,
+)
+def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QA profile: vector count, nulls, dimension
+    min/max (a ragged dim is a broken ingest), zero-vector count (a
+    zero norm poisons cosine retrieval), and norm min/max/mean — the
+    sanity pass before building any ANN index.  ONE aggregation over
+    one scan (aggregates skip NULL rows, so the null count and the
+    norm stats share the pass); the dot product runs element-wise in
+    codegen (zip_with + aggregate), no UDF, no shuffle beyond the
+    final 1-row reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with("e", "e", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = emb.select(
+        e.alias("e"), F.size("embedding").alias("dim")
+    ).withColumn("nrm", F.sqrt(dot))
+    return n.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("e").isNull().cast("long")).alias("n_null"),
+        F.min("dim").cast("long").alias("dim_min"),
+        F.max("dim").cast("long").alias("dim_max"),
+        F.sum((F.col("nrm") == 0).cast("long")).alias("n_zero"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+    )

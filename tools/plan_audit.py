@@ -66,18 +66,29 @@ ALLOWED_UNPART_WINDOW: dict[str, str] = {
 STREAM_PREFIXES = ("stream_", "session_window")
 
 
+_SORT_ITEM = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def _has_unpartitioned_window(plan: str) -> bool:
+    """True when any windowspecdefinition has NO partition columns.
+    The spec prints `windowspecdefinition(part..., ord ASC NULLS FIRST,
+    specifiedwindowframe(...))`; partition columns are the leading args
+    that are NOT sort items.  (The old `], [`-counting heuristic
+    false-positived on partitioned windows with no ORDER BY, which
+    print only one trailing list.)"""
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        args = [a.strip() for a in m.group(1).split(",") if a.strip()]
+        if not any(not _SORT_ITEM.search(a) for a in args):
+            return True
+    return False
+
+
 def audit_one(spark, name: str, sf_dir: str) -> list[str]:
     df = REGISTRY[name].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     flags = []
-    for line in plan.splitlines():
-        if (
-            "windowspecdefinition" in line
-            and len(re.findall(r"\], \[", line)) < 2
-            and name not in ALLOWED_UNPART_WINDOW
-        ):
-            flags.append("UNPART_WINDOW")
-            break
+    if _has_unpartitioned_window(plan) and name not in ALLOWED_UNPART_WINDOW:
+        flags.append("UNPART_WINDOW")
     if "CartesianProduct" in plan:
         flags.append("CARTESIAN")
     if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
