@@ -184,14 +184,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize", oracle=None)
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes_in,
+           8 AS out_w, 8 AS out_h,
+           CASE WHEN n = 0 THEN repeat('00', 64)
+                ELSE list_aggregate(
+                  list_transform(range(64),
+                    i -> substr(hx, 2 * least(i * n // 64, n - 1) + 1, 2)),
+                  'string_agg', '')
+           END AS resized_hex
+    FROM p
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize: payload -> nearest-neighbor byte resampling to
     a fixed 8x8 'tensor' via mapInPandas (operators/multimodal.py:
-    resize_stub).  Rows-only: the resized payload is a binary column
-    DuckDB SQL cannot reconstruct cheaply; pytest pins determinism,
-    output size, and content (tests/test_sources_and_sinks.py)."""
+    resize_stub).  The resized bytes are projected as hex so the DuckDB
+    oracle can rebuild them byte-for-byte from the hex of the identical
+    UTF-8 payload (index i picks byte i*n//64, clipped — the same
+    arithmetic as the numpy path), upgrading this from rows-only to a
+    full value-hash check; pytest additionally pins determinism and
+    output size (tests/test_sources_and_sinks.py)."""
     from ..operators.multimodal import attach_binary_payload, resize_stub
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return resize_stub(attach_binary_payload(docs))
+    out = resize_stub(attach_binary_payload(docs))
+    return out.select(
+        "doc_id", "n_bytes_in", "out_w", "out_h",
+        F.hex("resized").alias("resized_hex"),
+    )
