@@ -7,9 +7,15 @@ turns near-dup search into an equality join on (band_idx, band_value),
 and only colliding candidates pay the bit_count verification.  That is
 the 100 TB shape: no all-pairs anywhere.
 
-xxhash64 has no DuckDB twin, so these are rows-only checks; unit tests
-pin the semantics (identical text -> identical signature, hamming 0;
-small edit -> small hamming distance).
+Two word-hash modes, identical structure:
+- xxhash64 (default `portable=False`): the production path — one
+  codegen'd hash instruction per word;
+- md5-derived (`portable=True`): bits 0-63 of md5(word), parsed as two
+  32-bit halves.  md5 exists in DuckDB too, so portable-mode signatures
+  are bit-for-bit reproducible in SQL and the full banded pipeline is
+  oracle-checkable (dedup_simhash).  ~2x hash cost, same plan shape.
+Unit tests pin the semantics either way (identical text -> identical
+signature, hamming 0; small edit -> small hamming distance).
 """
 
 from __future__ import annotations
@@ -23,13 +29,26 @@ N_BITS = 64
 N_BANDS = 4  # 16 bits per band
 
 
-def simhash(text_col) -> F.Column:
+def portable_word_hash(w) -> F.Column:
+    """64-bit word hash from md5 (DuckDB-reproducible): hex chars 1-8
+    are the high 32 bits, 9-16 the low.  shiftleft(hi, 32) sets the
+    sign bit for hi >= 2^31 — the same two's-complement bit pattern the
+    oracle builds as an unsigned HUGEINT, and bit extraction is
+    representation-agnostic."""
+    m = F.md5(w)
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash(text_col, portable: bool = False) -> F.Column:
     """64-bit SimHash of the whitespace tokens: for each bit j, sum
     +1/-1 votes of every word-hash's bit j; bit j of the signature is 1
     iff the vote is positive.  The bit loop is unrolled in Python
     (shift amounts must be literals) and packing uses shiftleft so bit
     63 lands in the sign bit without overflow."""
-    hashes = F.transform(words_of(text_col), lambda w: F.xxhash64(w))
+    word_hash = portable_word_hash if portable else F.xxhash64
+    hashes = F.transform(words_of(text_col), lambda w: word_hash(w))
 
     def vote(j: int):
         # factory binds j per bit; the merge lambda must stay 2-ary
@@ -64,11 +83,12 @@ def simhash_pairs(
     max_hamming: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate pairs sharing at least one 16-bit band, verified by
     Hamming distance <= max_hamming.  Returns (id_a, id_b, hamming)."""
     sigs = docs.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"), simhash(F.col(text_col), portable).alias("sig")
     )
     banded = sigs.select(
         "id", "sig", F.posexplode(band_values(F.col("sig"))).alias("band_idx", "band_val")

@@ -274,14 +274,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.5, n=2)
 
 
-@register("dedup_simhash", oracle=None)
+def _simhash_oracle() -> str:
+    """Generate the full DuckDB twin of the banded SimHash pipeline in
+    portable-hash mode: md5-derived 64-bit word hashes (two 8-hex-char
+    halves parsed with the strpos polynomial), the 64 unrolled bit
+    votes, HUGEINT signature packing, 16-bit banding, and band-wise
+    xor/bit_count Hamming — bit-for-bit the operator's arithmetic."""
+    hexd = "0123456789abcdef"
+
+    def poly(start: int) -> str:
+        return " + ".join(
+            f"(strpos('{hexd}', substr(m, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    sig_sum = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST('{2 ** j}' AS HUGEINT) "
+        f"ELSE CAST(0 AS HUGEINT) END"
+        for j in range(64)
+    )
+    shifts = [1, 65536, 4294967296, 281474976710656]
+    band_val = (
+        "CAST((sig // CASE band_idx WHEN 0 THEN 1 WHEN 1 THEN 65536 "
+        "WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT)"
+    )
+    ham = " + ".join(
+        f"bit_count(xor(CAST((sig_a // {s}) % 65536 AS BIGINT), "
+        f"CAST((sig_b // {s}) % 65536 AS BIGINT)))"
+        for s in shifts
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base),
+    words AS (SELECT id, unnest(ws) AS w FROM alldocs),
+    hw AS (SELECT id, md5(w) AS m FROM words),
+    hv AS (SELECT id,
+                  CAST({poly(1)} AS HUGEINT) * 4294967296 + ({poly(9)}) AS h
+           FROM hw),
+    votes AS (SELECT id, {votes}
+              FROM hv GROUP BY id),
+    sigs AS (SELECT id, {sig_sum} AS sig FROM votes),
+    bands AS (
+      SELECT id, sig, band_idx, {band_val} AS band_val
+      FROM (SELECT id, sig, unnest([0, 1, 2, 3]) AS band_idx FROM sigs)),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming FROM cands)
+    WHERE hamming <= 8
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (64-bit signatures, 4 bands,
-    hamming <= 8) over the corpus plus 80%-prefix copies.  xxhash64 has
-    no DuckDB twin -> rows-only; tests pin signature semantics."""
+    hamming <= 8) over the corpus plus 80%-prefix copies, in
+    portable-hash mode: word hashes derive from md5 (which DuckDB
+    shares), so the ENTIRE sketch pipeline — signature votes, banding,
+    candidate join, Hamming verify — is value-hash-checked against a
+    generated SQL twin, not rows-only.  `portable=False` swaps in
+    xxhash64 word hashes (one codegen instruction instead of an md5)
+    with zero structural change — the documented production default
+    at 100 TB; tests pin the semantics of both modes."""
     from ..operators.simhash import simhash_pairs
 
-    return simhash_pairs(_docs_with_truncated_copies(spark, sf_dir), max_hamming=8)
+    return simhash_pairs(
+        _docs_with_truncated_copies(spark, sf_dir), max_hamming=8, portable=True
+    )
 
 
 @register("ann_lsh_topk", oracle=None)
