@@ -141,3 +141,62 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_price"),
         F.count("*").alias("n"),
     )
+
+
+def _morton_sql(c1: str, c2: str, bits: int = 16) -> str:
+    """DuckDB twin of the Morton interleave: bit i of c1 lands at 2i,
+    bit i of c2 at 2i+1 — plain &/<<//>> on BIGINT, loop-unrolled."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({c2} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def morton_key(c1, c2, bits: int = 16):
+    """Z-order (Morton) key of two non-negative int columns: interleave
+    the low `bits` bits so lexicographic order on the key is a
+    space-filling curve over (c1, c2).  Sorting a table by this key
+    before writing makes EVERY row group's min/max narrow on BOTH
+    columns — parquet data skipping then prunes on either predicate,
+    which a single-column sort only gives you for that one column.
+    Pure codegen bit ops, loop-unrolled (shift amounts must be
+    literals)."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(c1, i).bitwiseAND(F.lit(1)).cast("long")
+        b2 = F.shiftright(c2, i).bitwiseAND(F.lit(1)).cast("long")
+        key = key.bitwiseOR(F.shiftleft(b1, 2 * i)).bitwiseOR(
+            F.shiftleft(b2, 2 * i + 1)
+        )
+    return key
+
+
+@register(
+    "zorder_key",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_morton_sql('(o_orderkey % 65536)', '(o_custkey % 65536)')}
+                AS BIGINT) AS zkey
+    FROM orders
+    """,
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (o_orderkey, o_custkey) — the Delta
+    OPTIMIZE ZORDER BY technique as a plain deterministic expression.
+    The query itself is map-only; the layout win (narrow per-file
+    min/max on BOTH columns after range-partitioning by zkey, so
+    parquet skipping prunes on either predicate) is asserted by
+    tests/test_scale_shapes.py::test_zorder_layout_narrows_rowgroups
+    on real written files.  Caveat the test also encodes: dimensions
+    must be normalized to comparable bit widths before interleaving
+    (quantile-bucket each column at scale, Delta-style) — with unequal
+    widths the top sort bits all come from the wider column and the
+    curve degrades to that column's plain sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        morton_key(
+            F.col("o_orderkey") % 65536, F.col("o_custkey") % 65536
+        ).alias("zkey"),
+    )

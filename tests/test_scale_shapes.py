@@ -220,3 +220,58 @@ def test_events_funnel_single_partitioning(spark, sf_dir):
     plan = _plan(events_funnel(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "GlobalSort" not in plan and "Sort [ts" not in plan
+
+
+def test_zorder_layout_narrows_rowgroups(spark, sf_dir, tmp_path):
+    """Writing orders sorted by the Morton key must leave each parquet
+    row group with a narrow o_custkey min/max span (data skipping on
+    the SECOND column), where a single-column o_orderkey sort leaves
+    custkey spans near the full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.scale_q import morton_key
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # normalize both dimensions to ~8 significant bits before
+    # interleaving — with unequal widths the top sort bits all come
+    # from the wider column and the curve degrades to its single-column
+    # sort (at scale: quantile-bucket each column first, Delta-style)
+    zkey = morton_key(
+        F.shiftright("o_orderkey", 3) % 256, F.col("o_custkey") % 256, bits=8
+    )
+
+    def avg_custkey_span(path: str) -> float:
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    if col.path_in_schema == "o_custkey":
+                        st = col.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                spans.append(hi - lo)
+        assert spans, f"no file stats under {path}"
+        return sum(spans) / len(spans)
+
+    base = str(tmp_path / "by_orderkey")
+    zord = str(tmp_path / "by_zorder")
+    # range-partition into 20 files: each FILE is one skipping unit
+    # (file-level min/max pruning — the same mechanism at cluster scale)
+    orders.repartitionByRange(20, "o_orderkey").write.parquet(base)
+    orders.withColumn("zkey", zkey).repartitionByRange(20, "zkey").drop(
+        "zkey"
+    ).write.parquet(zord)
+
+    span_base = avg_custkey_span(base)
+    span_z = avg_custkey_span(zord)
+    # z-order must at least halve the per-file custkey span
+    assert span_z < 0.5 * span_base, (span_z, span_base)
