@@ -989,3 +989,108 @@ def explode_outer_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return src.select("doc_id", F.explode_outer("arr").alias("word"))
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+      SELECT c_custkey, c_name,
+             CAST(SUM({_dcents('l_extendedprice')} * (100 - {_dcents('l_discount')})) AS BIGINT)
+               AS rev_c,
+             CAST(SUM({_dcents('l_extendedprice')} * (100 - {_dcents('l_discount')})) AS BIGINT)
+               / 10000.0 AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name)
+    ORDER BY rev_c DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by revenue lost to returns in
+    one quarter.  The classic 4-table star: date + returnflag predicates
+    push to the two fact scans, nation broadcasts, the agg keys on the
+    customer grain, and the top-20 is TakeOrderedAndProject on exact
+    integer cents (deterministic ties via c_custkey)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev_c = F.sum(
+        _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    ).alias("rev_c")
+    agg = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev_c)
+    )
+    return (
+        agg.orderBy(F.col("rev_c").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c") / 10000.0).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM({_dcents('l_quantity')}) > 20000)
+    SELECT c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           CAST(SUM({_dcents('l_quantity')}) AS BIGINT) / 100.0 AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds 200 (top
+    ~1% of the fixture), with their customers.  The HAVING subquery is
+    a semi join on the already-aggregated order grain — the big
+    lineitem table is scanned once for the filter agg and once for the
+    final agg, both keyed on l_orderkey so AQE shares the exchange
+    layout; quantities aggregate in exact integer centi-units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qc"))
+        .filter(F.col("qc") > 20000)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li.join(big, "l_orderkey", "left_semi"),
+              F.col("l_orderkey") == o["o_orderkey"])
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg((F.sum(_cents("l_quantity")) / 100.0).alias("sum_qty"))
+    )
