@@ -225,3 +225,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("s.ts", _TS).alias("signup_ts"),
     )
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "stream_cdc_compact",
+    oracle=f"""
+    SELECT user_id,
+           max_by(event_id,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_event_id,
+           max_by(event_type,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+           max_by(ROUND(value, 6),
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_value,
+           strftime(MAX(ts), '{_DTS}') AS last_ts,
+           COUNT(*) AS n_changes
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction ON THE STREAMING ENGINE: treat events as a
+    change stream keyed by user_id and reduce it to the
+    latest-write-wins snapshot (the Kafka compacted-topic / Delta CDF
+    'latest state' op).  One streaming groupBy with max_by aggregates in
+    complete mode — the state store holds one row per key, not the log.
+    Ordering is a lexicographic (microsecond-timestamp, zero-padded
+    event_id) string, so ties are deterministic and the DuckDB twin
+    orders identically — full oracle."""
+    src = read_events_stream(spark, sf_dir)
+    ordk = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = src.groupBy("user_id").agg(
+        F.max_by("event_id", ordk).alias("last_event_id"),
+        F.max_by("event_type", ordk).alias("last_type"),
+        F.max_by(F.round("value", 6), ordk).alias("last_value"),
+        F.date_format(F.max("ts"), _TS).alias("last_ts"),
+        F.count("*").alias("n_changes"),
+    )
+    return run_to_memory(agg, output_mode="complete")
