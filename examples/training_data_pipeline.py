@@ -1,0 +1,63 @@
+"""End-to-end demo: a pretraining data-prep pipeline on this engine.
+
+Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
+
+Composes the curation surface the way a 100 TB corpus run would:
+quality scoring -> exact dedup -> MinHash near-dedup + connected
+components -> repeated-span stats -> PII redaction -> deterministic
+train/val/test split -> per-split sequence packing -> partitioned
+parquet sink.  Everything is one declarative DAG per stage; nothing
+collects to the driver except the final previews.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
+from semantic_query_engine_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/prep_out"
+    spark = get_spark("training-data-pipeline")
+
+    def show(name: str, n: int = 5):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        print(f"\n== {name} ({df.count()} rows) ==")
+        df.show(n, truncate=80)
+        return df
+
+    # 1. corpus health before anything else
+    show("profile_documents")
+    show("expect_documents")
+
+    # 2. duplication landscape: exact, near (minhash), substring-level
+    show("dedup_exact", 3)
+    show("dedup_minhash_lsh", 5)
+    show("substring_dedup", 5)
+
+    # 3. the composed prep plan (quality -> dedup -> neardup CC ->
+    #    split -> pack) and its packed output
+    prep = show("training_data_prep_neardup", 5)
+
+    # 4. write the result partitioned by split — the layout a trainer
+    #    reads shard-by-shard
+    prep.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    sizes = (
+        spark.read.parquet(out_dir)
+        .groupBy("split")
+        .agg(F.count("*").alias("docs"), F.max("pack_id").alias("max_pack"))
+    )
+    print(f"\n== written to {out_dir} ==")
+    sizes.show()
+
+
+if __name__ == "__main__":
+    main()
