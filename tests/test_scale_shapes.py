@@ -275,3 +275,52 @@ def test_zorder_layout_narrows_rowgroups(spark, sf_dir, tmp_path):
     span_z = avg_custkey_span(zord)
     # z-order must at least halve the per-file custkey span
     assert span_z < 0.5 * span_base, (span_z, span_base)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The runtime half of the skew story (salting is the manual half):
+    with one key holding 300x the median rows, AQE must replan the
+    shuffle join with skew=true (hot partition split across tasks)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.col("id") == 0, 300_000).otherwise(1_000),
+                )
+            ).alias("v"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        [row] = j.collect()
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        # the replan must not change the answer
+        assert row["s"] == sum(
+            (300_000 if k == 0 else 1_000) * (300_001 if k == 0 else 1_001) // 2
+            for k in range(100)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
