@@ -46,6 +46,8 @@ QUERIES = [
     "merge_upsert",            # key-band CDC over orders (broadcast anti)
     "events_funnel",           # full events: per-user staged min-ts
     "events_retention",        # full events: cohort triangle
+    "substring_dedup_capped",  # full corpus + boilerplate, freq valve on
+    "stream_cdc_compact",      # full events through streaming max_by state
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
