@@ -114,7 +114,9 @@ def connected_components(
     raw Arrow bytes; that is why the default is 250k and not higher.
     Larger graphs run the alternating star rounds — the 100 TB path.
     Both produce the identical (node, min-id) labeling
-    (tests/test_graph.py pins them equal across the boundary).
+    (tests/test_dedup.py::
+    test_connected_components_paths_agree_at_threshold_boundary pins
+    them equal across the boundary).
 
     max_iter bounds large+small round PAIRS; convergence needs
     O(log n) of them, so 50 covers any graph that fits in storage —
