@@ -224,3 +224,60 @@ def approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "approx_percentile_checked",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_percentile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-gated sketch check: the t-digest-style approx median
+    must land within 1% of the exact continuous median, and that claim
+    itself goes through the value-hash gate — if a Spark upgrade (or a
+    sketch regression) drifts the approximation out of tolerance,
+    `within_tol` flips to false and the oracle comparison fails loudly.
+    This is how the engine keeps constant-memory sketches honest
+    without pretending DuckDB can reproduce their internals."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(percentile(o_totalprice, 0.5), 2) AS exact_median,
+               abs(approx_percentile(o_totalprice, 0.5, 10000)
+                   - percentile(o_totalprice, 0.5))
+                 / percentile(o_totalprice, 0.5) <= 0.01 AS within_tol
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "distinct_count_checked",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_tol
+    FROM lineitem
+    """,
+)
+def distinct_count_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-gated HLL++ check (same pattern as
+    approx_percentile_checked): approx_count_distinct at rsd=0.02 must
+    land within 5% of the exact distinct count, with the tolerance
+    claim hash-checked against the exact-only oracle.  HLL merge is
+    commutative, so the sketch value is deterministic for fixed data
+    regardless of partitioning — the flag cannot flap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", 0.02)
+    return li.agg(
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.05
+        ).alias("within_tol"),
+    )
