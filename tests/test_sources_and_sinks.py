@@ -208,3 +208,46 @@ def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
     ) == want
     plan = got.filter("n_regionkey = 1")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]" in plan, plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lakehouse reality: yesterday's files lack today's column.  A
+    mergeSchema read must unify both generations, null-filling the old
+    files — no rewrite of 100 TB required."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(5).select("id", F.lit("a").alias("src")).write.parquet(out)
+    spark.range(5, 10).select(
+        "id", F.lit("b").alias("src"), (F.col("id") * 2).alias("extra")
+    ).write.mode("append").parquet(out)
+
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) == {"id", "src", "extra"}
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[2]["extra"] is None          # old generation null-fills
+    assert rows[7]["extra"] == 14            # new generation keeps data
+
+
+def test_corrupt_file_tolerance(spark, tmp_path):
+    """One bad object among millions must not kill the job: with
+    ignoreCorruptFiles the scan skips it and returns every healthy row
+    (and without the flag the read fails loudly — both behaviors pinned)."""
+    import pytest
+
+    out = str(tmp_path / "mixed")
+    spark.range(100).write.parquet(out)
+    with open(f"{out}/part-junk.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    strict = spark.read.parquet(out)
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|footer|magic"):
+        strict.count()
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(out).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
