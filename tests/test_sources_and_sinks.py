@@ -251,3 +251,38 @@ def test_corrupt_file_tolerance(spark, tmp_path):
         assert spark.read.parquet(out).count() == 100
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """64 tiny files -> a handful of target-sized ones, rows intact;
+    the sorted variant must also leave files range-disjoint on the key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from semantic_query_engine_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "small")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_mb=1)
+    assert n < 16
+    assert spark.read.parquet(dst).count() == 10_000
+
+    dst2 = str(tmp_path / "compact_sorted")
+    compact_parquet(spark, src, dst2, target_mb=1, sort_by=["id"])
+    assert spark.read.parquet(dst2).count() == 10_000
+    ranges = []
+    for f in glob.glob(f"{dst2}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        lo, hi = st.min, st.max
+        for g in range(md.num_row_groups):
+            s = md.row_group(g).column(0).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, "sorted compaction left overlapping file ranges"
