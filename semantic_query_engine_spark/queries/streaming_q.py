@@ -268,3 +268,76 @@ def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_changes"),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the events table is
+    split into 4 file chunks and streamed with maxFilesPerTrigger=1, so
+    availableNow delivers MULTIPLE micro-batches; each foreachBatch
+    partially aggregates its chunk and algebraically merges (counts and
+    integer cents ADD) into the accumulated view — history is never
+    reprocessed.  The final view must equal the one-shot batch rollup,
+    which is exactly what the oracle checks.  At production scale the
+    merge target is a Delta/Iceberg MERGE instead of the checkpointed
+    frame; the per-batch plan is identical."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="incr_rollup_")
+    src = os.path.join(tmp, "src")
+    events.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    acc: dict = {"df": None, "batches": 0}
+
+    def merge(batch_df: DataFrame, _bid: int) -> None:
+        agg = batch_df.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        prev = acc["df"]
+        merged = (
+            agg
+            if prev is None
+            else prev.unionByName(agg)
+            .groupBy("day", "event_type")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        )
+        # eager checkpoint: batch_df is only valid inside this call, and
+        # the accumulator's lineage must not grow batch-over-batch
+        acc["df"] = merged.localCheckpoint(eager=True)
+        acc["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(tmp, ignore_errors=True)
+    stream_incremental_rollup.last_n_batches = acc["batches"]  # type: ignore[attr-defined]
+    return acc["df"].select(
+        "day", "event_type", "n", (F.col("cents") / 100.0).alias("sum_value")
+    )

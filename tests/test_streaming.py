@@ -91,3 +91,17 @@ def test_multimodal_frame_sample(spark, sf_dir):
         assert idxs == sorted(idxs)
         assert all(i % 10 == 0 and i < meta[doc_id] for i in idxs)
         assert len(idxs) == math.floor((meta[doc_id] - 1) / 10) + 1
+
+
+def test_incremental_rollup_sees_multiple_batches(spark, sf_dir):
+    """The incremental-maintenance claim requires >1 micro-batch — with
+    one batch the 'merge' degenerates to a plain rollup and proves
+    nothing.  maxFilesPerTrigger=1 over 4 file chunks must deliver >=3
+    foreachBatch invocations (4 modulo empty splits)."""
+    from semantic_query_engine_spark.queries.streaming_q import (
+        stream_incremental_rollup,
+    )
+
+    out = stream_incremental_rollup(spark, sf_dir)
+    assert out.count() > 0
+    assert stream_incremental_rollup.last_n_batches >= 3
