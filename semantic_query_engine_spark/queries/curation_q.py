@@ -381,3 +381,76 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("op") == "U", "updated").otherwise("inserted").alias("change_type"),
     )
     return kept.unionByName(applied)
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey < 1000),
+    v2 AS (
+      SELECT o_orderkey AS k, o_totalprice * 1.1 AS p
+      FROM orders WHERE o_orderkey < 500
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey >= 600 AND o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200)
+    SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+           CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           v1.p AS old_price, v2.p AS new_price
+    FROM v1 FULL JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.p <> v2.p
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the inverse of merge_upsert: given two
+    snapshots (v2 is v1 with keys <500 repriced, 500-599 removed,
+    1000-1199 added), emit one row per added / removed / changed key
+    with both prices.  The regression-diff every pipeline migration
+    runs between old and new outputs.
+
+    Scale shape: a diff fundamentally needs both sides co-located by
+    key — ONE full-outer shuffle join (or zero shuffles when both
+    snapshots are bucketed by the key, the layout a nightly-diff
+    pipeline should write); unchanged rows are filtered before any
+    further processing so downstream stages see only the delta."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", (F.col("o_totalprice") * 1.1).alias("p"))
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 1000)
+            ).select("o_orderkey", F.col("o_totalprice").alias("p"))
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1200)
+            ).select("o_orderkey", F.col("o_totalprice").alias("p"))
+        )
+        .withColumnRenamed("o_orderkey", "k")
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return joined.filter(
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | (F.col("a.p") != F.col("b.p"))
+    ).select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("o_orderkey"),
+        change.alias("change"),
+        F.col("a.p").alias("old_price"),
+        F.col("b.p").alias("new_price"),
+    )
