@@ -1,10 +1,12 @@
 """Corpus-curation operators beyond the basic dedup suite: repeated
 k-token span detection (substring-level dedup signal, Lee et al. 2022
 "Deduplicating Training Data Makes Language Models Better" — the k-gram
-fingerprint approximation of their suffix-array ExactSubstr), shingle
-containment (doc-in-doc / quotation detection, complementing Jaccard
-which misses subset relations), deterministic stratified sampling, and
-CDC-style MERGE/upsert.  All four are fully oracle-checked.
+fingerprint approximation of their suffix-array ExactSubstr, plus the
+frequency-capped variant with planted boilerplate), shingle containment
+(doc-in-doc / quotation detection, complementing Jaccard which misses
+subset relations), deterministic stratified sampling, CDC-style
+MERGE/upsert, and snapshot diffing.  Every query here is fully
+oracle-checked.
 
 Like dedup_q, the fixture corpus has no natural duplicates, so the span
 and containment queries plant 80%-prefix copies IN-PLAN (ids +10000) —
