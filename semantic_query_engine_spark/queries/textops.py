@@ -348,3 +348,102 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-alp), 4).alias("ppl"),
         )
     )
+
+
+@register(
+    "curation_verdict",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id,
+             CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter({_WORDS}, w -> list_contains({_STOPS}, lower(w)))) AS DOUBLE)
+                       / CAST(len({_WORDS}) AS DOUBLE) END AS sw,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '{_PUNCT_CLASS_SQL}', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS pr,
+             CASE WHEN len({_WORDS}) = 0 THEN 0.0
+                  ELSE list_sum(list_transform({_WORDS}, w -> CAST(length(w) AS DOUBLE)))
+                       / CAST(len({_WORDS}) AS DOUBLE) END AS awl
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             ROUND(least(1.0, sw * 2.0) * 0.5
+                   + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                   + (1.0 - least(1.0, pr * 5.0)) * 0.2, 6) AS quality,
+             CASE WHEN sw >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+      FROM parts),
+    g AS (
+      SELECT doc_id,
+             ROUND(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup2_frac
+      FROM (SELECT doc_id,
+                   list_transform(range(CAST(greatest(len({_WORDS}) - 1, 1) AS BIGINT)),
+                                  i -> array_to_string(({_WORDS})[i + 1:i + 2], ' ')) AS g2
+            FROM documents)),
+    d AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(lower(array_to_string({_WORDS}, ' ')))) AS rep
+      FROM documents)
+    SELECT q.doc_id, quality, lang_pred, dup2_frac,
+           concat_ws(';',
+             CASE WHEN quality < 0.6 THEN 'low_quality' END,
+             CASE WHEN lang_pred <> 'en' THEN 'non_en' END,
+             CASE WHEN dup2_frac > 0.5 THEN 'repetitive' END,
+             CASE WHEN rep <> q.doc_id THEN 'duplicate' END) AS reasons,
+           (quality >= 0.6 AND lang_pred = 'en' AND dup2_frac <= 0.5
+            AND rep = q.doc_id) AS keep
+    FROM q JOIN g USING (doc_id) JOIN d USING (doc_id)
+    """,
+)
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document keep/drop audit table a curation pipeline
+    actually ships: quality score, language-ID, intra-doc repetition,
+    and corpus-level exact-dup status composed into one row per doc
+    with machine-readable drop reasons.  Everything except the dup
+    check is map-only expression work over one scan; the dup check is
+    one orderless window over the md5 fingerprint (same single-shuffle
+    trick as substring_dedup).  Fully oracle-checked, reasons string
+    included."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ws = TX.words_of(F.col("text"))
+    quality = TX.quality_score("text")
+    langp = TX.lang_id("text")
+    cnt = F.greatest(F.lit(1), F.size(ws) - F.lit(1))
+    g2 = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.array_join(F.slice(ws, i + 1, 2), " "),
+    )
+    dup2 = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 6
+    )
+    fp = F.md5(F.lower(F.array_join(ws, " ")))
+    rep = F.min("doc_id").over(Window.partitionBy(fp))
+    base = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        langp.alias("lang_pred"),
+        dup2.alias("dup2_frac"),
+        rep.alias("rep"),
+    )
+    reasons = F.concat_ws(
+        ";",
+        F.when(F.col("quality") < 0.6, "low_quality"),
+        F.when(F.col("lang_pred") != "en", "non_en"),
+        F.when(F.col("dup2_frac") > 0.5, "repetitive"),
+        F.when(F.col("rep") != F.col("doc_id"), "duplicate"),
+    )
+    return base.select(
+        "doc_id",
+        "quality",
+        "lang_pred",
+        "dup2_frac",
+        reasons.alias("reasons"),
+        (
+            (F.col("quality") >= 0.6)
+            & (F.col("lang_pred") == "en")
+            & (F.col("dup2_frac") <= 0.5)
+            & (F.col("rep") == F.col("doc_id"))
+        ).alias("keep"),
+    )
