@@ -60,6 +60,7 @@ HEADLINE = [
     "unigram_perplexity",  # corpus-LM quality scoring
     "substring_dedup",   # repeated k-token span detection (Lee et al.)
     "merge_upsert",      # CDC MERGE as broadcast anti-join + union
+    "curation_verdict",  # composed per-doc keep/drop audit table
 ]
 
 

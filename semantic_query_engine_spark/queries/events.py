@@ -436,3 +436,65 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    m AS (
+      SELECT event_id, event_type, cents,
+             SUM(cents) OVER (PARTITION BY event_type) AS s,
+             SUM(cents * cents) OVER (PARTITION BY event_type) AS s2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    z AS (
+      SELECT event_id, event_type, cents,
+             (cents - CAST(s AS DOUBLE) / n)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+               AS zs
+      FROM m)
+    SELECT event_id, event_type, cents / 100.0 AS value,
+           ROUND(zs, 6) AS zscore
+    FROM z WHERE abs(zs) > 3.0
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3) — the monitoring query that
+    flags anomalous event values against their type's distribution.
+    The moments come from EXACT integer-cents sums (sum, sum-of-
+    squares, count over one orderless window per type), so mean and
+    sample variance are bit-deterministic regardless of aggregation
+    order — the float work happens once per row on exact inputs, which
+    is what keeps a 3.0000001-vs-2.9999999 flag from flapping between
+    runs or engines.  One shuffle (the per-type window); filter is
+    row-local after that."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type")
+    c = e.select("event_id", "event_type", cents.alias("cents"))
+    m = (
+        c.withColumn("s", F.sum("cents").over(w))
+        .withColumn("s2", F.sum(F.col("cents") * F.col("cents")).over(w))
+        .withColumn("n", F.count("*").over(w))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    zs = (F.col("cents") - mean) / F.sqrt(var)
+    return (
+        m.withColumn("zs", zs)
+        .filter(F.abs(F.col("zs")) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("cents") / 100.0).alias("value"),
+            F.round("zs", 6).alias("zscore"),
+        )
+    )
