@@ -447,3 +447,49 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rep") == F.col("doc_id"))
         ).alias("keep"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, simplified to what BOTH engines'
+# regex dialects share (Java util.regex and DuckDB's RE2): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# RE2 has no lookahead, so the original pattern's trailing-space clauses
+# are dropped — whitespace between matches is simply not consumed.
+_BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_CLEAN} AS ct FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(ct, '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(ct, '{_BPE_PAT.replace("'", "''")}')) AS INT)
+             AS bpe_tokens,
+           ROUND(CAST(len(regexp_extract_all(ct, '{_BPE_PAT.replace("'", "''")}')) AS DOUBLE)
+                 / greatest(len(regexp_split_to_array(ct, '\\s+')), 1), 6)
+             AS bpe_per_word
+    FROM t
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (the GPT-2
+    pattern family: contraction suffixes, space-prefixed letter/digit
+    runs, punctuation runs) alongside the whitespace count.  The
+    bpe-per-word ratio is the training-cost signal: punctuation-soup
+    and digit-heavy documents fragment into many subword tokens per
+    whitespace word.  Pure regexp_extract_all in codegen — map-only,
+    scan-speed; the identical pattern runs in the DuckDB oracle (both
+    dialects share it because the lookahead-free form was chosen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ct = TX.clean_text(F.col("text"))
+    ws_n = F.size(F.split(ct, r"\s+"))
+    bpe_n = F.size(F.regexp_extract_all(ct, F.lit(_BPE_PAT), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws_n.alias("ws_tokens"),
+        bpe_n.alias("bpe_tokens"),
+        F.round(
+            bpe_n.cast("double") / F.greatest(ws_n, F.lit(1)), 6
+        ).alias("bpe_per_word"),
+    )
