@@ -315,3 +315,63 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_cents") / (1000000.0 * F.col("n")), 6).alias("m"),
         "n",
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH expl AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS d,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings WHERE vec_id < 500),
+    stats AS (
+      SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM expl GROUP BY d),
+    q AS (
+      SELECT vec_id, CAST(e.d AS INT) AS d,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(least(255, greatest(0,
+                         floor((x - mn) / ((mx - mn) / 255.0) + 0.5))) AS INT)
+             END AS code,
+             x, mn, mx
+      FROM expl e JOIN stats s ON e.d = s.d)
+    SELECT vec_id, d, code,
+           ROUND(abs(x - (mn + code * ((mx - mn) / 255.0))), 6) AS recon_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (FAISS SQ8 companion to the PQ codes in
+    operators/pq.py): per-dimension min/max over the corpus defines a
+    255-step grid; every component compresses to one byte (8x over
+    float64, 4x over float32) and the per-component reconstruction
+    error is reported exactly.  Plan: posexplode -> one per-dimension
+    min/max agg (64 groups — tiny) broadcast back onto the exploded
+    table -> map-only encode.  All arithmetic is deterministic
+    (min/max + one floor per value, no summation), so the whole
+    quantizer is value-hash-checked against the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    expl = emb.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda v: v.cast("double")))
+    ).withColumnRenamed("pos", "d").withColumnRenamed("col", "x")
+    stats = expl.groupBy("d").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    code = F.when(F.col("mx") == F.col("mn"), 0).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0), F.floor((F.col("x") - F.col("mn")) / scale + 0.5)
+            ),
+        ).cast("int")
+    )
+    return (
+        expl.join(F.broadcast(stats), "d")
+        .withColumn("code", code)
+        .select(
+            "vec_id",
+            F.col("d").cast("int").alias("d"),
+            "code",
+            F.round(
+                F.abs(F.col("x") - (F.col("mn") + F.col("code") * scale)), 6
+            ).alias("recon_err"),
+        )
+    )
