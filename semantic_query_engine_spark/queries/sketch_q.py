@@ -1,0 +1,343 @@
+"""Sketch, bitmap, and semi-structured additions (round 5, session 2):
+re-aggregatable distinct-count sketches (bitmap exact, HLL mergeable),
+a fully declarative count-min sketch, a broadcast bloom-filter join
+prune, XML parsing, and the ordered-string / deterministic-mode
+aggregate family.
+
+These are the distinct-count / frequency primitives a 100 TB curation
+pipeline leans on: exact distinct via partitioned bitmaps (one small
+bitmap per 32k-id bucket instead of a giant hash set), HLL sketches
+that roll up from fine to coarse grain WITHOUT rescanning the fact
+table, count-min for heavy-hitter frequency under bounded memory, and
+bloom pruning so a selective dimension filter can drop fact rows
+before the join shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table, register_views
+from .registry import register
+
+
+@register(
+    "bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via two-level bitmap aggregation
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the bitmap-index answer to COUNT(DISTINCT).
+
+    Scale shape: level 1 groups by (priority, id-bucket) and builds one
+    ~4 KB bitmap per 32k-id range with map-side partial merge (bitmaps
+    OR together), so the shuffle carries fixed-size bitmaps, not raw
+    ids; level 2 sums the per-bucket cardinalities.  At 100 TB this
+    bounds the distinct-agg state per task to #buckets-in-range × 4 KB
+    regardless of row count — the same layout a roaring-bitmap index
+    stores persistently."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n_custs
+        FROM (
+          SELECT o_orderpriority,
+                 bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey))) AS cnt
+          FROM orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "hll_union_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: build one Apache DataSketches HLL per
+    (priority, order-year) cell with hll_sketch_agg, then roll the
+    per-year sketches up to per-priority with hll_union_agg and
+    estimate — the pre-aggregated-cube pattern where coarse-grain
+    distinct counts come from merging FINE-GRAIN SKETCHES, never from
+    rescanning the fact table.  Accuracy-gated like
+    distinct_count_checked: the estimate must land within 5% of the
+    exact count, and that claim is hash-checked against the exact-only
+    oracle (HLL merge is commutative, so the flag cannot flap with
+    partitioning).
+
+    At 100 TB the fine sketches are a tiny materialized table; every
+    coarser rollup (priority, priority×segment, global) is a metadata
+    -sized merge job."""
+    o = load_table(spark, sf_dir, "orders")
+    fine = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    coarse = fine.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    return exact.join(coarse, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_custs",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_custs").cast("double"))
+            / F.col("exact_custs").cast("double")
+            <= 0.05
+        ).alias("within_tol"),
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+
+
+@register(
+    "cms_frequency",
+    oracle=f"""
+    SELECT user_id, cnt AS exact_cnt, TRUE AS cms_ok FROM (
+      SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id
+      ORDER BY cnt DESC, user_id LIMIT 20)
+    """,
+)
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully declarative count-min sketch (depth 4 × width 512) over
+    event user_ids, checked against exact counts for the top-20 heavy
+    hitters.  Each depth hashes the key with an independently seeded
+    xxhash64 into one of 512 counters; the estimate is the MIN over
+    depths; the CMS guarantee (est >= exact, est <= exact + (e/w)·N)
+    is evaluated in-plan and hash-checked against the exact-only
+    oracle.  Everything is deterministic — xxhash64 is seed-stable and
+    min/count are order-free — so the gate cannot flap.
+
+    Scale shape: the sketch build is ONE hash aggregate over
+    (depth, bucket) — 2048 counter rows total regardless of input size,
+    with map-side partial combine, exactly how a distributed CMS is
+    built (per-partition sketches summing cell-wise).  The probe side
+    joins 20×4 = 80 rows against the 2048-row counter table — both
+    broadcast-sized at any data scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("k")
+    )
+    stack_expr = "stack({}, {}) AS (depth, bucket)".format(
+        _CMS_DEPTH,
+        ", ".join(
+            f"{d}, pmod(xxhash64(k, {d}), {_CMS_WIDTH})" for d in range(_CMS_DEPTH)
+        ),
+    )
+    sketch = (
+        ev.selectExpr(stack_expr)
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = ev.agg(F.count("*").alias("n_total"))  # 1 row -> broadcast
+    exact = ev.groupBy(F.col("k").alias("user_id")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    probe = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(20)
+    probe_cells = probe.selectExpr(
+        "user_id",
+        "exact_cnt",
+        "stack({}, {}) AS (depth, bucket)".format(
+            _CMS_DEPTH,
+            ", ".join(
+                f"{d}, pmod(xxhash64(user_id, {d}), {_CMS_WIDTH})"
+                for d in range(_CMS_DEPTH)
+            ),
+        ),
+    )
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    # Markov bound width: eps = e / w  ->  overcount <= ceil(e*N/w)
+    bound = F.ceil(F.lit(2.718281828) * F.col("n_total") / F.lit(_CMS_WIDTH))
+    return (
+        est.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (
+                (F.col("est") >= F.col("exact_cnt"))
+                & (F.col("est") <= F.col("exact_cnt") + bound)
+            ).alias("cms_ok"),
+        )
+    )
+
+
+@register(
+    "bloom_prune_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+    """,
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast bloom-filter join prune, built declaratively: the
+    selective dimension side (rich BUILDING customers) emits its k=3
+    hash bit-positions in an m=8192-bit filter as a distinct
+    (position) table; the fact side keeps a row only if ALL THREE of
+    its positions are present (group-count == k after a broadcast
+    join); the surviving rows — true matches plus bloom false
+    positives — then run the exact join, which removes the false
+    positives.  Result is therefore EXACTLY the plain join (no false
+    negatives: a member key's positions are all present by
+    construction), which is what the oracle checks.
+
+    Scale shape: this is Spark's runtime row-level bloom filtering
+    (spark.sql.optimizer.runtime.bloomFilter) spelled as an explicit
+    plan: the bit-position table is ≤ k·|dim| rows of one int —
+    broadcast-sized even for a million-row dimension — and the fact
+    table drops non-matching rows at the SCAN side of the shuffle
+    instead of carrying them to the join.  At a 0.1% selective
+    dimension this cuts the fact shuffle ~1000×."""
+    m, k = 8192, 3
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select(F.col("c_custkey").alias("key"))
+
+    def positions(col, name):
+        return F.array(
+            *[F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m)) for s in range(k)]
+        ).alias(name)
+
+    bits = (
+        dim.select(F.explode(positions(F.col("key"), "ps")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    fact_pos = o.select(
+        "o_orderkey", F.explode(positions(F.col("o_custkey"), "ps")).alias("pos")
+    )
+    survivors = (
+        fact_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("hit").alias("nhit"))
+        .filter(F.col("nhit") == k)
+        .select("o_orderkey")
+    )
+    pruned = o.join(survivors, "o_orderkey")  # bloom-surviving fact rows
+    return pruned.join(
+        F.broadcast(dim), pruned.o_custkey == F.col("key")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+
+@register(
+    "xml_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS xml_priority,
+           CAST(o_orderkey AS VARCHAR) AS xp_key,
+           TRUE AS roundtrip_ok
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface (Spark 4 native): serialize each order to an
+    XML fragment with to_xml, parse it back with from_xml (schema-ful
+    struct), and point-extract with xpath_string — the semi-structured
+    twin of variant_json for feeds that arrive as XML.  The oracle
+    recomputes the extracted fields relationally, so the hash check
+    proves the serialize→parse→extract loop is lossless.  Map-only:
+    no shuffle at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    with_xml = o.select(
+        "o_orderkey",
+        F.to_xml(F.struct("o_orderkey", "o_orderpriority")).alias("xml"),
+    )
+    parsed = with_xml.select(
+        "o_orderkey",
+        F.from_xml("xml", "o_orderkey BIGINT, o_orderpriority STRING").alias("s"),
+        F.xpath_string("xml", F.lit("ROW/o_orderkey")).alias("xp_key"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("s.o_orderpriority").alias("xml_priority"),
+        "xp_key",
+        (F.col("s.o_orderkey") == F.col("o_orderkey")).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "listagg_funcs",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segs
+    FROM customer WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    """,
+)
+def listagg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP,
+    plus the DISTINCT form) — the context-assembly primitive (A16) as a
+    first-class aggregate.  Deterministic because the WITHIN GROUP
+    order key (c_custkey) is unique and the DISTINCT list is sorted."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_custkey) AS names,
+               listagg(DISTINCT c_mktsegment, '|')
+                 WITHIN GROUP (ORDER BY c_mktsegment) AS segs
+        FROM customer WHERE c_custkey < 200
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@register(
+    "mode_median_agg",
+    oracle="""
+    WITH counts AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), ranked AS (
+      SELECT c_nationkey, c_mktsegment,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c DESC, c_mktsegment) AS rn
+      FROM counts
+    ), med AS (
+      SELECT c_nationkey,
+             ROUND(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT m.c_nationkey, m.median_bal, r.c_mktsegment AS seg_mode
+    FROM med m JOIN ranked r ON m.c_nationkey = r.c_nationkey AND r.rn = 1
+    """,
+)
+def mode_median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median() and deterministic mode() aggregates.  Spark's
+    mode(col, deterministic=true) returns the LOWEST value among tied
+    maxima; the oracle spells that tie rule explicitly
+    (ORDER BY count DESC, value ASC, pick first), so the hash check
+    pins the semantics, not just the happy path."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.median("c_acctbal"), 6).alias("median_bal"),
+        F.mode("c_mktsegment", True).alias("seg_mode"),
+    )
