@@ -1,0 +1,213 @@
+"""Text-mining / record-linkage additions (round 5, session 2):
+TF-IDF keyword extraction, normalization-blocked fuzzy matching, and
+URL canonicalization dedup — three curation operators a web-scale
+training-data pipeline runs between raw crawl and dedup.
+
+Tokenization parity: the DuckDB fragments reuse the exact _CLEAN/_WORDS
+construction from textops.py (functions/text.py words_of), so the
+oracle tokenizes identically to the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.fixtures import load_table
+from .registry import register
+
+# DuckDB twins of functions/text.py (same as textops.py)
+_CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
+_WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
+
+
+@register(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH pool AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    toks AS (SELECT doc_id, unnest({_WORDS}) AS word FROM pool),
+    tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY word),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM pool),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, word, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, word) AS rn
+      FROM scored)
+    SELECT doc_id, CAST(rn AS INT) AS rank, word, score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document keyword extraction: top-3 terms per document by
+    smoothed TF-IDF (idf = ln((N+1)/(df+1)) + 1, the sklearn-standard
+    smoothing) over a bounded pool — the per-document fingerprint
+    behind tag generation / topic routing / BM25 priors.  Ranking is on
+    the 6-decimal-ROUNDED score with a word tiebreak, so the
+    cross-engine hash cannot flap on libm ulps.
+
+    Scale shape: explode -> two hash aggregates (tf keyed by (doc,word),
+    df keyed by word — both map-side combined) -> broadcast the 1-row N
+    and the df table's join is word-keyed (vocabulary-sized, skew-free);
+    the per-doc top-3 is one bounded window partitioned by doc_id.  No
+    all-pairs stage anywhere; at 100 TB the vocabulary table is the only
+    reused artifact and it is orders smaller than the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select("doc_id", F.explode(TX.words_of(F.col("text"))).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "word", "score")
+    )
+
+
+@register(
+    "fuzzy_match_join",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey < 1000),
+    probe AS (
+      SELECT c_custkey AS probe_key, translate(c_name, '1', 'l') AS probe_name
+      FROM base),
+    blocked AS (
+      SELECT b.c_custkey, p.probe_key, b.c_name, p.probe_name,
+             levenshtein(b.c_name, p.probe_name) AS dist
+      FROM base b JOIN probe p
+        ON translate(b.c_name, 'l', '1') = translate(p.probe_name, 'l', '1'))
+    SELECT c_custkey, probe_key, CAST(dist AS INT) AS dist
+    FROM blocked WHERE dist <= 3
+    """,
+)
+def fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant record linkage: a probe feed whose names carry a
+    deterministic OCR-style corruption ('1' -> 'l') is matched back to
+    the master table by NORMALIZATION BLOCKING (both sides canonicalize
+    'l' -> '1' and equi-join on the canonical key) followed by an exact
+    edit-distance verify (levenshtein <= 3).  This is the standard
+    blocked-similarity-join shape: candidates come from an equality
+    join on a derived key, NEVER from an all-pairs comparison, and the
+    expensive distance function runs only on candidates.
+
+    Scale shape: one equi-join shuffle on the canonical name (unique-ish
+    key, skew-free), map-only levenshtein on the joined rows.  At 100 TB
+    the probe and master co-partition on the block key exactly like any
+    equi-join — the linkage costs no more than the join itself."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    base = c.select("c_custkey", "c_name")
+    probe = base.select(
+        F.col("c_custkey").alias("probe_key"),
+        F.translate("c_name", "1", "l").alias("probe_name"),
+    )
+    blocked = base.withColumn(
+        "bk", F.translate("c_name", "l", "1")
+    ).join(
+        probe.withColumn("bk", F.translate("probe_name", "l", "1")), "bk"
+    )
+    return (
+        blocked.withColumn("dist", F.levenshtein("c_name", "probe_name"))
+        .filter(F.col("dist") <= 3)
+        .select("c_custkey", "probe_key", "dist")
+    )
+
+
+# Deterministic synthetic URL per document: the fixture has no URL
+# column, so one is DERIVED in-plan (host from `source`, path from the
+# id, tracking params and noisy casing on id-selected rows) — both
+# engines build the identical string, then canonicalize it.
+_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, "
+    "'://', CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END, "
+    "'.example.com/docs/', CAST(doc_id % 40 AS STRING), "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&utm_id=', "
+    "CAST(doc_id AS STRING)) ELSE '' END)"
+)
+_URL_DUCK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END, "
+    "'://', CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END, "
+    "'.example.com/docs/', CAST(doc_id % 40 AS VARCHAR), "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&utm_id=', "
+    "CAST(doc_id AS VARCHAR)) ELSE '' END)"
+)
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH urls AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             concat(
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)),
+               regexp_replace(
+                 regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+                 '/$', '')) AS canonical_url
+      FROM urls)
+    SELECT canonical_url,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL canonicalization + dedup: lowercase the scheme and
+    host, DROP the query string (tracking params like utm_* carry no
+    content identity), strip the trailing slash, then keep one document
+    per canonical URL (min doc_id, latest-wins would be the mtime
+    variant) with the duplicate count.  This is the first dedup pass of
+    every crawl pipeline — it removes URL-level aliases before any
+    content hashing runs.
+
+    Scale shape: canonicalization is map-only string work; the dedup is
+    one hash aggregate keyed by canonical URL with map-side combine —
+    identical cost to dedup_exact, and the document BODY never enters
+    the shuffle (only the canonical key + id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.selectExpr("doc_id", f"{_URL_SPARK} AS url")
+    canon = urls.select(
+        "doc_id",
+        F.concat(
+            F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)),
+            F.lit("://"),
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?]+)", 1)),
+            F.regexp_replace(
+                F.regexp_extract("url", r"^[A-Za-z]+://[^/?]+([^?]*)", 1),
+                r"/$",
+                "",
+            ),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
