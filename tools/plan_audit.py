@@ -42,6 +42,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "ann_ivf_knn_join": "broadcast probes x #clusters centroid table",
     "bm25_topk": "broadcast 1-row corpus-stats side",
     "unigram_perplexity": "broadcast 1-row total-token-count side",
+    "cms_frequency": "broadcast 1-row total-count side vs 20-row probe",
+    "tfidf_keywords": "broadcast 1-row pool-size side",
     "hybrid_rrf": "broadcast 1-row stats + 20-row post-limit rank legs",
     "timeseries_gapfill": "tiny generated time-grid side",
     "join_cross": "intentional CROSS JOIN demo on two bounded dims",
