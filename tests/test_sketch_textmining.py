@@ -1,0 +1,141 @@
+"""Plan-shape + property tests for the sketch/bitmap/XML and
+text-mining query families (sketch_q.py, textmining_q.py).  Value
+correctness is already oracle-gated; these pin the physical shapes and
+the accuracy-gate invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_prune_join_shape(spark, sf_dir):
+    """The bit-position table must broadcast (fact side never moves for
+    the membership test) and nothing may degenerate to a cartesian."""
+    from semantic_query_engine_spark.queries.sketch_q import bloom_prune_join
+
+    df = bloom_prune_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prune_join_equals_plain_join(spark, sf_dir):
+    """No false negatives: the bloom-pruned join returns exactly the
+    plain join (false positives are removed by the exact join)."""
+    from semantic_query_engine_spark.queries.sketch_q import bloom_prune_join
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    got = {
+        (r.o_orderkey, r.o_custkey)
+        for r in bloom_prune_join(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    )
+    want = {
+        (r.o_orderkey, r.o_custkey)
+        for r in o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "o_custkey"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cms_sketch_is_bounded(spark, sf_dir):
+    """The counter table is <= depth x width rows no matter the input
+    size — the whole point of a count-min sketch."""
+    from semantic_query_engine_spark.queries.sketch_q import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "CAST(user_id AS LONG) AS k"
+    )
+    stack_expr = "stack({}, {}) AS (depth, bucket)".format(
+        _CMS_DEPTH,
+        ", ".join(
+            f"{d}, pmod(xxhash64(k, {d}), {_CMS_WIDTH})" for d in range(_CMS_DEPTH)
+        ),
+    )
+    n_cells = (
+        ev.selectExpr(stack_expr).groupBy("depth", "bucket").count().count()
+    )
+    assert n_cells <= _CMS_DEPTH * _CMS_WIDTH
+
+
+def test_cms_estimates_hold_bound(spark, sf_dir):
+    from semantic_query_engine_spark.queries.sketch_q import cms_frequency
+
+    rows = cms_frequency(spark, sf_dir).collect()
+    assert rows and all(r.cms_ok for r in rows)
+
+
+def test_hll_union_rollup_within_tol(spark, sf_dir):
+    from semantic_query_engine_spark.queries.sketch_q import hll_union_rollup
+
+    rows = hll_union_rollup(spark, sf_dir).collect()
+    assert rows and all(r.within_tol for r in rows)
+
+
+def test_bitmap_distinct_no_raw_id_shuffle(spark, sf_dir):
+    """Level-1 aggregation must be a bitmap agg (partial bitmaps merge
+    map-side); no cartesian anywhere."""
+    from semantic_query_engine_spark.queries.sketch_q import bitmap_distinct
+
+    plan = _plan(bitmap_distinct(spark, sf_dir))
+    assert "bitmap_construct_agg" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_join_is_equi_join(spark, sf_dir):
+    """Normalization blocking must compile to an equality join on the
+    canonical key — never an all-pairs comparison."""
+    from semantic_query_engine_spark.queries.textmining_q import fuzzy_match_join
+
+    plan = _plan(fuzzy_match_join(spark, sf_dir))
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_join_finds_planted_typos(spark, sf_dir):
+    """Every probe row has >= 1 match (its own original: distance == the
+    number of substituted characters, capped at 3 by the filter)."""
+    from semantic_query_engine_spark.queries.textmining_q import fuzzy_match_join
+
+    rows = fuzzy_match_join(spark, sf_dir).collect()
+    self_pairs = [r for r in rows if r.c_custkey == r.probe_key]
+    assert self_pairs, "expected self-matches for lightly-corrupted names"
+    assert all(0 <= r.dist <= 3 for r in rows)
+
+
+def test_xml_roundtrip_lossless(spark, sf_dir):
+    from semantic_query_engine_spark.queries.sketch_q import xml_funcs
+
+    rows = xml_funcs(spark, sf_dir).collect()
+    assert rows and all(r.roundtrip_ok for r in rows)
+
+
+def test_url_canonical_dedup_strips_aliases(spark, sf_dir):
+    """Scheme case, host case, trailing slash, and tracking params must
+    all collapse: every canonical url is lowercase-schemed with no query
+    string and no trailing slash."""
+    from semantic_query_engine_spark.queries.textmining_q import url_canonical_dedup
+
+    rows = url_canonical_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.canonical_url.startswith("https://")
+        assert "?" not in r.canonical_url
+        assert not r.canonical_url.endswith("/")
+        assert r.canonical_url == r.canonical_url.lower()
