@@ -341,3 +341,108 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc["df"].select(
         "day", "event_type", "n", (F.col("cents") / 100.0).alias("sum_value")
     )
+
+
+@register(
+    "stream_watermark_append",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(ts) + INTERVAL 1 HOUR AS early_cut,
+             MAX(ts) - INTERVAL 1 HOUR AS final_wm
+      FROM events),
+    kept AS (
+      SELECT ts, value FROM events, bounds
+      WHERE NOT (event_id % 7 = 0 AND ts < bounds.early_cut)),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS wstart,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value
+      FROM kept GROUP BY 1)
+    SELECT strftime(wstart, '%Y-%m-%d %H:00') AS window_start, n, sum_value
+    FROM agg, bounds
+    WHERE wstart + INTERVAL 1 HOUR <= bounds.final_wm
+    """,
+)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time watermark semantics in APPEND mode — the canonical
+    late-data contract the complete-mode streams above don't exercise.
+    The events table is split into 4 TIME-ORDERED chunks streamed one
+    file per micro-batch; rows from the corpus's first hour whose
+    event_id % 7 == 0 are planted into the LAST chunk as late arrivals.
+    With a 1-hour watermark the engine (a) finalizes and emits each
+    hourly window exactly once, when the watermark passes its end, and
+    (b) DROPS the planted rows row-level, because they arrive with
+    event time far below the batch-4 watermark.
+
+    Both behaviors are deterministic, so the oracle is exact: emitted
+    windows are precisely those with end <= max(ts) - 1h (the final
+    no-data batch flushes up to the terminal watermark), aggregated
+    WITHOUT the planted late rows.
+
+    Scale shape: the streaming agg keeps one state row per open window;
+    the watermark bounds state to ~1h of windows regardless of stream
+    length — this is the property that makes the job run forever on an
+    unbounded 100 TB/day stream without unbounded state."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_id", "value")
+    lo = events.agg(F.min("ts").alias("lo")).collect()[0]["lo"]
+    import datetime
+
+    early_cut = lo + datetime.timedelta(hours=1)
+    w = Window.orderBy("ts", "event_id")
+    chunked = events.withColumn("chunk", F.ntile(4).over(w)).withColumn(
+        "chunk",
+        F.when(
+            (F.col("event_id") % 7 == 0) & (F.col("ts") < F.lit(early_cut)),
+            F.lit(4),
+        ).otherwise(F.col("chunk")),
+    )
+    tmp = tempfile.mkdtemp(prefix="wm_append_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    for k in range(1, 5):
+        chunked.filter(F.col("chunk") == k).drop("chunk", "event_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    # file-source replay order follows modification time: stamp the
+    # chunks with strictly increasing mtimes so batch k = chunk k
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
+        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+    )
+    out = run_to_memory(agg, output_mode="append")
+    result = out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias(
+            "window_start"
+        ),
+        "n",
+        "sum_value",
+    )
+    # materialize before deleting the temp source (memory sink has
+    # already collected, but the returned frame must not re-read tmp)
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
