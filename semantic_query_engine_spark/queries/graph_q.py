@@ -1,0 +1,122 @@
+"""Graph-analytics queries over the similarity graph (round 5,
+session 2).  connected_components (operators/graph.py) covers the
+dedup-clustering side; this module adds ITERATIVE rank propagation —
+the GraphX-class workload expressed as pure DataFrame loops with
+lineage control, no RDDs.
+
+PageRank over a k-NN similarity graph is a real curation operator:
+centrality in the near-duplicate/similarity graph identifies canonical
+or hub documents (and, inverted, outliers) for representative
+selection and diversity sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.fixtures import load_table
+from .registry import register
+
+_POOL = 200  # bounded demo pool; the scale path for edge generation is
+# the IVF-pruned ivf_knn_join (operators/ann.py), which produces the
+# same (src, dst) edge schema without the all-pairs score stage.
+_K = 3
+_ITERS = 10
+_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration as chained CTEs (DuckDB disallows
+    aggregation in a recursive CTE term, so the fixed iteration count
+    is unrolled mechanically)."""
+    parts = [
+        f"""
+    WITH pool AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_POOL}),
+    n AS (SELECT COUNT(*) AS n FROM pool),
+    scored AS (
+      SELECT a.id AS src, b.id AS dst,
+             list_cosine_similarity(a.v, b.v) AS raw
+      FROM pool a JOIN pool b ON a.id <> b.id),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY raw DESC, dst) AS rn
+        FROM scored) WHERE rn <= {_K}),
+    pr0 AS (SELECT id, 1.0 / n.n AS r FROM pool, n)"""
+    ]
+    for i in range(1, _ITERS + 1):
+        parts.append(
+            f""",
+    pr{i} AS (
+      SELECT p.id,
+             {1 - _DAMP} / n.n + {_DAMP} * COALESCE(c.in_r, 0) AS r
+      FROM pool p CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(pr{i - 1}.r / {_K}) AS in_r
+        FROM edges e JOIN pr{i - 1} ON pr{i - 1}.id = e.src
+        GROUP BY e.dst) c ON c.id = p.id)"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS vec_id, ROUND(r, 6) AS pagerank FROM pr{_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 power iterations, damping 0.85) over the top-3
+    cosine k-NN graph of a bounded embedding pool — similarity-graph
+    centrality for canonical-document selection.  Every node has
+    out-degree exactly k, so transition weight is uniformly 1/k and
+    there are no dangling nodes; nodes without in-edges receive the
+    teleport term only.  The oracle unrolls the identical power
+    iteration as chained SQL CTEs; both engines round only the FINAL
+    ranks to 6 decimals (double accumulation differences over 10
+    iterations stay ~1e-13, far inside the rounding).
+
+    Scale shape: each iteration is ONE equi-join (edges src = ranks id,
+    both sides partitioned by the join key) plus one dst-keyed hash
+    aggregate with map-side combine — the textbook distributed PR step.
+    Ranks are eagerly localCheckpoint'd per iteration so the plan stays
+    one-iteration deep (no 10-join lineage for Catalyst to re-derive,
+    same discipline as operators/graph.py's CC loop).  At 100 TB the
+    edge table partitioning is REUSED across iterations (the join key
+    never changes), so only the small ranks side moves."""
+    from ..operators.retrieval import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _POOL)
+    pool = emb.select("vec_id", "embedding")
+    probes = pool.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    edges = (
+        knn_join(probes, pool, k=_K, exclude_self=True)
+        .select(F.col("probe_id").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint(eager=True)  # computed once, reused 10x
+    )
+    n = pool.count()  # bounded pool (<= _POOL rows) — setup scalar
+    ranks = pool.select("vec_id", F.lit(1.0 / n).alias("r"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.vec_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / _K).alias("in_r"))
+        )
+        ranks = (
+            pool.select("vec_id")
+            .join(contrib, F.col("vec_id") == F.col("dst"), "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit((1 - _DAMP) / n)
+                    + F.lit(_DAMP) * F.coalesce(F.col("in_r"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
