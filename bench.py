@@ -75,7 +75,10 @@ def main() -> None:
         "--conf spark.ui.showConsoleProgress=false pyspark-shell",
     )
     from semantic_query_engine_spark.queries import REGISTRY
-    from semantic_query_engine_spark.session import get_spark
+    from semantic_query_engine_spark.session import (
+        get_spark,
+        release_persistent_rdds,
+    )
 
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in REGISTRY]
@@ -106,6 +109,10 @@ def main() -> None:
         # a streaming query's last memory sink would otherwise pin its
         # result in memory for every subsequent query's timing
         drop_live_sinks(spark)
+        # ... and checkpointed intermediates (CC/PageRank/prep plans)
+        # would otherwise accumulate in the block manager for the whole
+        # session, degrading later queries' timings
+        release_persistent_rdds(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     line = json.dumps(
         {

@@ -25,7 +25,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
-from semantic_query_engine_spark.session import get_spark  # noqa: E402
+from semantic_query_engine_spark.session import (  # noqa: E402
+    get_spark,
+    release_persistent_rdds,
+)
 from semantic_query_engine_spark.streaming.jobs import drop_live_sinks  # noqa: E402
 
 # The 6 most expensive headline queries (VERDICT r4) + the unbounded
@@ -48,6 +51,15 @@ QUERIES = [
     "events_retention",        # full events: cohort triangle
     "substring_dedup_capped",  # full corpus + boilerplate, freq valve on
     "stream_cdc_compact",      # full events through streaming max_by state
+    # round-5 session-2 additions
+    "bitmap_distinct",         # full orders: two-level bitmap agg
+    "cms_frequency",           # full events: fixed 2048-cell sketch agg
+    "bloom_prune_join",        # full orders vs selective dim prune
+    "tfidf_keywords",          # bounded pool (<200 docs) by construction
+    "url_canonical_dedup",     # full corpus: map-only canon + hash agg
+    "fuzzy_match_join",        # bounded (<1000 custs) by construction
+    "stream_watermark_append", # full events through 4 watermark batches
+    "graph_pagerank",          # bounded (<200 vecs) by construction
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -60,6 +72,7 @@ def _median_time(spark, name: str, sf_dir: str) -> float:
         REGISTRY[name].fn(spark, sf_dir).count()
         samples.append(time.time() - t0)
         drop_live_sinks(spark)
+        release_persistent_rdds(spark)
     return round(sorted(samples)[len(samples) // 2], 3)
 
 
