@@ -17,6 +17,7 @@ from . import search_q  # noqa: F401,E402
 from . import sketch_q  # noqa: F401,E402
 from . import textmining_q  # noqa: F401,E402
 from . import graph_q  # noqa: F401,E402
+from . import encoding_q  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
 from . import tenant  # noqa: F401,E402
 from . import semantic  # noqa: F401,E402
