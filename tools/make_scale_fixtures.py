@@ -28,7 +28,7 @@ import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-COPY_AS_IS = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+COPY_AS_IS = ("region", "nation", "customer", "supplier", "part", "lineitem")
 
 
 def make(src: str, dst: str, replicas: int = 10) -> None:
@@ -60,9 +60,20 @@ def make(src: str, dst: str, replicas: int = 10) -> None:
       FROM read_parquet('{src}/events.parquet') e, {rep}
     ) TO '{dst}/events.parquet' (FORMAT PARQUET)
     """)
+    # orders is the fact side of the bitmap/bloom/merge scale rows: 10x
+    # the rows per (unchanged) customer, so dim joins stay valid and the
+    # fact-growth behavior is real
+    con.sql(f"""
+    COPY (
+      SELECT o.o_orderkey + r.k * 10000000 AS o_orderkey,
+             o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+             o.o_orderpriority
+      FROM read_parquet('{src}/orders.parquet') o, {rep}
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+    """)
     for t in COPY_AS_IS:
         shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "orders"):
         n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n}")
 

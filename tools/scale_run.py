@@ -66,6 +66,11 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _median_time(spark, name: str, sf_dir: str) -> float:
+    # one untimed warmup: the first execution of a plan pays
+    # whole-stage-codegen javac for that plan (same hygiene as bench.py)
+    REGISTRY[name].fn(spark, sf_dir).count()
+    drop_live_sinks(spark)
+    release_persistent_rdds(spark)
     samples = []
     for _ in range(RUNS):
         t0 = time.time()
@@ -79,13 +84,19 @@ def _median_time(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".scale_data/sf1")
-    spark = get_spark("scale-run")
     names = [n for n in QUERIES if n in REGISTRY]
-    REGISTRY[names[0]].fn(spark, small).limit(1).collect()  # warm JVM
     out = {}
     for name in names:
+        # fresh session per query: a long-lived 48g local JVM develops
+        # multi-second pauses after a few hundred heavy jobs (measured:
+        # the same query 1.4s in a fresh session, 11s late in a sweep
+        # session, with all persistent RDDs released) — per-query
+        # isolation makes the RATIO measurement trustworthy at the cost
+        # of ~8s startup per query
+        spark = get_spark("scale-run")
         s = _median_time(spark, name, small)
         b = _median_time(spark, name, big)
+        spark.stop()
         out[name] = {"small": s, "big": b, "ratio": round(b / s, 2) if s else None}
         print(f"# {name}: {s}s -> {b}s ({out[name]['ratio']}x)", file=sys.stderr)
     print(json.dumps(out))
