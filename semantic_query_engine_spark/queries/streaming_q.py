@@ -446,3 +446,61 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_dedup_watermarked",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark —
+    the scale-correct form of stream_dedup (mlpipeline_q.py), whose
+    unbounded dropDuplicates keeps every id in the state store forever.
+    Here the at-least-once delivery duplicates each event WITHIN its
+    micro-batch (each replay chunk is written doubled), the stream
+    carries a 1-hour event-time watermark, and the engine evicts dedup
+    state for keys older than the watermark — so state holds ~1h of
+    ids on an unbounded stream instead of all of history.  Every
+    duplicate pair lands inside the horizon, so the emitted set is
+    exactly the distinct events — the same plain-DISTINCT oracle as
+    stream_dedup, now with bounded state."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type"
+    )
+    w = Window.orderBy("ts", "event_id")
+    chunked = events.withColumn("chunk", F.ntile(4).over(w))
+    tmp = tempfile.mkdtemp(prefix="wm_dedup_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    for k in range(1, 5):
+        part = chunked.filter(F.col("chunk") == k).drop("chunk")
+        part.union(part).coalesce(1).write.mode("append").parquet(src)
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
+        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, output_mode="append")
+    result = out.groupBy("event_type").agg(F.count("*").alias("n"))
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result

@@ -85,6 +85,10 @@ def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".scale_data/sf1")
     names = [n for n in QUERIES if n in REGISTRY]
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in names if n in wanted]
     out = {}
     for name in names:
         # fresh session per query: a long-lived 48g local JVM develops
