@@ -61,6 +61,13 @@ HEADLINE = [
     "substring_dedup",   # repeated k-token span detection (Lee et al.)
     "merge_upsert",      # CDC MERGE as broadcast anti-join + union
     "curation_verdict",  # composed per-doc keep/drop audit table
+    # round-5 session-2 additions (cheap rows only; the heavy new ones
+    # — stream_watermark_append, graph_pagerank — are scale-sweep rows)
+    "bitmap_distinct",   # two-level bitmap exact distinct
+    "cms_frequency",     # declarative count-min heavy hitters
+    "bloom_prune_join",  # broadcast bloom bit-position join prune
+    "tfidf_keywords",    # per-doc top-3 TF-IDF keyword extraction
+    "url_canonical_dedup",  # crawl URL canonicalize + keep-min dedup
 ]
 
 
