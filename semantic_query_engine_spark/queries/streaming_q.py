@@ -504,3 +504,68 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_python_source",
+    oracle="""
+    WITH synth AS (
+      SELECT i AS event_id,
+             TIMESTAMP '2024-01-01' + to_seconds(i) AS ts,
+             ['view', 'click', 'purchase', 'refund'][CAST(i % 4 AS INT) + 1]
+               AS event_type,
+             (i % 1000) / 10.0 AS value
+      FROM (SELECT unnest(range(40000)) AS i))
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM synth GROUP BY event_type
+    """,
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom Python STREAMING data source
+    (sources/synthetic_stream.py): 4 micro-batches x 10,000 rows of a
+    deterministic synthetic event firehose flow through offset tracking,
+    per-batch partition planning, executor-side reads, and a streaming
+    aggregation — the full connector contract a Kafka-like source
+    implements.  Content is a pure function of the row index, so the
+    DuckDB oracle regenerates the identical 40,000 rows with range()
+    and the aggregate hash-matches exactly (unlike Spark's built-in
+    non-deterministic `rate` source).  sf-independent by design."""
+    from ..sources.synthetic_stream import register_synthetic_stream
+
+    register_synthetic_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsperbatch", "10000")
+        .option("batches", "4")
+        .option("partitionsperbatch", "4")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+        F.date_format(F.max("ts"), _TS).alias("last_ts"),
+    )
+    import uuid
+
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return result
