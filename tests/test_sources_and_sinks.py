@@ -286,3 +286,46 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo, "sorted compaction left overlapping file ranges"
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """Idempotent backfill: with partitionOverwriteMode=dynamic, an
+    INSERT OVERWRITE rewrites ONLY the partitions present in the new
+    data — the reprocess-one-day pattern a 100 TB pipeline relies on
+    (static mode would truncate the whole table)."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    target = str(tmp_path / "by_day")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day"), "value"
+    )
+    days = [r.day for r in ev.select("day").distinct().orderBy("day").limit(2).collect()]
+    assert len(days) == 2
+    ev.filter(F.col("day").isin(days)).write.partitionBy("day").parquet(target)
+    before = {
+        r.day: r.n
+        for r in spark.read.parquet(target).groupBy("day").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # backfill day[0] only, with halved values -> day[1] must survive
+        patch = ev.filter(F.col("day") == days[0]).withColumn(
+            "value", F.col("value") / 2
+        )
+        patch.write.mode("overwrite").partitionBy("day").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    after = spark.read.parquet(target)
+    counts = {
+        r.day: r.n
+        for r in after.groupBy("day").count().withColumnRenamed("count", "n").collect()
+    }
+    assert counts == before, "non-overwritten partition must be untouched"
+    # and the overwritten day really carries the patched values
+    orig_sum = ev.filter(F.col("day") == days[0]).agg(F.sum("value")).collect()[0][0]
+    new_sum = after.filter(F.col("day") == days[0]).agg(F.sum("value")).collect()[0][0]
+    assert abs(new_sum - orig_sum / 2) < 1e-6
