@@ -8,7 +8,7 @@ map-only scan."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, l2_norm, l2_normalize
@@ -374,4 +374,86 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("x") - (F.col("mn") + F.col("code") * scale)), 6
             ).alias("recon_err"),
         )
+    )
+
+
+@register(
+    "embedding_binarize_hamming",
+    oracle="""
+    WITH expl AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS d,
+             unnest(embedding) AS x
+      FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d < 32 AND x > 0
+                           THEN CAST(power(2, d) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN d >= 32 AND x > 0
+                           THEN CAST(power(2, d - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi
+      FROM expl GROUP BY vec_id),
+    scored AS (
+      SELECT p.vec_id AS probe_id, s.vec_id,
+             bit_count(xor(p.lo, s.lo)) + bit_count(xor(p.hi, s.hi)) AS hamming
+      FROM sig p JOIN sig s ON s.vec_id <> p.vec_id
+      WHERE p.vec_id < 5)
+    SELECT probe_id, vec_id, CAST(hamming AS INT) AS hamming, rank FROM (
+      SELECT probe_id, vec_id, hamming,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY hamming, vec_id) AS INT) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def embedding_binarize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization — the 1-bit rung of the vector-compression
+    ladder (float32 -> SQ8 `embedding_quantize_int8` -> sign-bit): each
+    64-dim vector packs into two 32-bit sign words (64x smaller than
+    float32), and retrieval is Hamming distance = popcount(xor) — the
+    cheapest possible scan, used as the coarse pass before exact
+    re-ranking in binary-quantized vector stores.  Top-3 by Hamming per
+    probe with id tiebreak; integer arithmetic end-to-end, so the
+    oracle is hash-exact.
+
+    Scale shape: signature build is one explode + hash agg (map-side
+    combined); the probe side broadcasts (5 signatures of two longs);
+    the scan computes two xor+popcount per row inside whole-stage
+    codegen.  At 100 TB the signature table is 16 bytes/vector --
+    memory-resident where the float vectors never could be."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+    bit = F.when(F.col("x") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+    sig = expl.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("d") < 32,
+                bit * F.expr("shiftleft(1L, CAST(d AS INT))"),
+            ).otherwise(F.lit(0))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                F.col("d") >= 32,
+                bit * F.expr("shiftleft(1L, CAST(d - 32 AS INT))"),
+            ).otherwise(F.lit(0))
+        ).alias("hi"),
+    )
+    probes = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    scored = (
+        sig.join(F.broadcast(probes), sig.vec_id != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("plo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("phi").bitwiseXOR(F.col("hi")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "vec_id", F.col("hamming").cast("int").alias("hamming"), "rank")
     )
