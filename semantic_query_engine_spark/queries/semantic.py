@@ -457,3 +457,125 @@ def embedding_binarize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("probe_id", "vec_id", F.col("hamming").cast("int").alias("hamming"), "rank")
     )
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection (DuckDB CTE chain, one CTE per pick)."""
+    head = f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_cosine_similarity(embedding::DOUBLE[], q.qv) AS simq
+      FROM embeddings, q WHERE vec_id <> 0),
+    pool AS (
+      SELECT vec_id, v, simq FROM (
+        SELECT vec_id, v, simq,
+               ROW_NUMBER() OVER (ORDER BY simq DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= {_MMR_POOL}),
+    pairs AS (
+      SELECT a.vec_id AS d, b.vec_id AS s,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    s1 AS (
+      SELECT vec_id, ROUND({_MMR_LAMBDA} * simq, 6) AS mmr, 1 AS rank
+      FROM pool ORDER BY ROUND({_MMR_LAMBDA} * simq, 6) DESC, vec_id LIMIT 1)"""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f""",
+    s{i} AS (
+      SELECT p.vec_id,
+             ROUND({_MMR_LAMBDA} * p.simq - {round(1 - _MMR_LAMBDA, 10)} *
+                   (SELECT MAX(pr.sim) FROM pairs pr
+                    WHERE pr.d = p.vec_id
+                      AND pr.s IN ({prev_union})), 6) AS mmr,
+             {i} AS rank
+      FROM pool p
+      WHERE p.vec_id NOT IN ({prev_union})
+      ORDER BY mmr DESC, p.vec_id LIMIT 1)""")
+    tail = "".join(f"SELECT * FROM s{i}" if i == 1 else f" UNION ALL SELECT * FROM s{i}" for i in range(1, _MMR_K + 1))
+    return head + "".join(steps) + "\n    " + tail
+
+
+@register("semantic_mmr_rerank", oracle=_mmr_oracle())
+def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the top-20 cosine
+    candidates for a probe vector, iteratively select 5 results
+    maximizing lambda*sim(query,d) - (1-lambda)*max_{s in S} sim(d,s) —
+    the standard diversity re-rank that stops a RAG context window
+    filling with five copies of the same passage.  Each argmax is taken
+    on the 6-decimal-ROUNDED score with an id tiebreak, so the greedy
+    trajectory is identical across engines and the oracle (the same
+    selection unrolled as one CTE per pick) hash-matches.
+
+    Scale shape: the expensive part — top-20 candidate generation — is
+    the existing broadcast-probe scan (TakeOrderedAndProject); the MMR
+    loop then runs on a 20-row frame with a 20x19 pairwise table, i.e.
+    bounded work INDEPENDENT of corpus size.  This is the universal
+    re-rank pattern: narrow with a cheap scalable pass, re-rank the
+    bounded pool with the expensive criterion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", cosine("embedding", F.col("qv")).alias("simq"))
+    )
+    pool = cand.orderBy(F.desc("simq"), F.asc("vec_id")).limit(_MMR_POOL)
+    pool = pool.localCheckpoint(eager=True)  # 20 rows; reused K+1 times
+    a = pool.select(
+        F.col("vec_id").alias("d"), F.col("embedding").alias("va")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("s"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("d") != F.col("s"))
+        .select("d", "s", cosine("va", "vb").alias("sim"))
+        .localCheckpoint(eager=True)  # 380 rows
+    )
+    lam = _MMR_LAMBDA
+    picked = (
+        pool.select(
+            "vec_id", F.round(F.lit(lam) * F.col("simq"), 6).alias("mmr")
+        )
+        .orderBy(F.desc("mmr"), F.asc("vec_id"))
+        .limit(1)
+        .withColumn("rank", F.lit(1))
+    )
+    selected = picked
+    for i in range(2, _MMR_K + 1):
+        chosen_ids = selected.select(F.col("vec_id").alias("s"))
+        penalty = (
+            pairs.join(F.broadcast(chosen_ids), "s")
+            .groupBy("d")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        remaining = pool.join(
+            selected.select(F.col("vec_id").alias("__done")),
+            pool.vec_id == F.col("__done"),
+            "left_anti",
+        )
+        step = (
+            remaining.join(penalty, remaining.vec_id == penalty.d)
+            .select(
+                "vec_id",
+                F.round(
+                    F.lit(lam) * F.col("simq") - F.lit(1 - lam) * F.col("max_sim"),
+                    6,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .withColumn("rank", F.lit(i))
+        )
+        selected = selected.unionByName(step).localCheckpoint(eager=True)
+    return selected.select("vec_id", "mmr", "rank")
