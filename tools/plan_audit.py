@@ -44,6 +44,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "unigram_perplexity": "broadcast 1-row total-token-count side",
     "cms_frequency": "broadcast 1-row total-count side vs 20-row probe",
     "tfidf_keywords": "broadcast 1-row pool-size side",
+    "embedding_binarize_hamming": "broadcast 5 two-long signatures vs scan",
+    "semantic_mmr_rerank": "broadcast 1-row query + bounded 20-row pool pairs",
     "hybrid_rrf": "broadcast 1-row stats + 20-row post-limit rank legs",
     "timeseries_gapfill": "tiny generated time-grid side",
     "join_cross": "intentional CROSS JOIN demo on two bounded dims",
