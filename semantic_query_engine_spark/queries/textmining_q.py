@@ -211,3 +211,94 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_dups"),
     )
+
+
+@register(
+    "entity_resolution",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT c_custkey AS rid, c_name AS name
+      FROM customer WHERE c_custkey < 1000),
+    records AS (
+      SELECT rid, name FROM base
+      UNION ALL
+      SELECT rid + 100000, translate(name, '1', 'l') FROM base
+      UNION ALL
+      SELECT rid + 200000, name || ' jr' FROM base),
+    keyed AS (
+      SELECT rid, name,
+             regexp_replace(translate(name, 'l', '1'), ' jr$', '') AS bk
+      FROM records),
+    pairs AS (
+      SELECT a.rid AS id_a, b.rid AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.bk = b.bk AND a.rid < b.rid
+      WHERE levenshtein(a.name, b.name) <= 3),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT rid AS node, rid AS r FROM records
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+    comp AS (SELECT node AS record_id, MIN(r) AS entity_id FROM reach GROUP BY node)
+    SELECT record_id, entity_id, (record_id = entity_id) AS is_canonical
+    FROM comp
+    """,
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: a master table plus two corrupted
+    feed variants per record (OCR '1'->'l' substitution; a ' jr' suffix)
+    -> normalization-blocked candidate pairs (canonical-key equi-join,
+    never all-pairs) -> levenshtein<=3 verify -> connected components ->
+    min-id canonical entity per cluster.  This composes
+    fuzzy_match_join's blocking with dedup_cluster's CC operator into
+    the standard record-linkage pipeline (each entity resolves to
+    {master, ocr-variant, suffix-variant} even though the two variants
+    may exceed the edit threshold BETWEEN each other — the graph closure
+    links them through the master).  Full oracle incl. the recursive-CTE
+    components.
+
+    Scale shape: one equi-join shuffle on the block key + the
+    size-adaptive CC operator; identical cost profile to
+    dedup_jaccard_capped -> dedup_cluster at corpus scale."""
+    from ..operators.graph import connected_components
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    base = c.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"))
+    records = (
+        base.unionByName(
+            base.select(
+                (F.col("rid") + 100000).alias("rid"),
+                F.translate("name", "1", "l").alias("name"),
+            )
+        )
+        .unionByName(
+            base.select(
+                (F.col("rid") + 200000).alias("rid"),
+                F.concat(F.col("name"), F.lit(" jr")).alias("name"),
+            )
+        )
+    )
+    keyed = records.withColumn(
+        "bk", F.regexp_replace(F.translate("name", "l", "1"), r" jr$", "")
+    )
+    a = keyed.select(
+        F.col("rid").alias("id_a"), F.col("name").alias("name_a"), "bk"
+    )
+    b = keyed.select(
+        F.col("rid").alias("id_b"), F.col("name").alias("name_b"), "bk"
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, nodes=records.select("rid"))
+    return cc.select(
+        F.col("node").alias("record_id"),
+        F.col("component").alias("entity_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
