@@ -569,3 +569,85 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return result
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts)
+                    - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged),
+    sess AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS final_wm FROM events)
+    SELECT user_id,
+           strftime(session_start, '{_DTS}') AS session_start,
+           n_events
+    FROM sess, wm WHERE session_end <= wm.final_wm
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSIONIZATION: session_window (30-min gap) running on
+    the micro-batch engine with a 1-hour event-time watermark in APPEND
+    mode — sessions merge across micro-batches in the state store and
+    are emitted exactly once, when the watermark passes session end
+    (last event + gap).  The batch twin is session_window_agg; this is
+    the form that runs forever on an unbounded clickstream with state
+    bounded to ~1h of open sessions per user.
+
+    Deterministic (time-ordered replay chunks, no late data), so the
+    oracle is exact: lag-gap islands whose end (last ts + 30 min) lies
+    at or before max(ts) - 1h — verified value-equal against the batch
+    operator in the design probe."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_id", "user_id")
+    w = Window.orderBy("ts", "event_id")
+    chunked = events.withColumn("chunk", F.ntile(4).over(w))
+    tmp = tempfile.mkdtemp(prefix="wm_sess_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    for k in range(1, 5):
+        chunked.filter(F.col("chunk") == k).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
+        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, output_mode="append")
+    result = out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), _TS).alias("session_start"),
+        "n_events",
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
