@@ -250,9 +250,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = base.unionByName(variants)
     pairs = embedding_near_dups(pool, threshold=0.98, srp_bands=8, srp_bits=4)
-    cc = connected_components(
-        pairs.select("id_a", "id_b"), nodes=pool.select("vec_id")
-    )
+    # eager checkpoint: connected_components consumes its edge input
+    # more than once (size probe + node derivation + loop seed); without
+    # this the SRP-LSH pair generation re-runs per consumption
+    # (measured 3.9s -> 2.9s at sf0.1)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(pairs, nodes=pool.select("vec_id"))
     return cc.select(
         F.col("node").alias("vec_id"),
         "component",
@@ -565,9 +568,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = _trunc_80(v1)
     pool = base.unionByName(v1).unionByName(v2)
     edges = jaccard_pairs(pool, threshold=0.7, n=2)
-    cc = connected_components(
-        edges.select("id_a", "id_b"), nodes=pool.select("doc_id")
-    )
+    # eager checkpoint: same multi-consumption pattern as dedup_semantic
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(edges, nodes=pool.select("doc_id"))
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 

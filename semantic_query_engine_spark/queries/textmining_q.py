@@ -295,6 +295,8 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.levenshtein("name_a", "name_b") <= 3)
         .select("id_a", "id_b")
+        # eager checkpoint: CC consumes its edge input several times
+        .localCheckpoint(eager=True)
     )
     cc = connected_components(pairs, nodes=records.select("rid"))
     return cc.select(
