@@ -569,9 +569,10 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jaccard_pairs(
         k.select("doc_id", "text"), threshold=0.5, n=2, max_shingle_freq=20
     )
-    cc = connected_components(
-        edges.select("id_a", "id_b"), nodes=k.select("doc_id")
-    )
+    # eager checkpoint: CC consumes its edge input several times; the
+    # capped-jaccard pair plan must materialize once, not per use
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(edges, nodes=k.select("doc_id"))
     reps = cc.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias("doc_id")
     )
