@@ -498,3 +498,50 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("zs", 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "events_ohlc",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+           CAST(min_by(round(value * 100)::BIGINT,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS BIGINT) AS open_cents,
+           CAST(MAX(round(value * 100)::BIGINT) AS BIGINT) AS high_cents,
+           CAST(MIN(round(value * 100)::BIGINT) AS BIGINT) AS low_cents,
+           CAST(max_by(round(value * 100)::BIGINT,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0')) AS BIGINT) AS close_cents,
+           COUNT(*) AS n_ticks
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close + tick count) per (type, hour) —
+    the time-series downsampling every metrics/market pipeline runs.
+    Open/close use min_by/max_by on a lexicographic (microsecond ts,
+    zero-padded event_id) ordinal, so ties are deterministic and the
+    DuckDB twin orders identically; prices are exact integer cents.
+
+    Scale shape: ONE hash aggregate keyed by (type, hour) with
+    map-side partial min_by/max_by/min/max combine — the shuffle
+    carries one 5-value row per bar per task, never the ticks."""
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("bar"),
+    ).agg(
+        F.min_by(cents, ordk).alias("open_cents"),
+        F.max(cents).alias("high_cents"),
+        F.min(cents).alias("low_cents"),
+        F.max_by(cents, ordk).alias("close_cents"),
+        F.count("*").alias("n_ticks"),
+    )
