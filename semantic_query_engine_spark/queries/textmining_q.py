@@ -304,3 +304,116 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("entity_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle() -> str:
+    """Unrolled greedy pair-merge learning (one CTE trio per round)."""
+    head = f"""
+    WITH pool AS (
+      SELECT doc_id, {_CLEAN} AS t FROM documents WHERE doc_id < 50),
+    toks AS (SELECT unnest(regexp_split_to_array(t, '\\s+')) AS w FROM pool),
+    wf AS (SELECT w, COUNT(*)::BIGINT AS freq FROM toks WHERE w <> '' GROUP BY w),
+    words0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, freq FROM wf)"""
+    parts = [head]
+    for i in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+    pairs{i} AS (
+      SELECT s[CAST(j AS INT) + 1] || ' ' || s[CAST(j AS INT) + 2] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(seq, ' ') AS s FROM words{i - 1}),
+           UNNEST(range(len(s) - 1)) AS t(j)
+      GROUP BY 1),
+    top{i} AS (
+      SELECT pair, cnt, replace(pair, ' ', '') AS m
+      FROM pairs{i} ORDER BY cnt DESC, pair LIMIT 1),
+    words{i} AS (
+      SELECT trim(replace(' ' || w.seq || ' ',
+                          ' ' || t.pair || ' ',
+                          ' ' || t.m || ' ')) AS seq, w.freq
+      FROM words{i - 1} w, top{i} t)""")
+    tail = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, pair, cnt FROM top{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + tail
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction on the cluster: learn the first 5 BPE-style
+    merges from a bounded corpus pool — per-word character sequences,
+    corpus-weighted symbol-pair counts, greedy top-pair merge, repeat.
+    (Merging uses left-to-right non-overlapping string replace with
+    space boundaries, so immediately-adjacent repeats of the same pair
+    merge like `replace` does in both engines — a deterministic greedy
+    variant of classic BPE.)  Ties break on (count DESC, pair ASC);
+    the oracle unrolls the identical 5 rounds.
+
+    Scale shape: the iterated state is the word-frequency table
+    (vocabulary-sized, orders smaller than the corpus — built once from
+    one explode + hash agg); each round is one explode over symbol
+    positions + one map-side-combined pair count + a broadcast 1-row
+    merge rule.  This is how industrial BPE trainers actually run:
+    rounds iterate on the compact vocab table, never the raw text."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select(F.explode(TX.words_of(F.col("text"))).alias("w"))
+    wf = toks.groupBy("w").agg(F.count("*").alias("freq"))
+    words = wf.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "freq"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        syms = F.split("seq", " ")
+        idx = F.sequence(F.lit(0), F.size(syms) - 2)
+        pairs = (
+            words.filter(F.size(syms) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda j: F.concat(
+                            F.element_at(syms, j + 1),
+                            F.lit(" "),
+                            F.element_at(syms, j + 2),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(
+                "pair",
+                "cnt",
+                F.regexp_replace("pair", " ", "").alias("m"),
+                F.lit(i).alias("merge_rank"),
+            )
+            .localCheckpoint(eager=True)  # 1 row, reused by merge + output
+        )
+        merges.append(top)
+        words = (
+            words.crossJoin(F.broadcast(top.select("pair", "m")))
+            .select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("m"), F.lit(" ")),
+                    )
+                ).alias("seq"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for t in merges[1:]:
+        out = out.unionByName(t)
+    return out.select("merge_rank", "pair", "cnt")
