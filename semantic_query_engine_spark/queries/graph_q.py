@@ -12,7 +12,7 @@ selection and diversity sampling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
@@ -120,3 +120,113 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
+
+
+_CP_ANCHORS = 20
+_CP_NEGS = 3
+
+
+@register(
+    "contrastive_pairs",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+      FROM embeddings WHERE vec_id < {_CP_ANCHORS}),
+    cands AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.anchor_id, c.vec_id,
+             list_cosine_similarity(c.v, a.av) AS raw
+      FROM cands c JOIN anchors a ON c.vec_id <> a.anchor_id),
+    pos AS (
+      SELECT anchor_id, vec_id AS other_id, 'pos' AS role, 1 AS rank
+      FROM (
+        SELECT anchor_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY raw DESC, vec_id) AS rn
+        FROM scored) WHERE rn = 1),
+    nonpos AS (
+      SELECT s.anchor_id, s.vec_id,
+             md5(CAST(s.anchor_id AS VARCHAR) || '|' || CAST(s.vec_id AS VARCHAR)) AS m
+      FROM scored s
+      LEFT JOIN pos p ON p.anchor_id = s.anchor_id AND p.other_id = s.vec_id
+      WHERE p.other_id IS NULL),
+    negs AS (
+      SELECT anchor_id, vec_id AS other_id, 'neg' AS role, CAST(rn AS INT) AS rank
+      FROM (
+        SELECT anchor_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                  ORDER BY ({{poly}}), vec_id) AS rn
+        FROM nonpos) WHERE rn <= {_CP_NEGS})
+    SELECT anchor_id, role, other_id, rank FROM pos
+    UNION ALL SELECT anchor_id, role, other_id, rank FROM negs
+    """.replace("{poly}", "(strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(m, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(m, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(m, 8, 1)) - 1)"),
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding-model training:
+    per anchor, ONE positive (its nearest neighbor by cosine, the
+    standard self-supervised positive) and THREE reproducible random
+    negatives drawn by ranking candidates on a portable md5-derived
+    hash of (anchor, candidate) — deterministic "random" sampling that
+    any engine reproduces bit-for-bit, the same discipline as
+    hash_split.  Positives are excluded from the negative pool.
+
+    Scale shape: positives ride the broadcast-probe kNN scan; negative
+    ranking is one window per anchor over hash keys computed map-side —
+    no RNG state, no shuffle beyond the per-anchor window.  At 100 TB
+    the anchor set shards and each shard mines independently."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _CP_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("av")
+    )
+    from ..functions.vectors import cosine
+
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", "vec_id", cosine("embedding", "av").alias("raw"))
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(F.desc("raw"), F.asc("vec_id"))
+    pos = (
+        scored.withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("other_id"),
+            F.lit("pos").alias("role"),
+            F.lit(1).alias("rank"),
+        )
+    )
+    nonpos = scored.join(
+        pos.select("anchor_id", F.col("other_id").alias("vec_id")),
+        ["anchor_id", "vec_id"],
+        "left_anti",
+    ).withColumn(
+        "hk",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit("|"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy(F.asc("hk"), F.asc("vec_id"))
+    negs = (
+        nonpos.withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") <= _CP_NEGS)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("other_id"),
+            F.lit("neg").alias("role"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+    return pos.unionByName(negs)

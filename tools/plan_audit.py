@@ -46,6 +46,7 @@ ALLOWED_BNLJ: dict[str, str] = {
     "tfidf_keywords": "broadcast 1-row pool-size side",
     "embedding_binarize_hamming": "broadcast 5 two-long signatures vs scan",
     "semantic_mmr_rerank": "broadcast 1-row query + bounded 20-row pool pairs",
+    "contrastive_pairs": "broadcast 20-anchor side vs index scan (kNN shape)",
     "hybrid_rrf": "broadcast 1-row stats + 20-row post-limit rank legs",
     "timeseries_gapfill": "tiny generated time-grid side",
     "join_cross": "intentional CROSS JOIN demo on two bounded dims",
