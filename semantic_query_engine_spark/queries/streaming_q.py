@@ -651,3 +651,63 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_distinct_users_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def stream_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches INSIDE the streaming engine: per-hour approximate
+    distinct users via approx_count_distinct (HLL++) in a streaming
+    windowed aggregation, complete mode.  HLL state merges
+    commutatively across micro-batches and partitions, so the sketch
+    value is deterministic for fixed data and the accuracy claim —
+    within max(2 users, 5%) per window, the absolute floor covering
+    HLL's small-cardinality windows — is hash-checked against the
+    exact-only oracle (same gate pattern as distinct_count_checked).
+
+    At 100 TB/day this is the shape that keeps per-window state at a
+    fixed few KB per window (one HLL) instead of one entry per user."""
+    src = read_events_stream(spark, sf_dir)
+    # exact COUNT(DISTINCT) is not allowed in streaming aggs (that's
+    # the point of the sketch) — the exact side comes from the batch
+    # twin and joins on the window for the accuracy gate
+    agg = src.groupBy(F.window("ts", "1 hour")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+    out = run_to_memory(agg, output_mode="complete").select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00").alias(
+            "window_start"
+        ),
+        "approx_users",
+    )
+    from ..sources.fixtures import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "window_start"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return exact.join(out, "window_start").select(
+        "window_start",
+        "exact_users",
+        (
+            F.abs(
+                F.col("approx_users").cast("double")
+                - F.col("exact_users").cast("double")
+            )
+            <= F.greatest(
+                F.lit(2.0), F.col("exact_users").cast("double") * 0.05
+            )
+        ).alias("within_tol"),
+    )
