@@ -711,3 +711,55 @@ def stream_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_tol"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id,
+             CASE WHEN COUNT(*) >= 120 THEN 'heavy'
+                  WHEN COUNT(*) >= 60 THEN 'mid'
+                  ELSE 'light' END AS cohort
+      FROM events GROUP BY user_id)
+    SELECT e.event_type, p.cohort,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events e JOIN profile p ON p.user_id = e.user_id
+    GROUP BY e.event_type, p.cohort
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension join — the enrichment pattern every
+    production stream runs (click joins user profile, txn joins account
+    tier): the events STREAM joins a static batch-derived user-cohort
+    dimension, then aggregates per (event_type, cohort) in complete
+    mode.  The static side is planned once and broadcast per
+    micro-batch; no state store is involved for the join itself (unlike
+    stream_stream_join), which is why this shape is free at any stream
+    length.  Complete-mode windowless agg -> every group is final ->
+    full batch-SQL oracle."""
+    from ..sources.fixtures import load_table
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_hist"))
+        .select(
+            "user_id",
+            F.when(F.col("n_hist") >= 120, "heavy")
+            .when(F.col("n_hist") >= 60, "mid")
+            .otherwise("light")
+            .alias("cohort"),
+        )
+    )
+    src = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    enriched = src.join(F.broadcast(profile), "user_id")
+    agg = enriched.groupBy("event_type", "cohort").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "sum_value"
+        ),
+    )
+    return run_to_memory(agg, output_mode="complete")
