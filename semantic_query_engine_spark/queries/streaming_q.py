@@ -763,3 +763,75 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_index_maintenance",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(array_to_string(
+             regexp_split_to_array(
+               trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+'), ' '))) AS fp,
+           CAST(len(regexp_split_to_array(
+             trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+')) AS INT)
+             AS n_tokens
+    FROM documents
+    """,
+)
+def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous index maintenance — the reference's startup index
+    build (SURVEY A27) as a STREAMING job: documents arrive in 4
+    micro-batches; each batch cleans, fingerprints, and token-counts
+    its rows and foreachBatch-appends them to the parquet index.  The
+    final index must equal the one-shot batch build — which is exactly
+    what the oracle computes — proving the incremental write path loses
+    and duplicates nothing.
+
+    Scale shape: per-batch work is map-only row-local expressions; the
+    sink append is partitioned parquet (at production scale a
+    Delta/Iceberg append with the same foreachBatch body)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions import text as TX
+    from ..sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="idx_maint_")
+    src = os.path.join(tmp, "src")
+    target = os.path.join(tmp, "index")
+    os.makedirs(src)
+    for k in range(4):
+        docs.filter((F.col("doc_id") % 4) == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
+        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def upsert(batch_df: DataFrame, _bid: int) -> None:
+        batch_df.select(
+            "doc_id",
+            TX.fingerprint("text").alias("fp"),
+            TX.token_count("text").alias("n_tokens"),
+        ).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(tmp, "ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(target).localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
