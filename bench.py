@@ -82,12 +82,17 @@ def main() -> None:
         "--conf spark.ui.showConsoleProgress=false pyspark-shell",
     )
     from semantic_query_engine_spark.queries import REGISTRY
-    from semantic_query_engine_spark.session import (
-        get_spark,
-        release_persistent_rdds,
-    )
+    from semantic_query_engine_spark.session import get_spark
+    from tools.harness_util import release_persistent_rdds
 
     spark = get_spark("bench")
+    # ERROR-only logging for the bench run: release_persistent_rdds
+    # emits one WARN per unpersisted localCheckpoint RDD ("lineage has
+    # been truncated...") and those frames landed in BENCH_r04/r05's
+    # recorded tail, making the artifact un-diffable across rounds
+    # (VERDICT r5 #4).  The warning is expected here — the harness
+    # releases checkpoints only after each result is consumed.
+    spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in HEADLINE if n in REGISTRY]
     # warm the JVM + parquet footers once so timings measure the engine,
     # not first-touch class loading

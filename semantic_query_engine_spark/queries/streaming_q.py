@@ -26,6 +26,55 @@ _TS = "yyyy-MM-dd HH:mm:ss"
 _DTS = "%Y-%m-%d %H:%M:%S"
 
 
+def _time_chunked(events: DataFrame, n: int = 4, ts_col: str = "ts") -> DataFrame:
+    """Add a replay `chunk` column (1..n) bucketing rows into n equal
+    TIME spans of [min ts, max ts] — a map-only expression after one
+    2-value agg.  Replaces the ntile-over-global-ORDER-BY chunker,
+    which funneled the whole input through ONE partition (the exact
+    UNPART_WINDOW shape tools/plan_audit.py hard-flags; VERDICT r5 #3).
+    Chunk k's rows all precede chunk k+1's in event time — the property
+    monotone-watermark replay needs; equal row COUNTS, which ntile gave,
+    it never needed."""
+    lo, hi = (
+        events.agg(
+            F.min(F.col(ts_col).cast("double")),
+            F.max(F.col(ts_col).cast("double")),
+        ).first()
+    )
+    span = max(hi - lo, 1e-9)
+    frac = (F.col(ts_col).cast("double") - F.lit(lo)) / F.lit(span)
+    chunk = F.least(F.lit(n), (F.floor(frac * n) + 1).cast("int"))
+    return events.withColumn("chunk", chunk)
+
+
+def _write_replay_chunks(chunked: DataFrame, src: str, n: int = 4,
+                         double: bool = False) -> None:
+    """Write chunk k of a `chunk`-columned frame to src/chunk-k.parquet
+    — a DETERMINISTIC name per chunk, then strictly increasing mtimes
+    stamped in name order.  (Stamping files sorted by their original
+    write mtime was ambiguous when two sequential writes landed within
+    the filesystem's mtime resolution, which could replay chunks out of
+    order — ADVICE r5.)  FileStreamSource with maxFilesPerTrigger=1
+    then replays micro-batch k = chunk k.  `double` writes every row
+    twice (at-least-once delivery for the dedup streams)."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    for k in range(1, n + 1):
+        part = chunked.filter(F.col("chunk") == k).drop("chunk")
+        if double:
+            part = part.union(part)
+        stage = f"{src}.stage{k}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = sorted(glob.glob(stage + "/part-*.parquet"))[0]
+        shutil.move(pf, os.path.join(src, f"chunk-{k}.parquet"))
+        shutil.rmtree(stage, ignore_errors=True)
+    for i, f in enumerate(sorted(glob.glob(src + "/chunk-*.parquet"))):
+        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+
+
 @register(
     "stream_tumbling_hourly",
     oracle="""
@@ -384,22 +433,17 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark bounds state to ~1h of windows regardless of stream
     length — this is the property that makes the job run forever on an
     unbounded 100 TB/day stream without unbounded state."""
-    import glob
+    import datetime
     import os
     import shutil
     import tempfile
-
-    from pyspark.sql import Window
 
     from ..sources.fixtures import load_table
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_id", "value")
     lo = events.agg(F.min("ts").alias("lo")).collect()[0]["lo"]
-    import datetime
-
     early_cut = lo + datetime.timedelta(hours=1)
-    w = Window.orderBy("ts", "event_id")
-    chunked = events.withColumn("chunk", F.ntile(4).over(w)).withColumn(
+    chunked = _time_chunked(events, 4).withColumn(
         "chunk",
         F.when(
             (F.col("event_id") % 7 == 0) & (F.col("ts") < F.lit(early_cut)),
@@ -408,15 +452,7 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="wm_append_")
     src = os.path.join(tmp, "src")
-    os.makedirs(src)
-    for k in range(1, 5):
-        chunked.filter(F.col("chunk") == k).drop("chunk", "event_id").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-    # file-source replay order follows modification time: stamp the
-    # chunks with strictly increasing mtimes so batch k = chunk k
-    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
-        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    _write_replay_chunks(chunked.drop("event_id"), src, 4)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -468,28 +504,19 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate pair lands inside the horizon, so the emitted set is
     exactly the distinct events — the same plain-DISTINCT oracle as
     stream_dedup, now with bounded state."""
-    import glob
     import os
     import shutil
     import tempfile
-
-    from pyspark.sql import Window
 
     from ..sources.fixtures import load_table
 
     events = load_table(spark, sf_dir, "events").select(
         "ts", "event_id", "event_type"
     )
-    w = Window.orderBy("ts", "event_id")
-    chunked = events.withColumn("chunk", F.ntile(4).over(w))
+    chunked = _time_chunked(events, 4)
     tmp = tempfile.mkdtemp(prefix="wm_dedup_")
     src = os.path.join(tmp, "src")
-    os.makedirs(src)
-    for k in range(1, 5):
-        part = chunked.filter(F.col("chunk") == k).drop("chunk")
-        part.union(part).coalesce(1).write.mode("append").parquet(src)
-    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
-        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    _write_replay_chunks(chunked, src, 4, double=True)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -611,27 +638,17 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is exact: lag-gap islands whose end (last ts + 30 min) lies
     at or before max(ts) - 1h — verified value-equal against the batch
     operator in the design probe."""
-    import glob
     import os
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
-
     from ..sources.fixtures import load_table
 
     events = load_table(spark, sf_dir, "events").select("ts", "event_id", "user_id")
-    w = Window.orderBy("ts", "event_id")
-    chunked = events.withColumn("chunk", F.ntile(4).over(w))
+    chunked = _time_chunked(events, 4)
     tmp = tempfile.mkdtemp(prefix="wm_sess_")
     src = os.path.join(tmp, "src")
-    os.makedirs(src)
-    for k in range(1, 5):
-        chunked.filter(F.col("chunk") == k).drop("chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
-        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    _write_replay_chunks(chunked, src, 4)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -671,6 +688,9 @@ def stream_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     within max(2 users, 5%) per window, the absolute floor covering
     HLL's small-cardinality windows — is hash-checked against the
     exact-only oracle (same gate pattern as distinct_count_checked).
+    The tolerance itself is probabilistic (HLL guarantees no error
+    direction): stable under partitioning, but re-validate after any
+    fixture regeneration or scale change (ADVICE r5).
 
     At 100 TB/day this is the shape that keeps per-window state at a
     fixed few KB per window (one HLL) instead of one entry per user."""
@@ -790,7 +810,6 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-batch work is map-only row-local expressions; the
     sink append is partitioned parquet (at production scale a
     Delta/Iceberg append with the same foreachBatch body)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -802,13 +821,8 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="idx_maint_")
     src = os.path.join(tmp, "src")
     target = os.path.join(tmp, "index")
-    os.makedirs(src)
-    for k in range(4):
-        docs.filter((F.col("doc_id") % 4) == k).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    for i, f in enumerate(sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)):
-        os.utime(f, (1e9 + i * 10, 1e9 + i * 10))
+    chunked = docs.withColumn("chunk", (F.col("doc_id") % 4 + 1).cast("int"))
+    _write_replay_chunks(chunked, src, 4)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)

@@ -39,23 +39,3 @@ def get_spark(app_name: str = "semantic-query-engine-spark") -> SparkSession:
     )
     spark.sparkContext.setLogLevel("WARN")
     return spark
-
-
-def release_persistent_rdds(spark: SparkSession) -> int:
-    """Unpersist every RDD still pinned in the block manager and return
-    how many were released.  HARNESS-ONLY between timed queries: several
-    operators localCheckpoint intermediates (dedup CC, PageRank, the
-    prep pipelines) and those blocks accumulate for the session's
-    lifetime — measured to slow later queries in a long session up to
-    4-9x once storage squeezes execution memory.  Unpersisting a
-    localCheckpoint makes ITS DataFrame unusable (checkpoint blocks are
-    not recomputable), so call this only after the query's result has
-    been fully consumed."""
-    sc = spark.sparkContext._jsc.sc()
-    rdds = sc.getPersistentRDDs().toList()
-    it = rdds.iterator()
-    n = 0
-    while it.hasNext():
-        it.next()._2().unpersist(True)
-        n += 1
-    return n

@@ -9,15 +9,25 @@ from pyspark.sql import types as T
 
 
 def test_minhash_lsh_recovers_planted_pairs(spark, sf_dir):
-    from semantic_query_engine_spark.queries.dedup_q import dedup_minhash_lsh
+    """The production xxhash64 LSH pipeline (the raw operator, not the
+    accuracy-gated query wrapper) recovers the planted pairs."""
+    from semantic_query_engine_spark.operators.dedup import minhash_lsh_pairs
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _docs_with_truncated_copies,
+        dedup_minhash_lsh,
+    )
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n=2).collect()
     planted = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 10000}
     # 100 planted 80%-prefix copies; LSH with 5 tables at jaccard>=0.5
     # should recover the large majority
     assert len(planted) >= 80, len(planted)
     # and no pair it reports may have distance above the threshold
     assert all(r.jaccard_dist <= 0.5 for r in pairs)
+    # the registered checked query gates LSH recall vs exact ground truth
+    gated = dedup_minhash_lsh(spark, sf_dir).collect()
+    assert gated and all(r.recall_ok for r in gated)
 
 
 def test_simhash_identical_and_perturbed(spark):

@@ -122,10 +122,19 @@ def test_minhash_lsh_no_cartesian_all_codegen(spark, sf_dir):
     """The native MinHash+LSH path must be equality joins end-to-end (no
     CartesianProduct/BroadcastNestedLoop) and stay out of Python: no
     BatchEvalPython / ArrowEvalPython nodes — signatures are codegen
-    expressions, not UDFs."""
-    from semantic_query_engine_spark.queries.dedup_q import dedup_minhash_lsh
+    expressions, not UDFs.  (Audits the raw operator: the registered
+    query wrapper adds a 1-row broadcast recall_ok flag, which is an
+    allowed BNLJ.)"""
+    from semantic_query_engine_spark.operators.dedup import minhash_lsh_pairs
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _docs_with_truncated_copies,
+    )
 
-    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    plan = _plan(
+        minhash_lsh_pairs(
+            _docs_with_truncated_copies(spark, sf_dir), threshold=0.5, n=2
+        )
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
@@ -181,6 +190,16 @@ def test_repo_wide_plan_audit_clean(spark, sf_dir):
     names = [n for n in REGISTRY if not n.startswith(STREAM_PREFIXES)]
     bad = run_audit(spark, sf_dir, names)
     assert bad == {}, bad
+
+
+def test_no_setup_side_unpartitioned_windows():
+    """Source-level sweep: no `Window.orderBy(` (unpartitioned window
+    spec) anywhere in the package outside the bounded allowlist — this
+    catches SETUP-SIDE windows that run while a query builds its inputs
+    and never appear in the returned plan (VERDICT r5 #3)."""
+    from tools.plan_audit import audit_sources
+
+    assert audit_sources() == []
 
 
 def test_merge_upsert_is_broadcast_anti_join(spark, sf_dir):

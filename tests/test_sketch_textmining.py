@@ -72,10 +72,33 @@ def test_cms_sketch_is_bounded(spark, sf_dir):
 
 
 def test_cms_estimates_hold_bound(spark, sf_dir):
-    from semantic_query_engine_spark.queries.sketch_q import cms_frequency
+    """The oracle gates only the guaranteed direction (est >= exact);
+    the probabilistic Markov upper bound est <= exact + ceil(e*N/w)
+    (per-key success ~1 - e^-depth) is asserted HERE, where an unlucky
+    fixture would fail a test instead of flapping a hash gate."""
+    import math
+
+    from semantic_query_engine_spark.queries.sketch_q import (
+        _CMS_WIDTH,
+        cms_estimates,
+        cms_frequency,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
 
     rows = cms_frequency(spark, sf_dir).collect()
     assert rows and all(r.cms_ok for r in rows)
+
+    n_total = load_table(spark, sf_dir, "events").count()
+    bound = math.ceil(math.e * n_total / _CMS_WIDTH)
+    ests = cms_estimates(spark, sf_dir).collect()
+    assert ests
+    for r in ests:
+        assert r.exact_cnt <= r.est <= r.exact_cnt + bound, (
+            r.user_id,
+            r.exact_cnt,
+            r.est,
+            bound,
+        )
 
 
 def test_hll_union_rollup_within_tol(spark, sf_dir):

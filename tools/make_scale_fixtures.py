@@ -11,6 +11,9 @@ replicates the driver's sf0.1 parquet 10x into .scale_data/sf1/
 - embeddings: vec_id + k*1e6; embedding[0] += 0.001*k so vectors are
   distinct with preserved cluster geometry.
 - events: event_id + k*1e7; ts/user untouched (10x events per user).
+- orders + lineitem: keys offset by the SAME k*1e7, so every replicated
+  order keeps its lineitems and orders-lineitem joins stay 100%-matching
+  at every scale (referential integrity preserved, ADVICE r5).
 - small TPC-H dims copied as-is (the scale queries don't read them).
 
 Deterministic: same input -> same output; no randomness.
@@ -28,7 +31,7 @@ import duckdb
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-COPY_AS_IS = ("region", "nation", "customer", "supplier", "part", "lineitem")
+COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
 
 
 def make(src: str, dst: str, replicas: int = 10) -> None:
@@ -71,9 +74,20 @@ def make(src: str, dst: str, replicas: int = 10) -> None:
       FROM read_parquet('{src}/orders.parquet') o, {rep}
     ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
     """)
+    # lineitem rides with orders: the SAME k*1e7 key offset keeps every
+    # replicated order's lineitems attached (100%-matching joins)
+    con.sql(f"""
+    COPY (
+      SELECT l.l_orderkey + r.k * 10000000 AS l_orderkey,
+             l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+             l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+             l.l_linestatus, l.l_shipdate
+      FROM read_parquet('{src}/lineitem.parquet') l, {rep}
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+    """)
     for t in COPY_AS_IS:
         shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
-    for t in ("documents", "embeddings", "events", "orders"):
+    for t in ("documents", "embeddings", "events", "orders", "lineitem"):
         n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n}")
 

@@ -25,10 +25,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
-from semantic_query_engine_spark.session import (  # noqa: E402
-    get_spark,
-    release_persistent_rdds,
-)
+from semantic_query_engine_spark.session import get_spark  # noqa: E402
+from tools.harness_util import release_persistent_rdds  # noqa: E402
 from semantic_query_engine_spark.streaming.jobs import drop_live_sinks  # noqa: E402
 
 # The 6 most expensive headline queries (VERDICT r4) + the unbounded
@@ -91,12 +89,17 @@ def main() -> None:
         names = [n for n in names if n in wanted]
     out = {}
     for name in names:
-        # fresh session per query: a long-lived 48g local JVM develops
-        # multi-second pauses after a few hundred heavy jobs (measured:
-        # the same query 1.4s in a fresh session, 11s late in a sweep
-        # session, with all persistent RDDs released) — per-query
-        # isolation makes the RATIO measurement trustworthy at the cost
-        # of ~8s startup per query
+        # fresh SparkContext per query: a long-lived 48g local session
+        # develops multi-second pauses after a few hundred heavy jobs
+        # (measured: the same query 1.4s fresh, 11s late in a sweep,
+        # with all persistent RDDs released).  NOTE this is context-
+        # level isolation only — spark.stop() + getOrCreate reuses the
+        # same JVM through the persistent py4j gateway, so block-manager
+        # /listener/codegen-cache state resets but heap aging and JIT
+        # state carry over (ADVICE r5); resetting the context is what
+        # restored the fresh-session timings in practice.  True JVM
+        # isolation would need a subprocess per query at ~8s startup
+        # each.
         spark = get_spark("scale-run")
         s = _median_time(spark, name, small)
         b = _median_time(spark, name, big)
