@@ -246,8 +246,12 @@ def distinct_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("distinct_count_approx", oracle=None)
 def distinct_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the constant-memory distinct for
-    100 TB corpus stats.  Sketch internals differ from DuckDB's HLL, so
-    rows-only; tests bound its relative error vs exact."""
+    100 TB corpus stats.  One of exactly TWO deliberately rows-only
+    registry entries (with approx_percentile_agg): it emits the RAW
+    sketch value, which DuckDB's different HLL cannot reproduce — the
+    same sketch's accuracy is hash-gated by its checked twin
+    distinct_count_checked (stats_q.py); tests additionally bound its
+    relative error vs exact."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),

@@ -212,9 +212,12 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("approx_percentile_agg", oracle=None)
 def approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest-style sketch): the constant-memory
-    quantile for 100 TB profiling.  Sketch internals differ from
-    DuckDB's -> rows-only; the output carries the exact percentile
-    alongside so the driver's rows-check still sees both values."""
+    quantile for 100 TB profiling.  One of exactly TWO deliberately
+    rows-only registry entries (with distinct_count_approx): it emits
+    the RAW sketch value, which no other engine's sketch reproduces —
+    the accuracy of the same sketch is hash-gated by its checked twin
+    approx_percentile_checked below.  The exact percentile rides
+    alongside so the rows-check still sees both values."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(
         """
