@@ -5,11 +5,14 @@ SCALE.md evidence table.
 replicates the driver's sf0.1 parquet 10x into .scale_data/sf1/
 (gitignored) with id offsets; replica 0 is bit-identical to sf0.1:
 
-- documents: doc_id + k*1e6; text gets a per-replica suffix token
-  (' zqK') so fingerprints and shingle sets differ across replicas —
-  dedup pipelines see 10x DISTINCT content, not 90% trivial dups.
-- embeddings: vec_id + k*1e6; embedding[0] += 0.001*k so vectors are
-  distinct with preserved cluster geometry.
+- documents: doc_id + k*1e6; replica k prefixes every word with 'zqK'
+  (v2), so replicas share NO shingles and are genuinely distinct
+  content — near-dup answers scale ~linearly with data instead of
+  blowing up quadratically inside replica cliques (the v1 suffix-token
+  artifact).
+- embeddings: vec_id + k*1e6; replica k adds 0.75 to element k (v2),
+  putting replicas at cosine ~0.71-0.89 vs each other — below every
+  near-dup threshold — while keeping labels and overall geometry.
 - events: event_id + k*1e7; ts/user untouched (10x events per user).
 - orders + lineitem: keys offset by the SAME k*1e7, so every replicated
   order keeps its lineitems and orders-lineitem joins stay 100%-matching
@@ -38,20 +41,49 @@ def make(src: str, dst: str, replicas: int = 10) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     rep = f"(SELECT unnest(range({replicas})) AS k) r"
+    # v2 (round 6): replica k prefixes EVERY word with 'zq{k}', so no
+    # shingle of any n survives across replicas — replicas are truly
+    # DISTINCT content, not near-duplicates.  The v1 suffix-token
+    # (' zqK') only changed fingerprints: replicas stayed mutual
+    # near-dups at jaccard ~0.95, so every near-dup/substring workload's
+    # TRUE ANSWER grew quadratically inside 10-replica cliques (~1000x
+    # pairs at 10x data) and wall-clock ratios read super-linear for
+    # answer-size reasons, not plan reasons.  Word count per doc is
+    # preserved; n_chars is recomputed to stay = len(text).
     con.sql(f"""
     COPY (
       SELECT d.doc_id + r.k * 1000000 AS doc_id,
-             CASE WHEN r.k = 0 THEN d.text ELSE d.text || ' zq' || r.k END AS text,
-             d.lang, d.source, d.n_chars
+             CASE WHEN r.k = 0 THEN d.text
+                  ELSE array_to_string(list_transform(
+                         regexp_split_to_array(
+                           trim(regexp_replace(d.text, chr(10), ' ', 'g')),
+                           '\\s+'),
+                         w -> 'zq' || r.k || w), ' ') END AS text,
+             d.lang, d.source,
+             CASE WHEN r.k = 0 THEN d.n_chars
+                  ELSE len(array_to_string(list_transform(
+                         regexp_split_to_array(
+                           trim(regexp_replace(d.text, chr(10), ' ', 'g')),
+                           '\\s+'),
+                         w -> 'zq' || r.k || w), ' ')) END AS n_chars
       FROM read_parquet('{src}/documents.parquet') d, {rep}
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
+    # v2: replica k adds 0.75 to element k (1-indexed), dropping its
+    # cosine vs the original (and vs other replicas) to ~0.71-0.89 —
+    # below every near-dup threshold in the suite, so embedding-dedup
+    # answers scale ~linearly with data.  (The v1 +0.001*k first-element
+    # nudge left replicas at cosine ~0.9999: 45-pair cliques per vector
+    # group, the same quadratic-answer artifact as the documents.)
+    # Label structure is untouched; within-replica geometry shifts along
+    # one axis per replica.
     con.sql(f"""
     COPY (
       SELECT e.vec_id + r.k * 1000000 AS vec_id,
              CASE WHEN r.k = 0 THEN e.embedding
-                  ELSE CAST(list_concat([e.embedding[1] + 0.001 * r.k],
-                                        e.embedding[2:]) AS FLOAT[]) END AS embedding,
+                  ELSE CAST(list_concat(list_concat(
+                         e.embedding[1:r.k], [e.embedding[r.k + 1] + 0.75]),
+                         e.embedding[r.k + 2:]) AS FLOAT[]) END AS embedding,
              e.label
       FROM read_parquet('{src}/embeddings.parquet') e, {rep}
     ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)

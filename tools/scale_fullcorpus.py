@@ -9,14 +9,19 @@ so the 10x-data scaling of the unbounded LSH paths is measured
 directly:
 
 - minhash_full:  minhash_lsh_pairs, production xxhash64 mode, over all
-  documents.  sf1 replicas differ by one suffix token, so true
-  near-dup groups of 10 exist across replicas — the workload finds
-  ~45 pairs per original document, a realistic crawl-dup profile.
-- semantic_full: embedding_near_dups in SRP-banded mode (8 bands x 4
-  bits) at cosine >= 0.98 over all embeddings (replicas are 0.001*k
-  first-element perturbations -> cosine ~0.9999).
-- cluster_full:  connected_components over the minhash pair set with
-  driver_cc_threshold=0, FORCING the distributed alternating-star
+  documents PLUS one 80%-prefix copy of every document (ids + 1e7,
+  planted in-plan exactly like the registered bounded query) — the
+  true near-dup density is CONSTANT (~1 pair per document), so the
+  10x-data ratio measures the operator, not answer growth.  Requires
+  the v2 scale fixtures (make_scale_fixtures), whose replicas share
+  no shingles; the v1 suffix-token replicas formed 10-doc near-dup
+  cliques whose ~1000x pair growth swamped any wall-clock reading.
+- semantic_full: embedding_near_dups in SRP-banded mode (8 bands x 16
+  bits; key width sized to the corpus, see in-function note) at cosine >= 0.98 over all embeddings plus one slightly
+  perturbed copy each (first element + 0.1, the dedup_embedding
+  construction) — again constant true-pair density.
+- cluster_full:  connected_components over the minhash_full pair set
+  with driver_cc_threshold=0, FORCING the distributed alternating-star
   path (the 100 TB form) even though the edge set would fit the
   driver shortcut.
 
@@ -48,28 +53,78 @@ from tools.harness_util import release_persistent_rdds  # noqa: E402
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _docs(spark, sf_dir):
+    """Full documents scan, conditioned to 32 input splits.  The fixture
+    is a SINGLE ~5 MB parquet file -> 2 Spark splits, so the heavy
+    map-side work (shingle explode, 64 signature hashes per doc) would
+    run on 2 of 32 cores — a fixture-layout artifact, not a plan
+    property (a 100 TB corpus arrives as thousands of splits and never
+    needs this).  The repartition is harness-level input conditioning
+    so the sweep measures the OPERATOR's scaling, not the file count;
+    its own shuffle cost is inside the timed region, so the numbers
+    stay conservative."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32)
+    )
+
+
+def _docs_with_copies(spark, sf_dir):
+    """Full corpus + one 80%-prefix copy per document at id + 1e7 —
+    the _docs_with_truncated_copies construction WITHOUT the bounded
+    doc_id < 100 pool."""
+    from semantic_query_engine_spark.functions.text import words_of
+
+    docs = _docs(spark, sf_dir)
+    ws = words_of(F.col("text"))
+    keep = F.ceil(F.size(ws) * 0.8).cast("int")
+    variants = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
 def minhash_full(spark, sf_dir):
     from semantic_query_engine_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_lsh_pairs(docs, threshold=0.5, n=2)
+    return minhash_lsh_pairs(_docs_with_copies(spark, sf_dir), threshold=0.5, n=2)
 
 
 def semantic_full(spark, sf_dir):
     from semantic_query_engine_spark.operators.dedup import embedding_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .repartition(32)  # same input conditioning as _docs
     )
-    return embedding_near_dups(emb, threshold=0.98, srp_bands=8)
+    variants = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 10_000_000),
+        ).alias("embedding"),
+    )
+    # srp_bits sizes the per-band key space and must grow with the
+    # corpus (~log2 n): at 4 bits (the bounded demo's setting) 40k
+    # vectors pile ~2.5k into each of 16 buckets and the band join
+    # explodes toward n^2/16 candidates; at 16 bits the keyspace is
+    # 65k and buckets hold only true-ish neighbors.  Recall per pair
+    # at cosine 0.995 stays ~0.999 (1 - (1 - 0.968^16)^8).
+    return embedding_near_dups(
+        emb.unionByName(variants), threshold=0.98, srp_bands=8, srp_bits=16
+    )
 
 
 def cluster_full(spark, sf_dir):
     from semantic_query_engine_spark.operators.dedup import minhash_lsh_pairs
     from semantic_query_engine_spark.operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, n=2)
+    pairs = minhash_lsh_pairs(_docs_with_copies(spark, sf_dir), threshold=0.5, n=2)
     return connected_components(pairs, driver_cc_threshold=0)
 
 
