@@ -10,7 +10,8 @@ can compare against DuckDB where semantics allow.
   stream uses) -> oracle via lag-gap islands.
 - stream_stateful_memory: applyInPandasWithState per-user conversation
   state (SURVEY A21 — fixing the reference's uninitialized memory_store
-  bug, /root/reference/app/main.py:484 vs :408-411) -> rows-only.
+  bug, /root/reference/app/main.py:484 vs :408-411) -> oracle-checked
+  (deterministic window twin).
 """
 
 from __future__ import annotations

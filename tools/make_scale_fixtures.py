@@ -77,13 +77,20 @@ def make(src: str, dst: str, replicas: int = 10) -> None:
     # group, the same quadratic-answer artifact as the documents.)
     # Label structure is untouched; within-replica geometry shifts along
     # one axis per replica.
+    # Perturbed element wraps at the vector width (dim 64) and the
+    # magnitude steps up per wrap, so replicas stay pairwise distinct
+    # for any replica count (k and k+64 perturb the same element by
+    # different amounts).
     con.sql(f"""
     COPY (
       SELECT e.vec_id + r.k * 1000000 AS vec_id,
              CASE WHEN r.k = 0 THEN e.embedding
                   ELSE CAST(list_concat(list_concat(
-                         e.embedding[1:r.k], [e.embedding[r.k + 1] + 0.75]),
-                         e.embedding[r.k + 2:]) AS FLOAT[]) END AS embedding,
+                         e.embedding[1:r.k % 64],
+                         [e.embedding[r.k % 64 + 1]
+                          + 0.75 * (1 + r.k // 64)]),
+                         e.embedding[r.k % 64 + 2:]) AS FLOAT[])
+                  END AS embedding,
              e.label
       FROM read_parquet('{src}/embeddings.parquet') e, {rep}
     ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
