@@ -428,3 +428,18 @@ def test_ivfpq_recall_dim1024_clustered(spark):
         hits += len(exact[p.probe_id] & got)
         denom += 3
     assert hits / denom >= 0.9, hits / denom
+
+
+def test_attach_recall_flag_flips_on_missing_pairs(spark):
+    """The accuracy gate must be falsifiable: recall_ok is True when the
+    approx side covers >= 90% of the exact side and False when it
+    doesn't — a regression in any ANN path flips the hash-checked
+    column instead of passing silently."""
+    from semantic_query_engine_spark.queries.dedup_q import _attach_recall
+
+    exact = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    full = _attach_recall(exact, exact, ("vec_id",))
+    assert all(r.recall_ok for r in full.collect())
+    missing_two = spark.createDataFrame([(i,) for i in range(8)], "vec_id long")
+    degraded = _attach_recall(exact, missing_two, ("vec_id",))
+    assert not any(r.recall_ok for r in degraded.collect())

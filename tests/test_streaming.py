@@ -168,3 +168,55 @@ def test_exactly_once_restart_from_checkpoint(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == total, f"mid={mid} final={out.count()} want={total}"
     assert out.select("event_id").distinct().count() == total
+
+
+def test_time_chunked_is_monotone_and_partition_free(spark, sf_dir):
+    """The replay chunker must (a) give monotone chunks — every row in
+    chunk k precedes every row in chunk k+1 in event time, the property
+    watermark replay relies on; (b) cover all rows; (c) plan with no
+    window at all (it replaced an ntile over a global ORDER BY,
+    VERDICT r5 #3)."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.streaming_q import _time_chunked
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_id")
+    chunked = _time_chunked(events, 4)
+    assert "Window" not in chunked._jdf.queryExecution().executedPlan().toString()
+    spans = (
+        chunked.groupBy("chunk")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+        .orderBy("chunk")
+        .collect()
+    )
+    assert [r.chunk for r in spans] == [1, 2, 3, 4]
+    assert sum(r.n for r in spans) == events.count()
+    for a, b in zip(spans, spans[1:]):
+        assert a.hi <= b.lo, (a, b)
+
+
+def test_write_replay_chunks_deterministic_names(spark, sf_dir, tmp_path):
+    """Chunk files carry deterministic names with strictly increasing
+    mtimes in name order — replay order can no longer depend on the
+    filesystem's write-mtime resolution (ADVICE r5)."""
+    import glob
+    import os
+
+    from semantic_query_engine_spark.queries.streaming_q import (
+        _time_chunked,
+        _write_replay_chunks,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_id").limit(200)
+    src = str(tmp_path / "src")
+    _write_replay_chunks(_time_chunked(events, 4), src, 4)
+    files = sorted(glob.glob(src + "/chunk-*.parquet"))
+    assert [os.path.basename(f) for f in files] == [
+        f"chunk-{k}.parquet" for k in (1, 2, 3, 4)
+    ]
+    mtimes = [os.path.getmtime(f) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+    total = spark.read.parquet(src).count()
+    assert total == 200
