@@ -443,3 +443,31 @@ def test_attach_recall_flag_flips_on_missing_pairs(spark):
     missing_two = spark.createDataFrame([(i,) for i in range(8)], "vec_id long")
     degraded = _attach_recall(exact, missing_two, ("vec_id",))
     assert not any(r.recall_ok for r in degraded.collect())
+
+
+def test_checked_ann_rows_hold_recall_gate(spark, sf_dir):
+    """Every accuracy-gated ANN row must return its exact top-k payload
+    with recall_ok=True on the fixtures — the same claim the DuckDB
+    oracle hash-checks, pinned here so a probe/assignment regression
+    (or an unlucky fixture regeneration) fails fast in pytest too."""
+    from semantic_query_engine_spark.queries.dedup_q import (
+        ann_ivf_knn_join,
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        ann_lsh_topk,
+        ann_pq_topk,
+    )
+
+    for fn, n_rows in (
+        (ann_lsh_topk, 3),
+        (ann_ivf_topk, 3),
+        (ann_pq_topk, 3),
+        (ann_ivfpq_topk, 3),
+        (ann_ivf_knn_join, 24),
+    ):
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) == n_rows, (fn.__name__, len(rows))
+        assert all(r.recall_ok for r in rows), fn.__name__
+        # the planted near-copies must BE the exact answer (wide margin)
+        planted = [r for r in rows if r.vec_id >= 1000000]
+        assert len(planted) == n_rows, (fn.__name__, len(planted))
