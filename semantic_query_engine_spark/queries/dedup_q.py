@@ -436,6 +436,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_pairs_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT registered — the bench/scale timing twin of
+    dedup_minhash_lsh.  Since round 6 the registered row also executes
+    the exact all-pairs shingle join (the ground truth its recall gate
+    compares against), so timing IT would measure the O(n^2) join LSH
+    exists to avoid and break cross-round comparability (ADVICE r6).
+    This runs ONLY the production LSH pipeline (shingle -> 64-perm
+    minhash -> 16-band bucket join -> exact-Jaccard confirm on
+    candidates) over the same planted corpus — the work rounds <= 5
+    timed under the name dedup_minhash_lsh; bench.py reports it as
+    `minhash_lsh_pairs`."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    return minhash_lsh_pairs(docs, threshold=0.5, n=2)
+
+
 @register("dedup_minhash_lsh_portable", oracle=_minhash_oracle())
 def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash_lsh in portable-hash mode: permutation i is the
@@ -541,7 +558,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regeneration (ADVICE r5).
 
 _PLANT_KS = (1, 2, 3)
-_PLANT_BASE = 1000000
+# Plant ids must never collide with ANY fixture id at ANY scale: the
+# scale fixtures replicate vec_id + k*1e6 (tools/make_scale_fixtures.py),
+# so a 1e6 base would alias planted ids onto real replica-1 vectors at
+# sf>=1 and the recall join would count a hit on an unrelated real
+# vector as recovering the plant (ADVICE r6).  1e9 clears the replica
+# range up to 1000 replicas (sf100); test_checked_ann_rows_hold_recall
+# _gate asserts disjointness against the live fixture directly.
+_PLANT_BASE = 10**9
 
 
 def _shift_by(k: int):
@@ -564,7 +588,7 @@ def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _planted_query_index(spark: SparkSession, sf_dir: str):
     """(index, query_vec): every non-query vector plus 3 planted
-    near-copies of vec 0 at ids 1000001..1000003 (x + 0.01*k)."""
+    near-copies of vec 0 at ids _PLANT_BASE+1..+3 (x + 0.01*k)."""
     emb = _emb_double(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0)
     index = emb.filter(F.col("vec_id") != 0)
@@ -679,7 +703,7 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid-rank -> cluster-keyed candidate join -> per-probe top-k
     pipeline (operators/ann.py:ivf_knn_join), accuracy-gated: each of
     the 8 probes gets 3 planted near-copies in the index (ids
-    1000000 + probe_id*10 + k), the payload is the exact kNN join
+    _PLANT_BASE + probe_id*10 + k), the payload is the exact kNN join
     (hash-checked per-probe top-3) and `recall_ok` asserts the IVF path
     recovered >= 90% of the 24 true pairs.  Each probe's planted twins
     share its cluster assignment, so nprobe=2 finds them structurally;

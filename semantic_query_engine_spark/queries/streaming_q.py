@@ -69,8 +69,25 @@ def _write_replay_chunks(chunked: DataFrame, src: str, n: int = 4,
             part = part.union(part)
         stage = f"{src}.stage{k}"
         part.coalesce(1).write.mode("overwrite").parquet(stage)
-        pf = sorted(glob.glob(stage + "/part-*.parquet"))[0]
-        shutil.move(pf, os.path.join(src, f"chunk-{k}.parquet"))
+        files = sorted(glob.glob(stage + "/part-*.parquet"))
+        # An empty time quartile (skewed ts after a fixture
+        # regeneration, or every chunk-1 row rerouted by a late-data
+        # rule) yields either no part file (0-partition plan) or a
+        # 0-row part file (empty partition) — the former surfaced as a
+        # bare IndexError (ADVICE r6), the latter silently replayed a
+        # no-op micro-batch.  Replay determinism needs all n chunks
+        # non-empty — fail with the chunk named.  The row count comes
+        # from the parquet footer, not a Spark job.
+        import pyarrow.parquet as pq
+
+        if not files or pq.ParquetFile(files[0]).metadata.num_rows == 0:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError(
+                f"replay chunk {k}/{n} is empty for {src!r}: the time-"
+                "bucketed chunker produced no rows in this quartile; "
+                "check the fixture's ts distribution / late-data rule"
+            )
+        shutil.move(files[0], os.path.join(src, f"chunk-{k}.parquet"))
         shutil.rmtree(stage, ignore_errors=True)
     for i, f in enumerate(sorted(glob.glob(src + "/chunk-*.parquet"))):
         os.utime(f, (1e9 + i * 10, 1e9 + i * 10))

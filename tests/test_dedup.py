@@ -451,12 +451,23 @@ def test_checked_ann_rows_hold_recall_gate(spark, sf_dir):
     oracle hash-checks, pinned here so a probe/assignment regression
     (or an unlucky fixture regeneration) fails fast in pytest too."""
     from semantic_query_engine_spark.queries.dedup_q import (
+        _PLANT_BASE,
         ann_ivf_knn_join,
         ann_ivf_topk,
         ann_ivfpq_topk,
         ann_lsh_topk,
         ann_pq_topk,
     )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    # Planted ids must be DISJOINT from every real fixture id, or the
+    # recall join counts an ANN hit on an unrelated real vector as
+    # recovering the plant (ADVICE r6: a 1e6 base aliased onto the
+    # scale fixtures' vec_id + k*1e6 replica offsets).
+    max_vec = load_table(spark, sf_dir, "embeddings").agg(
+        F.max("vec_id")
+    ).head()[0]
+    assert max_vec < _PLANT_BASE, (max_vec, _PLANT_BASE)
 
     for fn, n_rows in (
         (ann_lsh_topk, 3),
@@ -469,5 +480,5 @@ def test_checked_ann_rows_hold_recall_gate(spark, sf_dir):
         assert len(rows) == n_rows, (fn.__name__, len(rows))
         assert all(r.recall_ok for r in rows), fn.__name__
         # the planted near-copies must BE the exact answer (wide margin)
-        planted = [r for r in rows if r.vec_id >= 1000000]
+        planted = {r.vec_id for r in rows if r.vec_id >= _PLANT_BASE}
         assert len(planted) == n_rows, (fn.__name__, len(planted))

@@ -220,3 +220,22 @@ def test_write_replay_chunks_deterministic_names(spark, sf_dir, tmp_path):
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
     total = spark.read.parquet(src).count()
     assert total == 200
+
+
+def test_write_replay_chunks_rejects_empty_chunk(spark, sf_dir, tmp_path):
+    """An empty time quartile (skewed ts after a fixture regeneration)
+    must fail with a clear error naming the chunk, not a bare
+    IndexError off an empty glob (ADVICE r6)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.streaming_q import (
+        _time_chunked,
+        _write_replay_chunks,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_id").limit(200)
+    chunked = _time_chunked(events, 4).filter(F.col("chunk") != 2)
+    with pytest.raises(ValueError, match=r"replay chunk 2/4 is empty"):
+        _write_replay_chunks(chunked, str(tmp_path / "src2"), 4)

@@ -25,6 +25,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
+from semantic_query_engine_spark.queries.dedup_q import (  # noqa: E402
+    minhash_lsh_pairs_bench,
+)
 from semantic_query_engine_spark.session import get_spark  # noqa: E402
 from tools.harness_util import release_persistent_rdds  # noqa: E402
 from semantic_query_engine_spark.streaming.jobs import drop_live_sinks  # noqa: E402
@@ -39,7 +42,10 @@ QUERIES = [
     "ann_ivfpq_topk",          # full embeddings: IVF-PQ build + scan
     "dedup_cluster",           # bounded (<100 docs) by construction
     "stream_dedup",            # full events x2 through the state store
-    "dedup_minhash_lsh",       # bounded (<100 docs) by construction
+    # r7: time the raw LSH operator, not the registered row (which
+    # since r6 also runs the exact all-pairs join for its recall
+    # gate — timing that measures the join LSH avoids; ADVICE r6)
+    "minhash_lsh_pairs",       # bounded (<100 docs) by construction
     "hybrid_rrf",              # full corpus BM25 + full embeddings cosine
     "dedup_semantic",          # bounded (<100 vecs) by construction
     "semantic_topk_dim1024",   # full embeddings at the reference's width
@@ -62,17 +68,24 @@ QUERIES = [
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# timing-only rows with no registry entry (see QUERIES comments)
+BENCH_ONLY = {"minhash_lsh_pairs": minhash_lsh_pairs_bench}
+
+
+def _q_fn(name):
+    return REGISTRY[name].fn if name in REGISTRY else BENCH_ONLY[name]
+
 
 def _median_time(spark, name: str, sf_dir: str) -> float:
     # one untimed warmup: the first execution of a plan pays
     # whole-stage-codegen javac for that plan (same hygiene as bench.py)
-    REGISTRY[name].fn(spark, sf_dir).count()
+    _q_fn(name)(spark, sf_dir).count()
     drop_live_sinks(spark)
     release_persistent_rdds(spark)
     samples = []
     for _ in range(RUNS):
         t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        _q_fn(name)(spark, sf_dir).count()
         samples.append(time.time() - t0)
         drop_live_sinks(spark)
         release_persistent_rdds(spark)
@@ -82,7 +95,7 @@ def _median_time(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".scale_data/sf1")
-    names = [n for n in QUERIES if n in REGISTRY]
+    names = [n for n in QUERIES if n in REGISTRY or n in BENCH_ONLY]
     only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
     if only:
         wanted = {w.strip() for w in only.split(",") if w.strip()}
