@@ -19,7 +19,7 @@ def get_spark(app_name: str = "semantic-query-engine-spark") -> SparkSession:
     if active is not None:
         return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
@@ -35,7 +35,22 @@ def get_spark(app_name: str = "semantic-query-engine-spark") -> SparkSession:
         # in seconds, not millis) on every eviction round-trip
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Streaming state-store provider.  The default (HDFSBackedStateStore)
+    # materializes every key on the JVM heap per version — fine for the
+    # small-state test SFs, a heap bomb at production state sizes.
+    # SPARK_GRAFT_STATE_STORE=rocksdb switches to the bundled RocksDB
+    # provider (off-heap, incremental snapshots) — measured on
+    # stream_dedup with ~10M dedup keys (20M doubled events, sf10):
+    # 68 s vs 116 s default, 1.7x; at sf0.1's tiny state it *costs*
+    # ~0.7 s of native-store overhead, hence opt-in here and the
+    # recommended default on a real cluster (see SCALE.md).
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
