@@ -10,7 +10,12 @@ therefore compares the ARROW type family of every output column
 (int vs float vs decimal vs ...) and requires exact — not tolerance —
 value equality, making it at least as strict as the driver.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, a per-query machine-readable record
+{name: {pass, rows, seconds, oracle, problems}} plus a summary header
+is written to OUT.json — the per-round auditable full-gate artifact
+(GATE_r{N}.json) the round-6 verdict asked for.
 """
 
 from __future__ import annotations
@@ -145,8 +150,15 @@ def compare(
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or list(REGISTRY)
+    import json
+
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or list(REGISTRY)
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -154,6 +166,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = 0
+    records: dict[str, dict] = {}
+
+    def record(name, ok, rows, t0, oracle, problems=None):
+        records[name] = {
+            "pass": ok,
+            "rows": rows,
+            "seconds": round(time.time() - t0, 2),
+            "oracle": oracle,
+            "problems": problems or [],
+        }
+
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
@@ -164,6 +187,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failures += 1
+            record(name, False, None, t0, spec.oracle is not None,
+                   [f"spark raised {type(e).__name__}: {e}"])
             continue
         if spec.oracle is None:
             ns = non_scalar_cols(spark_fam)
@@ -172,6 +197,7 @@ def main() -> int:
                 f"rows  {name}: {len(spark_pdf)} rows (no oracle){note} "
                 f"[{time.time()-t0:.1f}s]"
             )
+            record(name, True, len(spark_pdf), t0, False)
             continue
         try:
             duck_tbl = con.execute(spec.oracle).fetch_arrow_table()
@@ -180,6 +206,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
+            record(name, False, len(spark_pdf), t0, True,
+                   [f"duckdb raised {type(e).__name__}: {e}"])
             continue
         problems = compare(spark_pdf, duck_pdf, spark_fam, duck_fam)
         if problems:
@@ -187,7 +215,19 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
         else:
             print(f"OK    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+        record(name, not problems, len(spark_pdf), t0, True, problems)
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if json_out:
+        payload = {
+            "sf_dir": sf_dir,
+            "total": len(names),
+            "passed": len(names) - failures,
+            "oracle_checked": sum(1 for r in records.values() if r["oracle"]),
+            "queries": records,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
