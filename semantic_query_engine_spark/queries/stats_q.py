@@ -239,22 +239,43 @@ def approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def approx_percentile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Accuracy-gated sketch check: the t-digest-style approx median
-    must land within 1% of the exact continuous median, and that claim
-    itself goes through the value-hash gate — if a Spark upgrade (or a
-    sketch regression) drifts the approximation out of tolerance,
+    """Accuracy-gated sketch check: the rank-based approx median must
+    land within 1% of an exact median, and that claim itself goes
+    through the value-hash gate — if a Spark upgrade (or a sketch
+    regression) drifts the approximation out of tolerance,
     `within_tol` flips to false and the oracle comparison fails loudly.
-    This is how the engine keeps constant-memory sketches honest
-    without pretending DuckDB can reproduce their internals."""
+
+    The sketch is gated against the continuous-interpolated median OR
+    the discrete (actual-data-value) median: a rank-exact sketch
+    returns a data value, so at small group sizes the
+    interpolation-vs-value gap alone can exceed 1% (measured 1.097%
+    on sf0.001's 316-row 2-HIGH group — caught by
+    tools/revalidate_gates.py in round 8) even when the sketch is
+    PERFECT.  A real >1%-rank-error regression still fails both
+    disjuncts.  This is how the engine keeps constant-memory sketches
+    honest without pretending DuckDB can reproduce their internals."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(
         """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_totalprice,
+                 cume_dist() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 ) AS cd
+          FROM orders
+        ), exact AS (
+          SELECT o_orderpriority,
+                 percentile(o_totalprice, 0.5) AS cont_median,
+                 min(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS disc_median,
+                 approx_percentile(o_totalprice, 0.5, 10000) AS approx_median
+          FROM ranked GROUP BY o_orderpriority
+        )
         SELECT o_orderpriority,
-               ROUND(percentile(o_totalprice, 0.5), 2) AS exact_median,
-               abs(approx_percentile(o_totalprice, 0.5, 10000)
-                   - percentile(o_totalprice, 0.5))
-                 / percentile(o_totalprice, 0.5) <= 0.01 AS within_tol
-        FROM orders GROUP BY o_orderpriority
+               ROUND(cont_median, 2) AS exact_median,
+               abs(approx_median - cont_median) / cont_median <= 0.01
+                 OR abs(approx_median - disc_median) / disc_median <= 0.01
+                 AS within_tol
+        FROM exact
         """
     )
 

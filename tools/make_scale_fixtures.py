@@ -136,3 +136,24 @@ if __name__ == "__main__":
     dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".scale_data/sf1")
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     make(src, dst, replicas)
+    # A regenerated fixture can legitimately flip a probabilistic gate
+    # whose oracle hardcodes TRUE (recall_ok / within_tol) and would
+    # then present as a mysterious driver hash failure.  Fail loudly
+    # NOW instead (VERDICT r6 #1).  Opt out (e.g. for a quick partial
+    # fixture) with SPARK_GRAFT_SKIP_GATE_REVALIDATION=1.
+    if not os.environ.get("SPARK_GRAFT_SKIP_GATE_REVALIDATION"):
+        sys.path.insert(0, REPO)
+        from tools.revalidate_gates import check_gates  # noqa: E402
+
+        from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
+        from semantic_query_engine_spark.session import get_spark  # noqa: E402
+
+        spark = get_spark("fixture-gate-revalidation")
+        spark.sparkContext.setLogLevel("ERROR")
+        failures = check_gates(spark, REGISTRY, dst)
+        if failures:
+            print(f"\nfixture {dst} BREAKS {len(failures)} hardcoded-TRUE gates:")
+            for f in failures:
+                print(f"  - {f}")
+            raise SystemExit(1)
+        print(f"\nall gates hold on the regenerated fixture {dst}")
