@@ -155,5 +155,39 @@ def main() -> None:
     sys.stdout.flush()
 
 
+def _reexec_with_clean_stderr() -> int:
+    """Run bench.py as a child with stderr captured to a file.
+
+    The JVM writes unavoidable startup noise to stderr before any
+    log4j/setLogLevel control exists ("WARNING: Using incubator
+    modules", "Using Spark's default log4j profile", the
+    NativeCodeLoader warning) and callers that capture combined
+    output record those frames in the BENCH tail (VERDICT r6 #2).
+    No in-process config can suppress them, so the parent re-execs
+    itself with stderr redirected; the child prints only the JSON
+    line to stdout.  On failure the captured stderr is replayed so
+    diagnostics are not lost.
+    """
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        mode="w+", prefix="bench_stderr_", suffix=".log", delete=False
+    ) as errf:
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__)],
+            stderr=errf,
+            env=env,
+        )
+        if rc != 0:
+            errf.seek(0)
+            sys.stderr.write(errf.read())
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        main()
+    else:
+        raise SystemExit(_reexec_with_clean_stderr())
