@@ -58,7 +58,10 @@ HEADLINE = [
     # meaningful (ADVICE r6).  r6's dedup_minhash_lsh=2.13s measured
     # LSH + exact join and is not comparable to either series.
     "minhash_lsh_pairs",  # banded minhash near-dup (LSH only)
-    "ann_ivf_knn_join",  # partition-pruned IVF batch kNN
+    "ann_ivf_knn_join",  # partition-pruned IVF batch kNN (gate + operator)
+    "ivf_knn_join_op",   # same operator WITHOUT the recall gate's exact
+    #                      ground-truth side — comparable to rounds <= 5
+    #                      and the row that sees a production regression
     "stream_dedup",      # exactly-once streaming dedup (state store)
     "training_data_prep",  # composed clean->dedup->split->pack pipeline
     "training_data_prep_neardup",  # + capped-jaccard near-dedup + CC stage
@@ -88,12 +91,18 @@ def main() -> None:
         "--conf spark.ui.showConsoleProgress=false pyspark-shell",
     )
     from semantic_query_engine_spark.queries import REGISTRY
-    from semantic_query_engine_spark.queries.dedup_q import minhash_lsh_pairs_bench
+    from semantic_query_engine_spark.queries.dedup_q import (
+        ivf_knn_join_bench,
+        minhash_lsh_pairs_bench,
+    )
     from semantic_query_engine_spark.session import get_spark
     from tools.harness_util import release_persistent_rdds
 
     # timing-only rows with no registry entry (see HEADLINE comments)
-    bench_only = {"minhash_lsh_pairs": minhash_lsh_pairs_bench}
+    bench_only = {
+        "minhash_lsh_pairs": minhash_lsh_pairs_bench,
+        "ivf_knn_join_op": ivf_knn_join_bench,
+    }
 
     def q_fn(name):
         return REGISTRY[name].fn if name in REGISTRY else bench_only[name]

@@ -453,6 +453,27 @@ def minhash_lsh_pairs_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.5, n=2)
 
 
+def ivf_knn_join_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT registered — the bench timing twin of ann_ivf_knn_join
+    (same pattern as minhash_lsh_pairs_bench, VERDICT r6 #3): the
+    registered row also executes the exact brute-force kNN join (its
+    recall gate's ground truth), so its timing measures gate + operator
+    and can hide a production-operator regression.  This runs ONLY the
+    production IVF path — build_ivf + centroid-rank -> cluster-keyed
+    candidate join -> per-probe top-k — over the plain fixture (no
+    plants, no exact side), i.e. the work rounds <= 5 timed under
+    ann_ivf_knn_join; bench.py reports it as `ivf_knn_join_op`."""
+    from ..operators.ann import build_ivf, ivf_knn_join
+
+    emb = _emb_double(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    index = emb.filter(F.col("vec_id") >= 8)
+    assigned, centroids = build_ivf(index, n_clusters=8)
+    return ivf_knn_join(probes, assigned, centroids, k=3, nprobe=2)
+
+
 @register("dedup_minhash_lsh_portable", oracle=_minhash_oracle())
 def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash_lsh in portable-hash mode: permutation i is the
