@@ -152,8 +152,18 @@ def main() -> None:
     big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".scale_data/sf1"
     )
+    # SPARK_GRAFT_SCALE_QUERIES=minhash_full,cluster_full limits the
+    # sweep (same convention as tools/scale_run.py) — used for the
+    # sf10 extension where semantic_full's SRP key width would need
+    # re-sizing first (srp_bits ~ log2 n, see in-function note)
+    sel = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    chosen = (
+        {k: WORKLOADS[k] for k in sel.split(",") if k in WORKLOADS}
+        if sel
+        else WORKLOADS
+    )
     out = {}
-    for name, fn in WORKLOADS.items():
+    for name, fn in chosen.items():
         spark = get_spark("scale-fullcorpus")
         s, sr = _median_time(spark, fn, small)
         b, br = _median_time(spark, fn, big)
