@@ -9,7 +9,8 @@ so the 10x-data scaling of the unbounded LSH paths is measured
 directly:
 
 - minhash_full:  minhash_lsh_pairs, production xxhash64 mode, over all
-  documents PLUS one 80%-prefix copy of every document (ids + 1e7,
+  documents PLUS one 80%-prefix copy of every document (ids + 1e9,
+  clear of every fixture replica id range,
   planted in-plan exactly like the registered bounded query) — the
   true near-dup density is CONSTANT (~1 pair per document), so the
   10x-data ratio measures the operator, not answer growth.  Requires
@@ -70,17 +71,26 @@ def _docs(spark, sf_dir):
     )
 
 
+PLANT_OFFSET = 1_000_000_000
+# MUST clear the fixture's replica id range: make_scale_fixtures offsets
+# replica k by k*1e6, so sf10 (k <= 99) reaches doc_id ~99e6 and the
+# old +1e7 plant offset COLLIDED with replica 10+ ids — two different
+# texts under one doc_id collapse the pair count and poison the sweep
+# (caught in round 8: sf10 minhash_full returned 28k pairs, not ~602k;
+# the same id-collision class round 7 fixed in the registered ANN rows).
+
+
 def _docs_with_copies(spark, sf_dir):
-    """Full corpus + one 80%-prefix copy per document at id + 1e7 —
-    the _docs_with_truncated_copies construction WITHOUT the bounded
-    doc_id < 100 pool."""
+    """Full corpus + one 80%-prefix copy per document at id +
+    PLANT_OFFSET — the _docs_with_truncated_copies construction WITHOUT
+    the bounded doc_id < 100 pool."""
     from semantic_query_engine_spark.functions.text import words_of
 
     docs = _docs(spark, sf_dir)
     ws = words_of(F.col("text"))
     keep = F.ceil(F.size(ws) * 0.8).cast("int")
     variants = docs.select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         F.array_join(F.slice(ws, 1, keep), " ").alias("text"),
     )
     return docs.unionByName(variants)
@@ -103,7 +113,7 @@ def semantic_full(spark, sf_dir):
         .repartition(32)  # same input conditioning as _docs
     )
     variants = emb.select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         F.concat(
             F.array(F.element_at("embedding", 1) + F.lit(0.1)),
             F.slice("embedding", 2, 10_000_000),
