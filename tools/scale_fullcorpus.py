@@ -125,8 +125,11 @@ def semantic_full(spark, sf_dir):
     # explodes toward n^2/16 candidates; at 16 bits the keyspace is
     # 65k and buckets hold only true-ish neighbors.  Recall per pair
     # at cosine 0.995 stays ~0.999 (1 - (1 - 0.968^16)^8).
+    # SPARK_GRAFT_SRP_BITS overrides for bigger corpora (sf10's 400k
+    # vectors want ~18; recall at cosine 0.995 is still ~0.998).
+    bits = int(os.environ.get("SPARK_GRAFT_SRP_BITS", "16"))
     return embedding_near_dups(
-        emb.unionByName(variants), threshold=0.98, srp_bands=8, srp_bits=16
+        emb.unionByName(variants), threshold=0.98, srp_bands=8, srp_bits=bits
     )
 
 
