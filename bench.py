@@ -62,6 +62,9 @@ HEADLINE = [
     "ivf_knn_join_op",   # same operator WITHOUT the recall gate's exact
     #                      ground-truth side — comparable to rounds <= 5
     #                      and the row that sees a production regression
+    "ivf_topk_partitioned",  # probe over the write_ivf_index partitioned
+    #                      layout: times the DPP-pruned scan (r9); a jump
+    #                      toward ann_ivf_topk means the DPP trigger broke
     "stream_dedup",      # exactly-once streaming dedup (state store)
     "training_data_prep",  # composed clean->dedup->split->pack pipeline
     "training_data_prep_neardup",  # + capped-jaccard near-dedup + CC stage
@@ -93,6 +96,7 @@ def main() -> None:
     from semantic_query_engine_spark.queries import REGISTRY
     from semantic_query_engine_spark.queries.dedup_q import (
         ivf_knn_join_bench,
+        ivf_topk_partitioned_bench,
         minhash_lsh_pairs_bench,
     )
     from semantic_query_engine_spark.session import get_spark
@@ -102,6 +106,7 @@ def main() -> None:
     bench_only = {
         "minhash_lsh_pairs": minhash_lsh_pairs_bench,
         "ivf_knn_join_op": ivf_knn_join_bench,
+        "ivf_topk_partitioned": ivf_topk_partitioned_bench,
     }
 
     def q_fn(name):
@@ -192,6 +197,9 @@ def _reexec_with_clean_stderr() -> int:
         if rc != 0:
             errf.seek(0)
             sys.stderr.write(errf.read())
+            sys.stderr.write(f"\n[bench] stderr retained at {errf.name}\n")
+    if rc == 0:
+        os.unlink(errf.name)  # don't leak one log per clean run
     return rc
 
 

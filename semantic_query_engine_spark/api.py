@@ -85,6 +85,15 @@ class SemanticQueryEngine:
         Skips nothing here — idempotence guards live on the persisted
         path (plans.index_build.index_is_empty)."""
         chunks = chunk_documents(docs, chunk_size=self.chunk_size)
+        if chunks.isEmpty():
+            # without this, MLlib's IDF.fit dies with the cryptic
+            # "Haven't seen any document yet" — e.g. when a corpus dir
+            # contains no files matching the PMC*.txt name filter (A3)
+            raise ValueError(
+                "no documents to index: the input produced 0 chunks "
+                "(for corpus dirs, only files matching the reference's "
+                "PMC*.txt name filter are scanned)"
+            )
         self._embedder = TfIdfEmbedder(
             dim=self.dim, text_col="chunk_text", out_col="embedding"
         ).fit(chunks)

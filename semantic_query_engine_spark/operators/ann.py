@@ -194,7 +194,10 @@ def ivf_topk(
         # isLikelySelective), and a bare Limit does not qualify.
         # Without this filter the partitioned-layout scan reads ALL
         # files (measured: 8/8 vs 2/8 with it, numPartitions == nprobe).
-        .filter(F.col("csim") >= F.lit(-1.0))
+        # coalesce keeps it a TRUE no-op even for a NULL cosine (a
+        # degenerate zero-norm centroid): plain `csim >= -1` would drop
+        # a NULL row that limit(nprobe) had selected.
+        .filter(F.coalesce(F.col("csim"), F.lit(-1.0)) >= F.lit(-1.0))
         .select("cluster_id")
     )
     pruned = assigned.join(F.broadcast(near), "cluster_id", "left_semi")

@@ -31,7 +31,13 @@ def test_discovers_the_known_gated_queries():
         assert targets.get(name) == ["recall_ok"], name
     # the tolerance-gated sketch/approx rows
     assert "hll_union_rollup" in targets
-    assert all("within_tol" in c or "recall_ok" in c for cs in targets.values() for c in cs)
+    # r9: the pattern is generic (any hardcoded-TRUE boolean column is
+    # a gate, ADVICE r8), so the gates that previously escaped under
+    # non-standard names are discovered too
+    assert targets.get("cms_frequency") == ["cms_ok"]
+    assert targets.get("xml_funcs") == ["roundtrip_ok"]
+    known = {"within_tol", "recall_ok", "cms_ok", "roundtrip_ok"}
+    assert all(c in known for cs in targets.values() for c in cs), targets
     # nothing un-gated sneaks in: every discovered oracle really
     # hardcodes the gate
     for name in targets:

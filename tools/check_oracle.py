@@ -150,15 +150,35 @@ def compare(
 
 
 def main() -> int:
+    import argparse
     import json
 
-    argv = list(sys.argv[1:])
-    json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    names = argv[1:] or list(REGISTRY)
+    ap = argparse.ArgumentParser(
+        description="Run registry queries on Spark and their oracle SQL "
+        "on DuckDB over the same parquet fixtures, comparing rows, "
+        "schema, type families, and bit-exact values."
+    )
+    ap.add_argument("--json", dest="json_out", metavar="OUT.json",
+                    help="write the per-query machine-readable gate artifact")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", metavar="query",
+                    help="query names (default: entire registry)")
+    # intermixed: `check_oracle.py sf_dir --json out.json name...` is
+    # valid (ADVICE r8 — --json used to be recognized only first)
+    opts = ap.parse_intermixed_args()
+    json_out = opts.json_out
+    sf_dir = opts.sf_dir
+    names = opts.names or list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        ap.error(
+            f"unknown query name(s): {unknown}; "
+            f"valid names are the {len(REGISTRY)} registry keys "
+            "(python -c 'from semantic_query_engine_spark.queries import "
+            "REGISTRY; print(sorted(REGISTRY))')"
+        )
+    if not os.path.isdir(sf_dir):
+        ap.error(f"sf_dir {sf_dir!r} is not a directory")
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -169,8 +189,13 @@ def main() -> int:
     records: dict[str, dict] = {}
 
     def record(name, ok, rows, t0, oracle, problems=None):
+        # ok is True/False for oracle-checked queries, None for rows-only
+        # ones (ADVICE r8: a null pass flag can't be summed into a
+        # "189/189 value-verified" misreading; status disambiguates).
         records[name] = {
             "pass": ok,
+            "status": ("rows_only" if ok is None
+                       else "pass" if ok else "fail"),
             "rows": rows,
             "seconds": round(time.time() - t0, 2),
             "oracle": oracle,
@@ -197,7 +222,7 @@ def main() -> int:
                 f"rows  {name}: {len(spark_pdf)} rows (no oracle){note} "
                 f"[{time.time()-t0:.1f}s]"
             )
-            record(name, True, len(spark_pdf), t0, False)
+            record(name, None, len(spark_pdf), t0, False)
             continue
         try:
             duck_tbl = con.execute(spec.oracle).fetch_arrow_table()
@@ -223,6 +248,9 @@ def main() -> int:
             "total": len(names),
             "passed": len(names) - failures,
             "oracle_checked": sum(1 for r in records.values() if r["oracle"]),
+            "rows_only": sum(
+                1 for r in records.values() if r["status"] == "rows_only"
+            ),
             "queries": records,
         }
         with open(json_out, "w") as fh:

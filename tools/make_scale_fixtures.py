@@ -10,9 +10,12 @@ replicates the driver's sf0.1 parquet 10x into .scale_data/sf1/
   content — near-dup answers scale ~linearly with data instead of
   blowing up quadratically inside replica cliques (the v1 suffix-token
   artifact).
-- embeddings: vec_id + k*1e6; replica k adds 0.75 to element k (v2),
-  putting replicas at cosine ~0.71-0.89 vs each other — below every
-  near-dup threshold — while keeping labels and overall geometry.
+- embeddings: vec_id + k*1e6; replica k applies an orthogonal
+  coordinate transform (v3: cyclic rotation by k%64, half-negation for
+  k>=64), so within-replica geometry is exactly preserved while
+  cross-replica cosines are ~0 AND SRP sign patterns are decorrelated
+  (v2's one-element nudge kept replica families sign-identical, which
+  collapsed SRP-LSH buckets at sf10).
 - events: event_id + k*1e7; ts/user untouched (10x events per user).
 - orders + lineitem: keys offset by the SAME k*1e7, so every replicated
   order keeps its lineitems and orders-lineitem joins stay 100%-matching
@@ -69,30 +72,44 @@ def make(src: str, dst: str, replicas: int = 10) -> None:
       FROM read_parquet('{src}/documents.parquet') d, {rep}
     ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
     """)
-    # v2: replica k adds 0.75 to element k (1-indexed), dropping its
-    # cosine vs the original (and vs other replicas) to ~0.71-0.89 —
-    # below every near-dup threshold in the suite, so embedding-dedup
-    # answers scale ~linearly with data.  (The v1 +0.001*k first-element
-    # nudge left replicas at cosine ~0.9999: 45-pair cliques per vector
-    # group, the same quadratic-answer artifact as the documents.)
-    # Label structure is untouched; within-replica geometry shifts along
-    # one axis per replica.
-    # Perturbed element wraps at the vector width (dim 64) and the
-    # magnitude steps up per wrap, so replicas stay pairwise distinct
-    # for any replica count (k and k+64 perturb the same element by
-    # different amounts).
+    # v3: replica k applies an ORTHOGONAL coordinate transform to every
+    # vector — a cyclic rotation by k%64 positions, plus (for k>=64) a
+    # sign flip of the first half.  Two properties v2 lacked:
+    #   1. WITHIN-replica geometry is bit-preserved (a permutation /
+    #      diagonal-±1 matrix applied uniformly keeps every pairwise
+    #      cosine exactly), so each replica contributes exactly the
+    #      sf0.1 near-dup answer — answers scale exactly linearly by
+    #      construction, not approximately.
+    #   2. CROSS-replica SIGN DIVERSITY: v2 changed one coordinate, so
+    #      all replicas of a base vector shared near-identical SRP sign
+    #      patterns; at sf10 every SRP band bucket held a whole
+    #      100-replica family (~3e8 candidate pairs, semantic_full
+    #      unrunnable — VERDICT r8 #1).  A rotation decorrelates the
+    #      random-projection signs, spreading replicas across buckets.
+    # Cross-replica cosines for i.i.d.-ish coordinates are ~0 (incoher-
+    # ent), far below every near-dup threshold in the suite.  Label
+    # structure untouched; replica 0 stays bit-identical to the source.
+    if replicas > 128:
+        raise SystemExit(
+            "v3 embedding rule covers <=128 replicas (64 rotations x 2 "
+            "sign levels); add another sign pattern before going higher"
+        )
     con.sql(f"""
     COPY (
-      SELECT e.vec_id + r.k * 1000000 AS vec_id,
-             CASE WHEN r.k = 0 THEN e.embedding
-                  ELSE CAST(list_concat(list_concat(
-                         e.embedding[1:r.k % 64],
-                         [e.embedding[r.k % 64 + 1]
-                          + 0.75 * (1 + r.k // 64)]),
-                         e.embedding[r.k % 64 + 2:]) AS FLOAT[])
+      SELECT t.vec_id + t.k * 1000000 AS vec_id,
+             CASE WHEN t.k = 0 THEN t.embedding
+                  WHEN t.k // 64 = 0 THEN CAST(t.rot AS FLOAT[])
+                  ELSE CAST(list_concat(
+                         list_transform(t.rot[1:32], x -> -x),
+                         t.rot[33:]) AS FLOAT[])
                   END AS embedding,
-             e.label
-      FROM read_parquet('{src}/embeddings.parquet') e, {rep}
+             t.label
+      FROM (
+        SELECT e.*, r.k,
+               list_concat(e.embedding[(r.k % 64) + 1:],
+                           e.embedding[1:(r.k % 64)]) AS rot
+        FROM read_parquet('{src}/embeddings.parquet') e, {rep}
+      ) t
     ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.sql(f"""

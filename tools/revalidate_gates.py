@@ -33,7 +33,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GATE_PATTERN = re.compile(r"TRUE\s+AS\s+(recall_ok|within_tol)", re.IGNORECASE)
+# Any hardcoded-TRUE boolean output column is treated as a gate: a
+# future accuracy gate under a new name (ADVICE r8) is then picked up
+# automatically instead of silently escaping revalidation.  CAST forms
+# ("CAST(TRUE AS BOOLEAN) AS x") don't occur in this codebase; plain
+# "TRUE AS col" is the registry-wide convention for gate oracles.
+GATE_PATTERN = re.compile(r"\bTRUE\s+AS\s+(\w+)", re.IGNORECASE)
 
 
 def gated_queries(registry) -> dict[str, list[str]]:

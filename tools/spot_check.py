@@ -1,0 +1,105 @@
+"""Round-seeded oracle spot-check over queries the driver never samples.
+
+The driver's CORRECTNESS sample is STATIC (identical 50 names in r7 and
+r8), so driver rows alone cannot detect a regression in the other ~139
+registry queries round-over-round (VERDICT r8 "What's wrong" #4).  This
+tool keeps fresh-name evidence flowing every round even when no judge
+session runs: it picks N registry names pseudo-randomly from a
+round-seeded hash — excluding the driver's static sample and the
+round-8 judge batch — runs tools/check_oracle.py on them, and writes
+the selection + results as SPOT_r{N}.json (committed per round).
+
+Deterministic: the same round number always selects the same names, so
+the artifact is reproducible and auditable; different rounds rotate
+through different slices of the registry.
+
+Usage: python tools/spot_check.py ROUND [n] [sf_dir]
+  e.g. python tools/spot_check.py 9          -> SPOT_r09.json, 25 names
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# The 45 never-driver-sampled names the round-8 judge already re-ran
+# independently (VERDICT r8) — excluded so spot rounds add NEW coverage.
+JUDGE_R8 = [
+    "merge_upsert", "snapshot_diff", "events_sessionize",
+    "rollup_hourly_daily", "asof_join", "range_join",
+    "timeseries_gapfill", "events_funnel", "events_retention",
+    "events_ohlc", "applyinpandas_rank", "mapinpandas_tokens",
+    "multimodal_decode", "pandas_udaf_mean", "rag_ask_flagship",
+    "index_build", "embed_documents", "percentile_agg", "regexp_funcs",
+    "null_handling", "window_range_frame", "correlated_scalar_subquery",
+    "agg_grouping_sets", "pivot_status", "join_full_outer", "join_anti",
+    "join_range_bands", "exists_subquery", "window_dist_funcs",
+    "skew_salted_agg", "zorder_key", "variant_json", "hll_union_rollup",
+    "xml_funcs", "fuzzy_match_join", "entity_resolution",
+    "graph_pagerank", "bpe_learn_merges", "encoding_funcs",
+    "stream_cdc_compact", "stream_python_source",
+    "stream_index_maintenance", "semantic_mmr_rerank", "cache_evict_lfu",
+    "embedding_centroids",
+]
+
+
+def driver_sample_names() -> set[str]:
+    """Names in the newest driver CORRECTNESS_r*.json (the static 50)."""
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not files:
+        return set()
+    with open(files[-1]) as fh:
+        return set(json.load(fh).keys())
+
+
+def pick(round_no: int, n: int) -> list[str]:
+    from semantic_query_engine_spark.queries import REGISTRY
+
+    excluded = driver_sample_names() | set(JUDGE_R8)
+    pool = sorted(set(REGISTRY) - excluded)
+
+    def key(name: str) -> str:
+        return hashlib.sha256(f"spot-r{round_no}:{name}".encode()).hexdigest()
+
+    return sorted(sorted(pool, key=key)[:n])
+
+
+def main() -> int:
+    if len(sys.argv) < 2 or not re.fullmatch(r"\d+", sys.argv[1]):
+        print(__doc__)
+        return 2
+    round_no = int(sys.argv[1])
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    names = pick(round_no, n)
+    out = os.path.join(REPO, f"SPOT_r{round_no:02d}.json")
+    print(f"spot-checking {len(names)} never-sampled queries -> {out}")
+    rc = subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools/check_oracle.py"),
+         "--json", out, sf_dir, *names]
+    )
+    if os.path.exists(out):
+        with open(out) as fh:
+            payload = json.load(fh)
+        payload["round"] = round_no
+        payload["selection"] = {
+            "seed": f"spot-r{round_no}",
+            "excluded": "driver static sample (latest CORRECTNESS_r*.json)"
+                        " + round-8 judge batch",
+            "pool_excluded_count": len(driver_sample_names() | set(JUDGE_R8)),
+        }
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
