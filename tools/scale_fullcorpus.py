@@ -18,9 +18,16 @@ directly:
   no shingles; the v1 suffix-token replicas formed 10-doc near-dup
   cliques whose ~1000x pair growth swamped any wall-clock reading.
 - semantic_full: embedding_near_dups in SRP-banded mode (8 bands x 16
-  bits; key width sized to the corpus, see in-function note) at cosine >= 0.98 over all embeddings plus one slightly
-  perturbed copy each (first element + 0.1, the dedup_embedding
-  construction) — again constant true-pair density.
+  bits; key width sized to the corpus, see in-function note) at cosine
+  >= 0.98 over all embeddings plus one scaled copy each (x * 1.001,
+  cosine exactly 1) — constant true-pair density, and the plant is
+  EQUIVARIANT under the v3 fixture's orthogonal replica transforms
+  (scaling commutes with rotation/sign-flip), so the true answer is
+  exactly 1 pair per nonzero vector at every scale.  The v2-era
+  additive plant (first element + 0.1) was not: each replica's
+  rotation moved which coordinate the nudge hit, so borderline pairs
+  differed per replica and exact-multiple answer counts were
+  unattainable by construction.
 - cluster_full:  connected_components over the minhash_full pair set
   with driver_cc_threshold=0, FORCING the distributed alternating-star
   path (the 100 TB form) even though the edge set would fit the
@@ -112,12 +119,15 @@ def semantic_full(spark, sf_dir):
         )
         .repartition(32)  # same input conditioning as _docs
     )
+    # x * 1.001: cosine with the original is exactly 1 (>= any
+    # threshold), SRP signs are identical (guaranteed band collision,
+    # recall 1 with no banding luck), and the construction commutes
+    # with the v3 fixture's orthogonal replica transforms — so the
+    # true answer is EXACTLY one pair per nonzero-norm vector at every
+    # scale and the wall-clock ratio measures the operator alone.
     variants = emb.select(
         (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
-            F.slice("embedding", 2, 10_000_000),
-        ).alias("embedding"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
     )
     # srp_bits sizes the per-band key space and must grow with the
     # corpus (~log2 n): at 4 bits (the bounded demo's setting) 40k
