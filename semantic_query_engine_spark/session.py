@@ -59,6 +59,13 @@ def get_spark(app_name: str = "semantic-query-engine-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # only meaningful off local[*] (local-cluster / standalone):
+        # executors are separate JVMs whose 1g default OOMs the scale
+        # sweeps; local[*] ignores it (work runs in the driver heap)
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "4g"),
+        )
         # 174 registered plans (plus AQE re-plans) overflow the default
         # 100-entry generated-class cache, forcing re-javac of large
         # whole-stage-codegen classes (the 1024-dim vector plans compile

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -171,7 +172,23 @@ def main() -> None:
             f"SOURCE_UNPART_WINDOW:{h}" for h in src_bad
         ]
     if markdown:
+        # stamp the commit the audit ran at (VERDICT r8 #2: the
+        # artifact must be checkable against HEAD, not "probably
+        # regenerated recently")
+        try:
+            head = subprocess.check_output(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO, text=True
+            ).strip()
+            dirty = bool(subprocess.check_output(
+                ["git", "status", "--porcelain",
+                 "--", "semantic_query_engine_spark", "__spark_entry__.py"],
+                cwd=REPO, text=True,
+            ).strip())
+        except Exception:
+            head, dirty = "unknown", True
         print("# PLAN_AUDIT — repo-wide physical-plan red-flag sweep\n")
+        print(f"Audited at commit: `{head}`"
+              f"{' (engine sources DIRTY at audit time)' if dirty else ''}\n")
         print(f"Queries audited: {len(REGISTRY)} (sf_dir={sf_dir}); "
               "plus a source-level sweep for setup-side unpartitioned "
               "windows (audit_sources)\n")
