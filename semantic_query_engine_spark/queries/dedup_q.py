@@ -954,6 +954,74 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_semantic",
+    oracle="""
+    WITH pool AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 400),
+    evalset AS (SELECT id, v FROM pool WHERE id % 25 = 0),
+    trainset AS (
+      SELECT id, v FROM pool WHERE id % 25 <> 0
+      UNION ALL
+      SELECT id + 40000, list_transform(v, x -> x * 1.001) FROM evalset)
+    SELECT train_id, eval_id, sim FROM (
+      SELECT t.id AS train_id, e.id AS eval_id,
+             ROUND(list_cosine_similarity(t.v, e.v), 6) AS sim
+      FROM trainset t, evalset e)
+    WHERE sim >= 0.98
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine decontamination: flag training vectors whose
+    cosine against ANY held-out eval vector is >= 0.98 — the semantic
+    complement of the 8-gram `decontaminate` (catches paraphrased /
+    reformatted contamination that shares no verbatim n-gram, the
+    check modern pretraining pipelines run alongside exact-match).
+    Contamination is planted in-plan: each eval vector re-enters the
+    train split scaled x1.001 (cosine exactly 1) at id + 40000.
+    Output: (train_id, eval_id, sim) per contaminated pair.
+
+    Scale shape: the eval set is tiny and FIXED-SIZE relative to a
+    100 TB train corpus (benchmarks are thousands of rows, the corpus
+    is billions), so the eval side is BROADCAST and the train side
+    streams map-only through |eval| codegen'd dot products per row —
+    zero shuffle of train data, embarrassingly parallel across
+    executors.  The BroadcastNestedLoopJoin this plan shows is the
+    bounded-by-construction kind (loop side = the broadcast eval set);
+    for eval sets too big to broadcast, swap in the SRP-banded
+    candidate join of `dedup_semantic` (operators/dedup.py) — same
+    output contract."""
+    from ..functions.vectors import cosine
+
+    pool = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    evalset = pool.filter(F.col("vec_id") % 25 == 0)
+    planted = evalset.select(
+        (F.col("vec_id") + 40000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.001)).alias("v"),
+    )
+    trainset = pool.filter(F.col("vec_id") % 25 != 0).unionByName(planted)
+    ev = evalset.select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
+    )
+    return (
+        trainset.crossJoin(F.broadcast(ev))
+        .select(
+            F.col("vec_id").alias("train_id"),
+            "eval_id",
+            F.round(cosine("v", "ev"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.98)
+    )
+
+
 @register("ann_pq_topk", oracle=_ANN_TOPK_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-3 (SURVEY §4.3 memory rung,

@@ -289,6 +289,28 @@ def test_decontaminate_flags_planted_docs(spark, sf_dir):
     assert all(r.shared_grams >= 1 for r in rows)
 
 
+def test_decontaminate_semantic_exact_plants_and_broadcast(spark, sf_dir):
+    """Every planted scaled copy (id+40000) pairs back to exactly its
+    own eval source at sim 1.0; no clean train vector is flagged (max
+    unrelated cosine in the fixture is ~0.46 vs the 0.98 threshold).
+    The plan must broadcast the eval side — a shuffled or unbroadcast
+    eval set would shuffle the (billion-row at scale) train side."""
+    from semantic_query_engine_spark.queries.dedup_q import (
+        decontaminate_semantic,
+    )
+
+    df = decontaminate_semantic(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    rows = df.collect()
+    assert rows, "planted contamination must be detected"
+    assert all(r.train_id >= 40000 for r in rows)
+    assert {(r.train_id, r.eval_id) for r in rows} == {
+        (r.train_id, r.train_id - 40000) for r in rows
+    }
+    assert all(abs(r.sim - 1.0) < 1e-6 for r in rows)
+
+
 def test_ivf_recall_dim1024_clustered(spark):
     """IVF quality gate at the reference's embedding width (1024-dim,
     /root/reference/app/main.py:272-277): on a clustered corpus — the

@@ -57,6 +57,9 @@ ALLOWED_BNLJ: dict[str, str] = {
     "hybrid_rrf": "broadcast 1-row stats + 20-row post-limit rank legs",
     "timeseries_gapfill": "tiny generated time-grid side",
     "join_cross": "intentional CROSS JOIN demo on two bounded dims",
+    "decontaminate_semantic": "broadcast fixed-size eval set (benchmark "
+    "suites are thousands of rows vs a billion-row train corpus); train "
+    "side streams map-only",
     "join_range_bands": "intentional theta/range-join demo, banded sides",
 }
 ALLOWED_ROW_PYTHON: dict[str, str] = {
