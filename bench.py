@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_cluster",     # connected-components dup grouping
     "dedup_semantic",    # embedding pairs -> CC -> representatives
     "decontaminate",     # eval-set n-gram overlap check
+    "decontaminate_semantic",  # eval-set embedding-cosine check (r9)
     "bm25_topk",         # full-text keyword retrieval
     "hybrid_rrf",        # BM25 + cosine rank fusion
     "q1_pricing_summary",  # agg workhorse
