@@ -64,6 +64,9 @@ QUERIES = [
     "fuzzy_match_join",        # bounded (<1000 custs) by construction
     "stream_watermark_append", # full events through 4 watermark batches
     "graph_pagerank",          # bounded (<200 vecs) by construction
+    # round 9: the flagship itself at 100x — the one query with a
+    # published reference baseline (BASELINE.md <3.5 s)
+    "rag_ask_flagship",        # full embeddings brute-force top-k + RAG
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
