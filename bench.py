@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_semantic",    # embedding pairs -> CC -> representatives
     "decontaminate",     # eval-set n-gram overlap check
     "decontaminate_semantic",  # eval-set embedding-cosine check (r9)
+    "tfidf_cosine_pairs",  # weighted lexical near-dup, inverted index (r9)
     "bm25_topk",         # full-text keyword retrieval
     "hybrid_rrf",        # BM25 + cosine rank fusion
     "q1_pricing_summary",  # agg workhorse

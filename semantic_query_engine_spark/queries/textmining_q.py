@@ -90,6 +90,134 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH pool AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents WHERE doc_id < 300),
+    alld AS (
+      SELECT doc_id, ws FROM pool
+      UNION ALL
+      SELECT doc_id + 50000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)]
+      FROM pool WHERE doc_id % 20 = 0),
+    toks AS (
+      SELECT doc_id, unnest(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' '))) AS word
+      FROM alld),
+    tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf
+           FROM toks GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id)::BIGINT AS df
+           FROM toks GROUP BY word),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM alld),
+    w AS (
+      SELECT tf.doc_id, tf.word,
+             CAST(ROUND(ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) * 1000, 0) AS BIGINT) AS wq
+      FROM tf JOIN df USING (word) CROSS JOIN n
+      WHERE df.df <= 50),
+    norms AS (SELECT doc_id, SUM(wq * wq)::BIGINT AS n2
+              FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             SUM(a.wq * b.wq)::BIGINT AS dp
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, sim FROM (
+      SELECT id_a, id_b,
+             ROUND(dp / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
+      FROM dots
+      JOIN norms na ON na.doc_id = id_a
+      JOIN norms nb ON nb.doc_id = id_b)
+    WHERE sim >= 0.8
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity self-join: document pairs with
+    weighted bag-of-BIGRAMS cosine >= 0.8, via an INVERTED-INDEX join —
+    the lexical near-dup / template-detection complement of the dense
+    `dedup_embedding` path (no embedder needed) and the weighted
+    upgrade of `dedup_jaccard`'s set semantics (same word-bigram term
+    space; TF counts kept, not distinct sets).  Near-dups are planted
+    in-plan (80%-word prefixes of every 20th doc at id + 50000).
+
+    Determinism: per-(doc,term) TF-IDF weights are quantized to 1e-3
+    integers BEFORE any pair math, so the shuffle-order-sensitive sums
+    (pair dot products, per-doc norms) are exact integer arithmetic —
+    both engines then derive sim from identical integers through
+    correctly-rounded double ops, so the 6-decimal payload cannot flap
+    with summation order.
+
+    Scale shape: explode -> two map-side-combined aggregates (tf, df)
+    -> word-keyed join; the pair stage shuffles by TERM, never by pair,
+    and the df <= 50 cap is the skew valve (same role as
+    dedup_jaccard_capped's stop-shingle cap): a term in d documents
+    contributes O(d^2) candidate rows, so boilerplate vocabulary is
+    excluded from pairing up front — at 100 TB the valve is what keeps
+    the inverted index join linear in matched pairs instead of
+    quadratic in corpus size.  Per-doc norms are computed over the SAME
+    capped weight space so the cosine stays internally consistent."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", TX.words_of(F.col("text")).alias("ws"))
+    )
+    keep = F.ceil(F.size("ws") * 0.8).cast("int")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.slice("ws", 1, keep).alias("ws"),
+    )
+    alld = docs.unionByName(planted)
+    count = F.greatest(F.lit(1), F.size("ws") - F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice("ws", i + 1, 2), " "),
+    )
+    toks = alld.select("doc_id", F.explode(grams).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = alld.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    w = (
+        tf.join(df.filter(F.col("df") <= 50), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.round(F.col("tf") * idf, 6) * 1_000, 0)
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("id_a"), "word", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "word", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dp")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.8)
+    )
+
+
+@register(
     "fuzzy_match_join",
     oracle="""
     WITH base AS (

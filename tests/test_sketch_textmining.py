@@ -216,3 +216,34 @@ def test_mmr_rerank_is_diverse_and_bounded(spark, sf_dir):
     rows = sorted(semantic_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
     assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
     assert len({r.vec_id for r in rows}) == 5
+
+
+def test_tfidf_cosine_pairs_planted_and_plan(spark, sf_dir):
+    """Every planted 80%-prefix copy (id+50000) must pair back to its
+    own source above 0.8; the pair stage must be an equi-join on the
+    bigram term (inverted index), never a cartesian/BNLJ — at 100 TB
+    the term-keyed shuffle is the entire scale story."""
+    from semantic_query_engine_spark.queries.textmining_q import (
+        tfidf_cosine_pairs,
+    )
+
+    df = tfidf_cosine_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the broadcast 1-row corpus count (a
+    # Cross build, same shape as tfidf_keywords; the shared subtree
+    # prints once per consumer) — the PAIR stage must be an equi-join
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert ", Cross" in line, line
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    rows = df.collect()
+    planted = {(r.id_a, r.id_b) for r in rows if r.id_b >= 50000}
+    assert planted, "planted prefix near-dups must be detected"
+    # each surfaced planted doc must include the pair with its source
+    for src in {b - 50000 for _, b in planted}:
+        assert (src, src + 50000) in planted
+    assert all(0.8 <= r.sim <= 1.0 for r in rows)

@@ -51,6 +51,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "unigram_perplexity": "broadcast 1-row total-token-count side",
     "cms_frequency": "broadcast 1-row total-count side vs 20-row probe",
     "tfidf_keywords": "broadcast 1-row pool-size side",
+    "tfidf_cosine_pairs": "broadcast 1-row pool-size side; the pair "
+    "stage itself is a term-keyed equi-join (pytest-pinned)",
     "embedding_binarize_hamming": "broadcast 5 two-long signatures vs scan",
     "semantic_mmr_rerank": "broadcast 1-row query + bounded 20-row pool pairs",
     "contrastive_pairs": "broadcast 20-anchor side vs index scan (kNN shape)",
