@@ -60,6 +60,8 @@ QUERIES = [
     "cms_frequency",           # full events: fixed 2048-cell sketch agg
     "bloom_prune_join",        # full orders vs selective dim prune
     "tfidf_keywords",          # bounded pool (<200 docs) by construction
+    "tfidf_cosine_pairs",      # bounded pool (<300 docs) by construction
+    "decontaminate_semantic",  # bounded pool (<400 vecs) by construction
     "url_canonical_dedup",     # full corpus: map-only canon + hash agg
     "fuzzy_match_join",        # bounded (<1000 custs) by construction
     "stream_watermark_append", # full events through 4 watermark batches
