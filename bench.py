@@ -64,6 +64,10 @@ HEADLINE = [
     "ivf_knn_join_op",   # same operator WITHOUT the recall gate's exact
     #                      ground-truth side — comparable to rounds <= 5
     #                      and the row that sees a production regression
+    "ivfpq_topk_op",     # per-query IVF-PQ probe over a process-cached
+    #                      built index (r9): the registered row's ~3 s is
+    #                      build-dominated; at scale the index is built
+    #                      once and probed millions of times
     "ivf_topk_partitioned",  # probe over the write_ivf_index partitioned
     #                      layout: times the DPP-pruned scan (r9); a jump
     #                      toward ann_ivf_topk means the DPP trigger broke
@@ -99,6 +103,7 @@ def main() -> None:
     from semantic_query_engine_spark.queries.dedup_q import (
         ivf_knn_join_bench,
         ivf_topk_partitioned_bench,
+        ivfpq_topk_bench,
         minhash_lsh_pairs_bench,
     )
     from semantic_query_engine_spark.session import get_spark
@@ -109,6 +114,7 @@ def main() -> None:
         "minhash_lsh_pairs": minhash_lsh_pairs_bench,
         "ivf_knn_join_op": ivf_knn_join_bench,
         "ivf_topk_partitioned": ivf_topk_partitioned_bench,
+        "ivfpq_topk_op": ivfpq_topk_bench,
     }
 
     def q_fn(name):

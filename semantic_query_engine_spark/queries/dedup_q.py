@@ -527,6 +527,64 @@ def ivf_topk_partitioned_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sf_dir -> (assigned/codes parquet, centroid parquet, codebooks, qvec);
+# training + encode happen once per bench process (warmup pays them), so
+# the timed runs below measure ONLY the per-query probe.
+_IVFPQ_CACHE: dict[str, tuple[str, str, list, list]] = {}
+
+
+def ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT registered — the bench timing twin of ann_ivfpq_topk.  The
+    registered row's ~3 s times gate + operator + INDEX BUILD (k-means
+    + PQ training + encode), and a head-to-head showed the build
+    dominates (twin-with-build 2.99 s vs registered 3.15 s) — but at
+    100 TB the index is built once and probed millions of times, so
+    the number worth tracking round-over-round is the PER-QUERY probe:
+    centroid rank (driver-side, kilobytes) -> cluster-pruned ADC scan
+    over the 8-byte code table -> exact re-rank of the refine window.
+    Build + encode are cached to parquet once per process (the bench
+    warmup pays them, same pattern as ivf_topk_partitioned_bench);
+    bench.py reports this as `ivfpq_topk_op`."""
+    import os
+    import tempfile
+
+    from ..operators.ann import build_ivf, sample_vectors
+    from ..operators.pq import build_pq, ivfpq_topk, pq_encode
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVFPQ_CACHE:
+        emb = _emb_double(spark, sf_dir)
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        index = emb.filter(F.col("vec_id") >= 8)
+        X = sample_vectors(index)
+        assigned, centroids = build_ivf(index, n_clusters=8, sample_X=X)
+        books = build_pq(index, m=8, k=16, sample_X=X)
+        enc = pq_encode(index, books)
+        path = tempfile.mkdtemp(prefix="sqe_ivfpq_")
+        assigned.select("vec_id", "cluster_id").join(enc, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(path)
+        cpath = path + "_centroids"
+        centroids.write.mode("overwrite").parquet(cpath)
+        _IVFPQ_CACHE[key] = (path, cpath, books, qvec)
+    path, cpath, books, qvec = _IVFPQ_CACHE[key]
+    built = spark.read.parquet(path)
+    return ivfpq_topk(
+        built.select("vec_id", "cluster_id"),
+        spark.read.parquet(cpath),
+        built.select("vec_id", "codes"),
+        _emb_double(spark, sf_dir).filter(F.col("vec_id") >= 8),
+        books,
+        qvec,
+        k=3,
+        nprobe=4,
+        refine=100,
+    )
+
+
 @register("dedup_minhash_lsh_portable", oracle=_minhash_oracle())
 def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash_lsh in portable-hash mode: permutation i is the
