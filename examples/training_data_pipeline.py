@@ -43,6 +43,12 @@ def main() -> None:
     show("dedup_minhash_lsh", 5)
     show("substring_dedup", 5)
 
+    # 2b. contamination sweep against the held-out eval split: verbatim
+    #     (8-gram overlap) and paraphrase-level (embedding cosine,
+    #     broadcast eval set) — both run before any training split is cut
+    show("decontaminate", 3)
+    show("decontaminate_semantic", 3)
+
     # 3. the composed prep plan (quality -> dedup -> neardup CC ->
     #    split -> pack) and its packed output
     prep = show("training_data_prep_neardup", 5)
