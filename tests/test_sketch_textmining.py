@@ -247,3 +247,23 @@ def test_tfidf_cosine_pairs_planted_and_plan(spark, sf_dir):
     for src in {b - 50000 for _, b in planted}:
         assert (src, src + 50000) in planted
     assert all(0.8 <= r.sim <= 1.0 for r in rows)
+
+
+def test_tfidf_cosine_pairs_invariant_to_shuffle_partitioning(spark, sf_dir):
+    """The integer-quantized weights make every pair/norm sum exact in
+    any accumulation order, so the 6-decimal sims must be BIT-IDENTICAL
+    under different shuffle partitionings (a float-sum pipeline would
+    only be approximately equal)."""
+    from semantic_query_engine_spark.queries.textmining_q import (
+        tfidf_cosine_pairs,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, tfidf_cosine_pairs(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        b = sorted(map(tuple, tfidf_cosine_pairs(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b and a
