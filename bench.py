@@ -27,6 +27,50 @@ sys.path.insert(0, REPO)
 
 FLAGSHIP = "rag_ask_flagship"
 
+
+def _foreign_jvms() -> int:
+    """Count JVMs on this machine that are NOT descendants of this process.
+
+    BENCH_r09 was produced while another Spark JVM ran concurrently and
+    showed a uniform ~1.2-1.5x inflation across 21 rows with zero
+    improvements — the fingerprint of a loaded machine, not a
+    regression (VERDICT r9).  Stamping the count into the JSON makes a
+    poisoned run self-identifying instead of requiring a quiet re-run
+    to adjudicate.  Ancestry is walked via /proc/<pid>/stat ppid chains
+    so our own local[*] JVM (a child of this process) never counts.
+    """
+    me = os.getpid()
+    count = 0
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return -1  # non-procfs platform: unknown, not zero
+    for pid_s in pids:
+        try:
+            with open(f"/proc/{pid_s}/comm") as f:
+                if f.read().strip() != "java":
+                    continue
+        except OSError:
+            continue
+        p = int(pid_s)
+        ours = False
+        for _ in range(64):  # bounded walk; init has ppid 0
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    # comm may contain spaces/parens: split after last ')'
+                    ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, ValueError, IndexError):
+                break
+            if ppid == me:
+                ours = True
+                break
+            if ppid <= 1:
+                break
+            p = ppid
+        if not ours:
+            count += 1
+    return count
+
 HEADLINE = [
     FLAGSHIP,            # the reference's core read path (A20)
     "semantic_topk",     # brute-force ANN (A15)
@@ -109,6 +153,11 @@ def main() -> None:
     from semantic_query_engine_spark.session import get_spark
     from tools.harness_util import release_persistent_rdds
 
+    # Machine-load evidence, sampled BEFORE our JVM exists so a quiet
+    # machine reads near-zero load and zero JVMs (VERDICT r9 #1).
+    load_before = list(os.getloadavg())
+    jvms_before = _foreign_jvms()
+
     # timing-only rows with no registry entry (see HEADLINE comments)
     bench_only = {
         "minhash_lsh_pairs": minhash_lsh_pairs_bench,
@@ -161,6 +210,18 @@ def main() -> None:
         # session, degrading later queries' timings
         release_persistent_rdds(spark)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_after = list(os.getloadavg())
+    jvms_after = _foreign_jvms()
+    cpus = os.cpu_count() or 1
+    # "loaded": another JVM was present, or the 1-min load BEFORE our
+    # JVM started was already a nontrivial fraction of the machine.  A
+    # True here means the timings are inflated and must not be read as
+    # a regression signal (the r9 driver run would have flagged True).
+    loaded = (
+        jvms_before > 0
+        or jvms_after > 0
+        or load_before[0] > 0.25 * cpus
+    )
     line = json.dumps(
         {
             "metric": "flagship_rag_e2e_latency",
@@ -169,6 +230,14 @@ def main() -> None:
             "queries": timings,
             "total_sec": round(sum(timings.values()), 4),
             "sf": float(sf) if sf else None,
+            "load": {
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "foreign_jvms_before": jvms_before,
+                "foreign_jvms_after": jvms_after,
+                "cpus": cpus,
+                "loaded_machine": loaded,
+            },
         }
     )
     # own line + explicit flush: the JSON must be the last clean stdout

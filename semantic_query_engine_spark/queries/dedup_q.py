@@ -493,7 +493,6 @@ def ivf_topk_partitioned_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — the 100-TB read path, where each query touches
     ~nprobe/n_clusters of the index files."""
     import os
-    import tempfile
 
     from ..operators.ann import (
         build_ivf,
@@ -501,6 +500,7 @@ def ivf_topk_partitioned_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_ivf_index,
         write_ivf_index,
     )
+    from ..scratch import scratch_path
 
     key = os.path.abspath(sf_dir)
     if key not in _IVF_LAYOUT_CACHE:
@@ -512,7 +512,7 @@ def ivf_topk_partitioned_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, centroids = build_ivf(
             emb.filter(F.col("vec_id") >= 8), n_clusters=8
         )
-        path = tempfile.mkdtemp(prefix="sqe_ivf_layout_")
+        path = scratch_path("ivf_layout_" + key.replace("/", "_"))
         write_ivf_index(assigned, path)
         cpath = path + "_centroids"
         centroids.write.mode("overwrite").parquet(cpath)
@@ -546,10 +546,10 @@ def ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     warmup pays them, same pattern as ivf_topk_partitioned_bench);
     bench.py reports this as `ivfpq_topk_op`."""
     import os
-    import tempfile
 
     from ..operators.ann import build_ivf, sample_vectors
     from ..operators.pq import build_pq, ivfpq_topk, pq_encode
+    from ..scratch import scratch_path
 
     key = os.path.abspath(sf_dir)
     if key not in _IVFPQ_CACHE:
@@ -563,7 +563,7 @@ def ivfpq_topk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, centroids = build_ivf(index, n_clusters=8, sample_X=X)
         books = build_pq(index, m=8, k=16, sample_X=X)
         enc = pq_encode(index, books)
-        path = tempfile.mkdtemp(prefix="sqe_ivfpq_")
+        path = scratch_path("ivfpq_" + key.replace("/", "_"))
         assigned.select("vec_id", "cluster_id").join(enc, "vec_id").write.mode(
             "overwrite"
         ).parquet(path)
@@ -800,6 +800,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, qvec = _planted_query_index(spark, sf_dir)
     assigned, centroids = build_ivf(index, n_clusters=10)
     approx = ivf_topk(assigned, centroids, qvec, k=3, nprobe=2).select("vec_id")
+    return _checked_ann_topk(index, qvec, approx)
+
+
+@register("ann_ivf_topk_partitioned", oracle=_ANN_TOPK_ORACLE)
+def ann_ivf_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk probed through the `write_ivf_index`
+    cluster-partitioned PHYSICAL layout (VERDICT r9 #2): the planted
+    index is written `partitionBy('cluster_id')`, read back, and the
+    probe's cluster filter prunes at the FILE level (the 100-TB serving
+    path — each query touches ~nprobe/n_clusters of the index files;
+    operators/ann.py:156).  Same accuracy gate and oracle as
+    ann_ivf_topk, so the layout round-trip (partition-column type
+    rewrite on read-back, DPP-triggering filter shape) sits inside the
+    full oracle gate rather than resting only on
+    tests/test_ivf_partition_pruning.py; the bench timing twin
+    (`ivf_topk_partitioned`, queries/dedup_q.py ivf_topk_partitioned_bench)
+    continues to time the probe alone over a cached layout."""
+    import os
+
+    from ..operators.ann import (
+        build_ivf,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from ..scratch import scratch_path
+
+    index, qvec = _planted_query_index(spark, sf_dir)
+    assigned, centroids = build_ivf(index, n_clusters=10)
+    path = scratch_path(
+        "ivf_gate_layout_" + os.path.abspath(sf_dir).replace("/", "_")
+    )
+    write_ivf_index(assigned, path)
+    approx = ivf_topk(
+        read_ivf_index(spark, path), centroids, qvec, k=3, nprobe=2
+    ).select("vec_id")
     return _checked_ann_topk(index, qvec, approx)
 
 

@@ -111,7 +111,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM alld),
     w AS (
       SELECT tf.doc_id, tf.word,
-             CAST(ROUND(ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) * 1000, 0) AS BIGINT) AS wq
+             tf.tf * CAST(ROUND((ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) * 1000000, 0) AS BIGINT) AS wq
       FROM tf JOIN df USING (word) CROSS JOIN n
       WHERE df.df <= 50),
     norms AS (SELECT doc_id, SUM(wq * wq)::BIGINT AS n2
@@ -139,12 +139,21 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     space; TF counts kept, not distinct sets).  Near-dups are planted
     in-plan (80%-word prefixes of every 20th doc at id + 50000).
 
-    Determinism: per-(doc,term) TF-IDF weights are quantized to 1e-3
-    integers BEFORE any pair math, so the shuffle-order-sensitive sums
-    (pair dot products, per-doc norms) are exact integer arithmetic —
-    both engines then derive sim from identical integers through
-    correctly-rounded double ops, so the 6-decimal payload cannot flap
-    with summation order.
+    Determinism: the per-TERM idf is quantized to a 1e-6 integer FIRST,
+    then multiplied by the exact integer tf — so per-(doc,term) weights
+    are integers and every shuffle-order-sensitive sum (pair dot
+    products, per-doc norms) is exact integer arithmetic, invariant
+    under any summation order or partitioning
+    (tests/test_sketch_textmining.py).  The residual cross-engine
+    surface is one `round(ln(x)*1e6)` per distinct df value agreeing
+    between Spark (BigDecimal HALF_UP) and DuckDB (ROUND) — previously
+    the quantization was per-(doc,term) `round(tf*idf, 6)`, where a
+    one-ulp ln() difference at any tf-scaled half-integer boundary
+    could flip a weight (ADVICE r9); quantizing from the shared
+    intermediate removes the tf-dependent boundary family.  A ln() ulp
+    landing exactly on a .5 boundary of idf*1e6 remains possible in
+    principle; the guarantee claimed here is summation-order
+    invariance, not cross-engine ulp immunity.
 
     Scale shape: explode -> two map-side-combined aggregates (tf, df)
     -> word-keyed join; the pair stage shuffles by TERM, never by pair,
@@ -176,16 +185,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = alld.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    idfq = F.round(idf * F.lit(1_000_000.0), 0).cast("bigint")
     w = (
         tf.join(df.filter(F.col("df") <= 50), "word")
         .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "word",
-            F.round(F.round(F.col("tf") * idf, 6) * 1_000, 0)
-            .cast("bigint")
-            .alias("wq"),
-        )
+        .select("doc_id", "word", (F.col("tf") * idfq).alias("wq"))
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
     a = w.select(F.col("doc_id").alias("id_a"), "word", F.col("wq").alias("wa"))

@@ -45,6 +45,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "dedup_minhash_lsh": "broadcast 1-row recall_ok flag onto exact pairs",
     "ann_lsh_topk": "broadcast 1-row query + 1-row recall_ok flag",
     "ann_ivf_topk": "broadcast 1-row query + 1-row recall_ok flag",
+    "ann_ivf_topk_partitioned": "broadcast 1-row query + 1-row recall_ok "
+    "flag (same gate as ann_ivf_topk, probed via the partitioned layout)",
     "ann_pq_topk": "broadcast 1-row query + 1-row recall_ok flag",
     "ann_ivfpq_topk": "broadcast 1-row query + 1-row recall_ok flag",
     "bm25_topk": "broadcast 1-row corpus-stats side",

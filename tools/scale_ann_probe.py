@@ -26,7 +26,6 @@ import json
 import math
 import os
 import sys
-import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,6 +39,7 @@ from semantic_query_engine_spark.operators.ann import (  # noqa: E402
     read_ivf_index,
     write_ivf_index,
 )
+from semantic_query_engine_spark.scratch import scratch_path  # noqa: E402
 from semantic_query_engine_spark.session import get_spark  # noqa: E402
 from semantic_query_engine_spark.sources.fixtures import load_table  # noqa: E402
 
@@ -57,14 +57,16 @@ def measure(sf_dir: str) -> dict:
     )
     n = emb.count()
     n_clusters = max(8, int(math.isqrt(n)))
-    qvec = [
-        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    # min(vec_id), not a hardcoded 0: a supplied sf_dir without vec_id 0
+    # previously died on head()=None with an opaque TypeError (ADVICE r9)
+    qrow = emb.orderBy("vec_id").head()
+    assert qrow is not None, f"embeddings table in {sf_dir} is empty"
+    qvec = [float(x) for x in qrow["embedding"]]
     # training sample must comfortably exceed the cell count
     assigned, centroids = build_ivf(
         emb, n_clusters=n_clusters, sample=max(2048, 20 * n_clusters)
     )
-    path = tempfile.mkdtemp(prefix="sqe_ann_probe_")
+    path = scratch_path("ann_probe_" + os.path.abspath(sf_dir).replace("/", "_"))
     write_ivf_index(assigned, path)
     cpath = path + "_centroids"
     centroids.write.mode("overwrite").parquet(cpath)

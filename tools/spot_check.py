@@ -9,12 +9,20 @@ round-seeded hash — excluding the driver's static sample and the
 round-8 judge batch — runs tools/check_oracle.py on them, and writes
 the selection + results as SPOT_r{N}.json (committed per round).
 
-Deterministic: the same round number always selects the same names, so
-the artifact is reproducible and auditable; different rounds rotate
-through different slices of the registry.
+Deterministic: the same round number (plus the same set of committed
+SPOT_r*.json files) always selects the same names, so the artifact is
+reproducible and auditable; different rounds rotate through different
+slices of the registry.
+
+Selection is least-recently-verified-first (VERDICT r9 #6): names never
+covered by any committed SPOT_r*.json come first, then names whose last
+spot pass is oldest, with the round-seeded hash breaking ties inside
+each bucket.  At the default 40 names/round the ~140-name non-driver
+pool gets full independent re-verification every ~3-4 rounds instead
+of relying on hash luck.
 
 Usage: python tools/spot_check.py ROUND [n] [sf_dir]
-  e.g. python tools/spot_check.py 9          -> SPOT_r09.json, 25 names
+  e.g. python tools/spot_check.py 10         -> SPOT_r10.json, 40 names
 """
 
 from __future__ import annotations
@@ -60,14 +68,39 @@ def driver_sample_names() -> set[str]:
         return set(json.load(fh).keys())
 
 
+def last_spot_rounds() -> dict[str, int]:
+    """name -> newest round whose committed SPOT_r*.json covered it."""
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "SPOT_r*.json"))):
+        m = re.search(r"SPOT_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, res in payload.items():
+            if isinstance(res, dict) and "rows_match" in res:
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
 def pick(round_no: int, n: int) -> list[str]:
     from semantic_query_engine_spark.queries import REGISTRY
 
     excluded = driver_sample_names() | set(JUDGE_R8)
     pool = sorted(set(REGISTRY) - excluded)
+    last = last_spot_rounds()
 
-    def key(name: str) -> str:
-        return hashlib.sha256(f"spot-r{round_no}:{name}".encode()).hexdigest()
+    def key(name: str):
+        # least-recently-spot-verified first (never-verified = -1), the
+        # seeded hash only ordering WITHIN an equally-stale bucket
+        return (
+            last.get(name, -1),
+            hashlib.sha256(f"spot-r{round_no}:{name}".encode()).hexdigest(),
+        )
 
     return sorted(sorted(pool, key=key)[:n])
 
@@ -77,7 +110,7 @@ def main() -> int:
         print(__doc__)
         return 2
     round_no = int(sys.argv[1])
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
     names = pick(round_no, n)
     out = os.path.join(REPO, f"SPOT_r{round_no:02d}.json")
@@ -92,6 +125,8 @@ def main() -> int:
         payload["round"] = round_no
         payload["selection"] = {
             "seed": f"spot-r{round_no}",
+            "policy": "least-recently-spot-verified first, seeded-hash "
+                      "tiebreak (VERDICT r9 #6)",
             "excluded": "driver static sample (latest CORRECTNESS_r*.json)"
                         " + round-8 judge batch",
             "pool_excluded_count": len(driver_sample_names() | set(JUDGE_R8)),

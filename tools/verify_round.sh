@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # One-command per-round evidence regeneration (VERDICT r8 #2/#5):
 #
-#   tools/verify_round.sh <ROUND> [sf_dir]
+#   tools/verify_round.sh <ROUND> [sf_dir] [--bench]
 #
 # runs, in order, at the current HEAD:
 #   1. the full-surface oracle gate     -> GATE_r{N}.json   (must be N/N)
@@ -9,20 +9,39 @@
 #      header stamped with the HEAD commit + dirty marker)
 #   3. the accuracy-gate revalidator    (every hardcoded-TRUE oracle gate
 #      recomputed on the Spark side; must report "all N gates hold")
-#   4. the round-seeded spot check      -> SPOT_r{N}.json   (fresh names
-#      the driver's static CORRECTNESS sample never covers)
+#   4. the round-seeded spot check      -> SPOT_r{N}.json   (40 fresh
+#      names, least-recently-verified first — the driver's static
+#      CORRECTNESS sample never rotates)
+#   5. with --bench: the full bench     -> BENCH_local_r{N}.json (runs
+#      LAST so the gate/spot JVMs can't inflate its timings; the JSON
+#      carries loadavg + foreign-JVM stamps so a loaded run
+#      self-identifies — VERDICT r9 #1/#8)
 #
 # Commit GATE_r{N}.json, PLAN_AUDIT.md and SPOT_r{N}.json with the round.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-ROUND="${1:?usage: tools/verify_round.sh ROUND [sf_dir]}"
-SF_DIR="${2:-/root/testdata/sf0.01}"
+ROUND="${1:?usage: tools/verify_round.sh ROUND [sf_dir] [--bench]}"
+shift
+SF_DIR="/root/testdata/sf0.01"
+RUN_BENCH=0
+for arg in "$@"; do
+    if [[ "$arg" == "--bench" ]]; then RUN_BENCH=1; else SF_DIR="$arg"; fi
+done
 PADDED=$(printf "%02d" "$ROUND")
+
+# clear leftovers from SIGKILLed processes (scratch.py cleans on normal
+# exit; this is the backstop the fixed per-repo location exists for)
+rm -rf .scratch
 
 python tools/check_oracle.py --json "GATE_r${PADDED}.json" "$SF_DIR"
 python tools/plan_audit.py --markdown > PLAN_AUDIT.md
 head -3 PLAN_AUDIT.md
 python tools/revalidate_gates.py "$SF_DIR"
-python tools/spot_check.py "$ROUND" 25 "$SF_DIR"
+python tools/spot_check.py "$ROUND" 40 "$SF_DIR"
 echo "verify_round: all four artifacts regenerated at $(git rev-parse --short HEAD)"
+
+if [[ "$RUN_BENCH" == "1" ]]; then
+    echo "verify_round: running bench (quiet-machine check is stamped into the JSON)"
+    python bench.py | tail -1 | tee "BENCH_local_r${PADDED}.json"
+fi
