@@ -43,17 +43,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """One large-star round: (u,v) edges -> (v, min(N(u)+{u})) for v>u."""
+def _large_star(edges: DataFrame, dedup: bool = False) -> DataFrame:
+    """One large-star round: (u,v) edges -> (v, min(N(u)+{u})) for v>u.
+
+    `dedup=False` (default) omits the historical `.distinct()` on the
+    output: duplicate edges cannot change a window `min`, the row count
+    out equals the row count in (each undirected edge passes the v>u
+    filter exactly once), and the following small-star round ends in
+    its own `.distinct()` — so the dedup bought nothing but one extra
+    full-edge-volume shuffle per round.  In the round-10 multi-JVM
+    plateau experiment (SCALE.md) this is the "fused" configuration;
+    `dedup=True` preserves the measured round-9 baseline shape."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
     m = F.least(F.min("v").over(w), F.col("u"))
-    return (
+    out = (
         sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -96,6 +105,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 50,
     driver_cc_threshold: int = 250_000,
+    fuse_large_star: bool = True,
 ) -> DataFrame:
     """(node, component) for every node, component = min node id in its
     connected component.  `edges` is undirected pairs; `nodes` optionally
@@ -121,6 +131,14 @@ def connected_components(
     max_iter bounds large+small round PAIRS; convergence needs
     O(log n) of them, so 50 covers any graph that fits in storage —
     the loud failure below guards algorithm bugs, not graph shape.
+
+    `fuse_large_star=True` (default) drops the large-star round's
+    historical output `.distinct()` — 3 instead of 4 full-edge-volume
+    shuffles per round pair; see _large_star.  The labeling is
+    IDENTICAL either way (duplicate edges never change a window min,
+    and small-star's terminal distinct restores the set semantics the
+    convergence fingerprint compares); the flag exists so the round-10
+    multi-JVM transfer experiment (SCALE.md) can measure both shapes.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -165,7 +183,9 @@ def connected_components(
     prev = None
     converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = _small_star(
+            _large_star(e, dedup=not fuse_large_star)
+        ).localCheckpoint(eager=False)
         # one-row fingerprint action materializes the lazy checkpoint;
         # (count, xor of content hashes) is order-insensitive, cannot
         # overflow under ANSI mode (sum of hashes can), and changes
