@@ -148,7 +148,11 @@ def cluster_full(spark, sf_dir):
     from semantic_query_engine_spark.operators.graph import connected_components
 
     pairs = minhash_lsh_pairs(_docs_with_copies(spark, sf_dir), threshold=0.5, n=2)
-    return connected_components(pairs, driver_cc_threshold=0)
+    # SPARK_GRAFT_CC_FUSE=0 re-enables the historical large-star output
+    # distinct (4 shuffles/round) for the round-10 transfer experiment;
+    # default is the fused 3-shuffle round (operators/graph.py).
+    fuse = os.environ.get("SPARK_GRAFT_CC_FUSE", "1") != "0"
+    return connected_components(pairs, driver_cc_threshold=0, fuse_large_star=fuse)
 
 
 WORKLOADS = {
