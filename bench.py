@@ -81,6 +81,8 @@ HEADLINE = [
     "context_assembly",  # group-concat (A16)
     "text_stats",        # text analysis extension
     "doc_fingerprint",   # hashing/dedup key
+    "winnow_fingerprints",  # MOSS window-min k-gram selection (r10)
+    "embedding_project_srp",  # signed random-projection 64->16 dims (r10)
     "dedup_exact",       # exact dedup at 2x corpus
     "dedup_jaccard",     # shingle-join near-dup
     "dedup_cluster",     # connected-components dup grouping

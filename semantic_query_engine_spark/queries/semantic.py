@@ -579,3 +579,98 @@ def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(step).localCheckpoint(eager=True)
     return selected.select("vec_id", "mmr", "rank")
+
+
+def _srp_matrix(out_dims: int = 16, in_dims: int = 64) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix: sign(j, i) is the
+    parity of the first md5 byte of "srp|j|i".  Generated in plain
+    Python at registration time and embedded as a LITERAL in both the
+    Spark plan and the DuckDB oracle, so no cross-engine hash-function
+    agreement is ever needed — both engines multiply the same
+    constants."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"srp|{j}|{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+_SRP_MAT = _srp_matrix()
+_SRP_MAT_SPARK = (
+    "array(" + ", ".join(
+        "array(" + ", ".join(f"{s}L" for s in row) + ")" for row in _SRP_MAT
+    ) + ")"
+)
+_SRP_MAT_DUCK = (
+    "[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in _SRP_MAT
+    ) + "]"
+)
+
+
+@register(
+    "embedding_project_srp",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    m AS (SELECT {_SRP_MAT_DUCK} AS mat)
+    SELECT q.vec_id, CAST(t.j AS INT) AS j,
+           ROUND(CAST(list_sum(list_transform(range(1, 65),
+                     i -> (m.mat[t.j + 1])[i] * q.qv[i])) AS DOUBLE)
+                 / 1000000.0, 6) AS val
+    FROM q, (SELECT unnest(range(16)) AS j) t, m
+    """,
+)
+def embedding_project_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (64 -> 16 dims) with
+    a signed ±1 matrix — the Achlioptas/JL database-friendly projection
+    and the SRP-LSH companion: the same map that powers
+    `dedup_embedding`'s banding, kept as real-valued coordinates
+    instead of sign bits, so downstream consumers (coarse clustering,
+    cheap pre-filters before exact cosine) get a 4x-narrower vector
+    whose pairwise distances approximate the original within the JL
+    bound.  A stock step in large-scale embedding pipelines between
+    full-width vectors and binary codes (`embedding_binarize_hamming`).
+
+    Determinism: components are quantized to 1e-6 integers FIRST (the
+    tfidf_cosine_pairs trick), so each projection is an exact integer
+    dot product — invariant under evaluation order — and both engines
+    divide the same integer by 1e6 at the end.  The matrix itself is a
+    Python-generated literal in BOTH plans (no in-engine hashing).
+
+    Scale shape: map-only — zero shuffles, zero driver state; the
+    matrix is a plan constant (1 KB), each row's 16 outputs read only
+    that row's vector, and whole-stage codegen keeps the 1,024
+    multiply-adds JVM-side.  At 100 TB this is the throughput-bound
+    kind of operator Spark is best at."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast("long"),
+        ).alias("qv"),
+    )
+    mat = F.expr(_SRP_MAT_SPARK)
+    proj = F.transform(
+        mat,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("qv"), lambda s, v: s * v),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        ),
+    )
+    return qdf.select("vec_id", F.posexplode(proj)).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("j"),
+        F.round(F.col("col") / 1_000_000.0, 6).alias("val"),
+    )
