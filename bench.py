@@ -122,6 +122,8 @@ HEADLINE = [
     "training_data_prep_neardup",  # + capped-jaccard near-dedup + CC stage
     "ann_ivfpq_topk",    # IVF-PQ: cluster-pruned 8-byte-code ADC scan
     "unigram_perplexity",  # corpus-LM quality scoring
+    "bigram_perplexity",  # order-sensitive LM quality scoring (r10)
+    "dsir_importance",   # hashed-ngram importance weights, DSIR (r10)
     "substring_dedup",   # repeated k-token span detection (Lee et al.)
     "merge_upsert",      # CDC MERGE as broadcast anti-join + union
     "curation_verdict",  # composed per-doc keep/drop audit table

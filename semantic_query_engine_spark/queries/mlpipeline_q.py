@@ -735,3 +735,121 @@ def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("max_norm"),
         F.round(F.avg("nrm"), 6).alias("mean_norm"),
     )
+
+
+_DSIR_WORDS = (
+    "list_transform(list_filter(regexp_split_to_array("
+    "trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+'), "
+    "x -> x <> ''), x -> lower(x))"
+)
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DSIR_WORDS} AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS g
+      FROM w, UNNEST(range(CAST(len(ws) - 1 AS BIGINT))) AS t(i)
+      WHERE len(ws) >= 2),
+    fb AS (SELECT doc_id, {_bucket_expr('g', 'strpos')} AS b FROM bg),
+    raw AS (SELECT b, COUNT(*)::BIGINT AS cr FROM fb GROUP BY b),
+    tgt AS (SELECT b, COUNT(*)::BIGINT AS ct FROM fb
+            WHERE doc_id % 10 = 0 GROUP BY b),
+    tr AS (SELECT SUM(cr) AS total_r FROM raw),
+    tt AS (SELECT SUM(ct) AS total_t FROM tgt),
+    lam AS (
+      SELECT raw.b,
+             CAST(ROUND((ln((COALESCE(ct, 0) + 1.0) / (total_t + 256.0))
+                         - ln((cr + 1.0) / (total_r + 256.0))) * 1000000)
+                  AS BIGINT) AS lam
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tr CROSS JOIN tt)
+    SELECT fb.doc_id, COUNT(*)::BIGINT AS n_features,
+           ROUND(CAST(SUM(lam) AS DOUBLE) / 1000000.0, 6) AS log_weight,
+           (SUM(lam) >= 0) AS keep
+    FROM fb JOIN lam USING (b)
+    GROUP BY fb.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how target-domain-like its HASHED-bigram feature
+    distribution is.  Features are bigrams hashed into 256 buckets (the
+    paper uses 10k; the bucket expression is the engine-portable
+    md5-hex trick shared with hash_split); per-bucket importance
+    log-ratio lambda_b = ln p_target(b) - ln p_raw(b) with add-1
+    smoothing, and a document's log importance weight is the sum of
+    lambda over its features.  `keep` marks target-leaning documents
+    (log_weight >= 0) — the resampling step selects by weight.  The
+    target domain here is the deterministic doc_id % 10 == 0 slice (a
+    stand-in for "quality corpus" like the paper's Wikipedia+books).
+
+    Determinism: lambda is quantized to 1e-6 integers per BUCKET
+    (bounded: 256 rounds of ln total, regardless of corpus size), so
+    every per-doc sum is exact integer arithmetic in any order.
+
+    Scale shape — the reason DSIR works at the Pile scale and here at
+    100 TB: both feature distributions are FIXED-SIZE aggregates (256
+    rows each, map-side combined), the lambda table is a 256-row
+    broadcast, and scoring is one map-side explode + broadcast join +
+    combining agg per document.  Nothing shuffles by document content;
+    adding corpus only grows the two count aggregates' inputs."""
+    from ..functions.text import words_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        F.transform(words_of(F.col("text")), lambda w: F.lower(w)).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    fb = ws.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.expr(_bucket_expr("g", "instr", "STRING")).alias("b"))
+    raw = fb.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        fb.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tr = raw.agg(F.sum("cr").alias("total_r"))
+    tt = tgt.agg(F.sum("ct").alias("total_t"))
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                        / (F.col("total_t") + 256.0)
+                    )
+                    - F.log((F.col("cr") + 1.0) / (F.col("total_r") + 256.0))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("lam"),
+        )
+    )
+    return (
+        fb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.round(F.sum("lam").cast("double") / 1_000_000.0, 6).alias(
+                "log_weight"
+            ),
+            (F.sum("lam") >= 0).alias("keep"),
+        )
+    )

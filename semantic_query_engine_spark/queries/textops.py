@@ -493,3 +493,102 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe_n.cast("double") / F.greatest(ws_n, F.lit(1)), 6
         ).alias("bpe_per_word"),
     )
+
+
+@register(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_transform(list_filter({_WORDS}, x -> x <> ''),
+                                    x -> lower(x)) AS ws
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    bg AS (
+      SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+      FROM w, UNNEST(range(CAST(len(ws) - 1 AS BIGINT))) AS t(i)
+      WHERE len(ws) >= 2),
+    cbg AS (SELECT w1, w2, COUNT(*)::BIGINT AS cb FROM bg GROUP BY w1, w2),
+    cu AS (SELECT word AS w1, COUNT(*)::BIGINT AS c1 FROM toks GROUP BY word),
+    v AS (SELECT COUNT(DISTINCT word)::BIGINT AS vocab FROM toks),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(ROUND(ln((cb + 0.5) / (c1 + 0.5 * vocab)) * 1000000)
+                  AS BIGINT) AS lq
+      FROM bg JOIN cbg USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+    SELECT doc_id,
+           ROUND(CAST(SUM(lq) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+             AS avg_logprob,
+           ROUND(exp(-(CAST(SUM(lq) AS DOUBLE) / 1000000.0 / COUNT(*))), 4)
+             AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity with add-1/2 smoothing — the next rung of
+    the CCNet-style LM quality ladder above `unigram_perplexity`
+    (production filters use 5-gram KenLM; the plan below is
+    order-agnostic): train corpus bigram + context counts in one pass,
+    score each document by the mean log of p(w2|w1) = (c(w1,w2) + a) /
+    (c(w1) + a*V), a = 0.5.  A document of common words in UNCOMMON
+    order (shuffled text, keyword stuffing) now scores badly where the
+    unigram model cannot see anything wrong — the signal n-gram LMs
+    exist for.
+
+    Determinism: per-bigram log-probs are quantized to 1e-6 integers
+    BEFORE the per-doc mean (the tfidf_cosine_pairs trick), so the
+    summation-order-sensitive reduction is exact integer arithmetic;
+    one round(ln(x)*1e6) per distinct (bigram, context) pair is the
+    only cross-engine float surface.
+
+    Scale shape: two hash aggregates with map-side combine (bigram
+    counts keyed by the pair — uniform; context counts keyed by word —
+    stop-word-hot, left to AQE skew splitting exactly as in
+    unigram_perplexity), a 1-row vocab-size broadcast, and term-keyed
+    scoring joins.  The shuffle never carries more than one row per
+    distinct n-gram per task; no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        F.transform(TX.words_of(F.col("text")), lambda w: F.lower(w)).alias("ws"),
+    )
+    toks = ws.select("doc_id", F.explode("ws").alias("word"))
+    bg = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = toks.groupBy("word").agg(F.count("*").alias("c1")).withColumnRenamed(
+        "word", "w1"
+    )
+    v = toks.agg(F.countDistinct("word").alias("vocab"))
+    lq = F.round(
+        F.log(
+            (F.col("cb") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("vocab"))
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    avg = F.sum("lq").cast("double") / 1_000_000.0 / F.count("*")
+    return (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn("lq", lq)
+        .groupBy("doc_id")
+        .agg(
+            F.round(avg, 6).alias("avg_logprob"),
+            F.round(F.exp(-avg), 4).alias("ppl"),
+        )
+    )

@@ -134,3 +134,45 @@ def test_unigram_perplexity_ranks_gibberish_higher(spark):
     assert out[3].ppl > out[0].ppl
     for r in out.values():
         assert math.isclose(r.ppl, math.exp(-r.avg_logprob), rel_tol=1e-3)
+
+
+def test_dsir_importance_selects_target_slice(spark, sf_dir):
+    """DSIR self-selection property: the target slice (doc_id % 10 == 0,
+    the docs the target distribution is estimated FROM) must have a
+    higher mean log importance weight than the rest of the corpus - the
+    weights exist precisely to rank target-like documents up."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.mlpipeline_q import dsir_importance
+
+    out = dsir_importance(spark, sf_dir)
+    means = (
+        out.groupBy((F.col("doc_id") % 10 == 0).alias("is_target"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    )
+    by = {r.is_target: r.m for r in means}
+    assert by[True] > by[False]
+
+
+def test_bigram_perplexity_shape_and_order_sensitivity(spark, sf_dir):
+    """Every >=2-word document gets one row with a negative avg logprob
+    and ppl consistent with exp(-avg) at the payload rounding."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.textops import bigram_perplexity
+    from semantic_query_engine_spark.sources.fixtures import load_table
+    from semantic_query_engine_spark.functions import text as TX
+
+    out = bigram_perplexity(spark, sf_dir)
+    rows = out.collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_eligible = docs.filter(
+        F.size(TX.words_of(F.col("text"))) >= 2
+    ).count()
+    assert len(rows) == n_eligible
+    for r in rows[:50]:
+        assert r.avg_logprob < 0
+        assert abs(r.ppl - round(math.exp(-r.avg_logprob), 4)) < 1e-3

@@ -51,6 +51,9 @@ ALLOWED_BNLJ: dict[str, str] = {
     "ann_ivfpq_topk": "broadcast 1-row query + 1-row recall_ok flag",
     "bm25_topk": "broadcast 1-row corpus-stats side",
     "unigram_perplexity": "broadcast 1-row total-token-count side",
+    "bigram_perplexity": "broadcast 1-row vocab-size side",
+    "dsir_importance": "broadcast 1-row corpus-total sides; the lambda "
+    "feature table is a bounded 256-bucket broadcast equi-join",
     "cms_frequency": "broadcast 1-row total-count side vs 20-row probe",
     "tfidf_keywords": "broadcast 1-row pool-size side",
     "tfidf_cosine_pairs": "broadcast 1-row pool-size side; the pair "
