@@ -69,6 +69,11 @@ QUERIES = [
     # round 9: the flagship itself at 100x — the one query with a
     # published reference baseline (BASELINE.md <3.5 s)
     "rag_ask_flagship",        # full embeddings brute-force top-k + RAG
+    # round 10: all four new operators run UNBOUNDED (full corpus)
+    "winnow_fingerprints",     # full corpus: window-min + (doc,pos) join
+    "embedding_project_srp",   # full embeddings: map-only 1024 mul-adds
+    "bigram_perplexity",       # full corpus: 2 ngram aggs + scoring join
+    "dsir_importance",         # full corpus: 256-bucket broadcast scoring
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
