@@ -107,6 +107,7 @@ HEADLINE = [
     # LSH + exact join and is not comparable to either series.
     "minhash_lsh_pairs",  # banded minhash near-dup (LSH only)
     "ann_ivf_knn_join",  # partition-pruned IVF batch kNN (gate + operator)
+    "retrieval_eval_srp",  # recall@3/MRR eval harness, SRP vs exact (r10)
     "ivf_knn_join_op",   # same operator WITHOUT the recall gate's exact
     #                      ground-truth side — comparable to rounds <= 5
     #                      and the row that sees a production regression

@@ -12,7 +12,7 @@ tests/test_dedup.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import words_of
@@ -1160,3 +1160,167 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, centroids, enc, index, books, qvec, k=3, nprobe=4, refine=100
     ).select("vec_id")
     return _checked_ann_topk(index, qvec, approx)
+
+
+def _srp_key_duck(vexpr: str) -> str:
+    """DuckDB 16-bit SRP bucket key of a DOUBLE[] expression: sign bits
+    of the literal ±1 projection (semantic.py's _SRP_MAT) over the
+    1e-6-quantized vector — integer dot products, so every sign
+    decision is exact and engine-identical."""
+    return (
+        "list_sum(list_transform(range(1, 17), j -> CASE WHEN "
+        "list_sum(list_transform(range(1, 65), d -> "
+        f"(m.mat[j])[d] * CAST(round(({vexpr})[d] * 1000000) AS BIGINT)"
+        ")) >= 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END))"
+    )
+
+
+def _retrieval_eval_oracle() -> str:
+    from .semantic import _SRP_MAT_DUCK
+
+    return f"""
+    WITH p0 AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id < 8),
+    planted AS (
+      SELECT CAST({_PLANT_BASE} + p.probe_id * 10 + g.k AS BIGINT) AS vec_id,
+             list_transform(p.pv, x -> x + 0.01 * g.k) AS v
+      FROM p0 p CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) g),
+    idx AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 8
+      UNION ALL SELECT vec_id, v FROM planted),
+    m AS (SELECT {_SRP_MAT_DUCK} AS mat),
+    ik AS (SELECT i.vec_id, i.v, {_srp_key_duck('i.v')} AS key FROM idx i, m),
+    pk AS (SELECT p.probe_id, p.pv, {_srp_key_duck('p.pv')} AS key FROM p0 p, m),
+    grk AS (
+      SELECT p.probe_id, i.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(i.v, p.pv) DESC, i.vec_id) AS rk
+      FROM p0 p CROSS JOIN idx i),
+    gold AS (SELECT probe_id, vec_id FROM grk WHERE rk <= 3),
+    cand AS (
+      SELECT pk.probe_id, ik.vec_id,
+             list_cosine_similarity(ik.v, pk.pv) AS c
+      FROM pk JOIN ik USING (key)),
+    ark AS (
+      SELECT probe_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY c DESC, vec_id) AS rk
+      FROM cand),
+    nc AS (SELECT probe_id, COUNT(*)::BIGINT AS n_candidates
+           FROM cand GROUP BY probe_id),
+    hit AS (
+      SELECT a.probe_id, a.rk
+      FROM ark a JOIN gold g ON a.probe_id = g.probe_id AND a.vec_id = g.vec_id
+      WHERE a.rk <= 3),
+    met AS (
+      SELECT probe_id, ROUND(COUNT(*) / 3.0, 6) AS recall_at_3,
+             ROUND(1.0 / MIN(rk), 6) AS mrr
+      FROM hit GROUP BY probe_id)
+    SELECT p.probe_id, COALESCE(n_candidates, 0) AS n_candidates,
+           COALESCE(recall_at_3, 0.0) AS recall_at_3,
+           COALESCE(mrr, 0.0) AS mrr
+    FROM (SELECT probe_id FROM p0) p
+    LEFT JOIN nc USING (probe_id) LEFT JOIN met USING (probe_id)
+    """
+
+
+@register("retrieval_eval_srp", oracle=_retrieval_eval_oracle())
+def retrieval_eval_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION harness — recall@3 and MRR of an
+    approximate retriever against exact gold, per probe, fully
+    value-hash-checked.  The evaluated retriever is single-bucket SRP
+    retrieval: vectors hash to a 16-bit sign-pattern key under the
+    literal ±1 projection shared with `embedding_project_srp`
+    (integer-quantized dot products make every sign decision exact in
+    both engines, so the approximate path itself is DETERMINISTIC and
+    SQL-reproducible — unlike the KMeans-based ann_* rows whose gates
+    are accuracy-booleans, every metric digit here is oracle-checked).
+    Gold is the exact brute-force top-3 per probe (8 probes, each with
+    3 planted near-copies in the index); candidates are index vectors
+    in the probe's exact bucket; recall@3 = |approx top-3 ∩ gold|/3,
+    MRR = 1/rank of the first gold item in the approx list (0 when the
+    bucket misses entirely — an honest miss, reported not hidden).
+    The operator a retrieval pipeline runs CONTINUOUSLY in production:
+    sample queries, compare the ANN path to brute force, alert on
+    recall drift.
+
+    Scale shape: bucketing is map-only (the matrix is a plan
+    constant); the candidate join is an equality join on the 16-bit
+    key; gold ranking broadcasts the bounded probe set against one
+    index scan (kNN shape); metrics are per-probe aggregates over
+    ≤ k rows.  Evaluation cost is independent of corpus size except
+    the one gold scan — which is the point of sampling probes."""
+    from .semantic import _SRP_MAT_SPARK
+
+    emb = _emb_double(spark, sf_dir)
+    probes_raw = emb.filter(F.col("vec_id") < 8)
+    index = emb.filter(F.col("vec_id") >= 8)
+    for k in _PLANT_KS:
+        index = index.unionByName(
+            probes_raw.select(
+                (F.lit(_PLANT_BASE) + F.col("vec_id") * 10 + F.lit(k))
+                .cast("bigint")
+                .alias("vec_id"),
+                F.transform("embedding", _shift_by(k)).alias("embedding"),
+            )
+        )
+    mat = F.expr(_SRP_MAT_SPARK)
+    powers = F.expr(
+        "array(" + ", ".join(str(1 << j) + "L" for j in range(16)) + ")"
+    )
+
+    def srp_key(vcol):
+        qv = F.transform(vcol, lambda x: F.round(x * 1_000_000, 0).cast("long"))
+        bits = F.transform(
+            mat,
+            lambda row: F.aggregate(
+                F.zip_with(row, qv, lambda s, v: s * v),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e,
+            )
+            >= 0,
+        )
+        return F.aggregate(
+            F.zip_with(bits, powers, lambda b, p: F.when(b, p).otherwise(0)),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+
+    from ..functions.vectors import cosine
+    from ..operators.retrieval import knn_join
+
+    probes = probes_raw.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    gold = knn_join(probes, index, k=3).select("probe_id", "vec_id")
+    pk = probes.select(
+        "probe_id", "probe_vec", srp_key(F.col("probe_vec")).alias("key")
+    )
+    ik = index.select("vec_id", "embedding", srp_key(F.col("embedding")).alias("key"))
+    cand = pk.join(ik, "key").select(
+        "probe_id", "vec_id", cosine(F.col("embedding"), F.col("probe_vec")).alias("c")
+    )
+    wrk = Window.partitionBy("probe_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    ark = cand.withColumn("rk", F.row_number().over(wrk))
+    nc = cand.groupBy("probe_id").agg(F.count("*").alias("n_candidates"))
+    hit = (
+        ark.filter(F.col("rk") <= 3)
+        .join(gold, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(
+            F.round(F.count("*") / 3.0, 6).alias("recall_at_3"),
+            F.round(1.0 / F.min("rk"), 6).alias("mrr"),
+        )
+    )
+    return (
+        probes.select("probe_id")
+        .join(nc, "probe_id", "left")
+        .join(hit, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            F.coalesce(F.col("recall_at_3"), F.lit(0.0)).alias("recall_at_3"),
+            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+        )
+    )

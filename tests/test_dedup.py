@@ -535,3 +535,18 @@ def test_connected_components_fused_large_star_identical(spark):
     }
     assert fused == unfused
     assert fused[9] == 0 and fused[70] == 50
+
+
+def test_retrieval_eval_srp_metric_bounds(spark, sf_dir):
+    """Eval-harness sanity: one row per probe; recall@3 and MRR in
+    [0, 1]; MRR > 0 exactly when recall > 0 (a hit implies a rank);
+    candidates can only produce hits (recall*3 <= n_candidates)."""
+    from semantic_query_engine_spark.queries.dedup_q import retrieval_eval_srp
+
+    rows = retrieval_eval_srp(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r.recall_at_3 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert (r.mrr > 0) == (r.recall_at_3 > 0)
+        assert round(r.recall_at_3 * 3) <= r.n_candidates

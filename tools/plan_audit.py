@@ -40,6 +40,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "rag_ask_flagship": "broadcast 1-row query-vector side",
     "cache_probe": "broadcast 1-row probe vs <=1000-row cache",
     "knn_join": "broadcast bounded probe set vs index scan",
+    "retrieval_eval_srp": "broadcast 8-probe side vs index scan (kNN-"
+    "shaped gold ranking); the candidate join is a key equi-join",
     "ann_ivf_knn_join": "broadcast probes x #clusters centroid table "
     "+ 1-row recall_ok flag",
     "dedup_minhash_lsh": "broadcast 1-row recall_ok flag onto exact pairs",
