@@ -99,6 +99,7 @@ HEADLINE = [
     # LLM-pipeline breadth (round 2): regressions here must be visible
     "pack_sequences",    # per-shard greedy packing
     "hash_split",        # reproducible train/val/test buckets
+    "weighted_sample_es",  # one-pass weighted sample w/o replacement (r10)
     # renamed r7: rounds <=5 timed the LSH pipeline under
     # "dedup_minhash_lsh"; since r6 that registered row ALSO runs the
     # exact all-pairs join for its recall gate, so the bench times the

@@ -853,3 +853,56 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lam") >= 0).alias("keep"),
         )
     )
+
+@register(
+    "weighted_sample_es",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             (({_bucket_expr('doc_id', 'strpos')}) + 0.5) / 256.0 AS u
+      FROM documents WHERE n_chars > 0),
+    k AS (
+      SELECT doc_id, weight,
+             ROW_NUMBER() OVER (ORDER BY ln(u) / weight DESC, doc_id)
+               AS rank
+      FROM b)
+    SELECT CAST(rank AS INT) AS rank, doc_id, weight
+    FROM k WHERE rank <= 50
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (2006): each row draws a deterministic u in (0,1) from the md5 of
+    its key and scores ln(u)/w; the k largest scores ARE a weighted
+    sample without replacement — the one-pass, merge-able formulation
+    distributed engines use (heavier rows divide ln(u) by a larger w,
+    pushing their scores toward 0 in exact proportion to weight).
+    Weight here is document length (n_chars) — the "sample long
+    documents more" policy a mixture builder applies; swap in
+    dsir_importance's weights for target-domain-proportional sampling.
+
+    Determinism: u = (md5 bucket + 0.5)/256 — the same engine-portable
+    md5-hex parse as hash_split — and the score is never emitted, only
+    the rank order, with doc_id breaking every tie (including the
+    exact-equal scores that the 256-level u quantization makes common);
+    both engines order identical doubles identically.
+
+    Scale shape: map-only scoring + ORDER BY/LIMIT k, which Spark
+    executes as TakeOrderedAndProject (per-partition top-k, then a
+    k-row merge — no global sort, no corpus shuffle); one-pass
+    no-replacement sampling is exactly why ES beats rejection /
+    multinomial resampling at 100 TB.  The final rank window runs on
+    the 50-row post-limit result only."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.expr(_bucket_expr("doc_id", "instr", "STRING")).cast("double")
+    u = (h + 0.5) / 256.0
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        (F.log(u) / F.col("n_chars").cast("double")).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "weight"
+    )

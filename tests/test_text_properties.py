@@ -176,3 +176,26 @@ def test_bigram_perplexity_shape_and_order_sensitivity(spark, sf_dir):
     for r in rows[:50]:
         assert r.avg_logprob < 0
         assert abs(r.ppl - round(math.exp(-r.avg_logprob), 4)) < 1e-3
+
+
+def test_weighted_sample_es_overrepresents_heavy_docs(spark, sf_dir):
+    """ES sampling property: the 50-doc weighted sample's mean weight
+    must exceed the corpus mean weight (heavier docs are proportionally
+    more likely), and ranks must be 1..50 without gaps."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.mlpipeline_q import (
+        weighted_sample_es,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    out = weighted_sample_es(spark, sf_dir).collect()
+    assert sorted(r.rank for r in out) == list(range(1, 51))
+    sample_mean = sum(r.weight for r in out) / len(out)
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean

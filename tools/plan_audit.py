@@ -83,6 +83,8 @@ ALLOWED_UNPART_WINDOW: dict[str, str] = {
     "pack_sequences": "prefix-sum base case: <= width^2 (16k) shard-totals "
     "rows by the size-adaptive check (operators/prefix.py); above that the "
     "hierarchy recurses and every window is partitioned",
+    "weighted_sample_es": "rank window runs on the 50-row post-LIMIT "
+    "result only; the corpus-wide step is TakeOrderedAndProject",
 }
 # Streaming queries execute availableNow on build (slow, not just
 # planning) — the audit covers them when run via the CLI; the pytest
@@ -95,6 +97,8 @@ STREAM_PREFIXES = ("stream_", "session_window")
 ALLOWED_SOURCE_UNPART_WINDOW: dict[str, str] = {
     "operators/cache.py": "LFU evict ranks the cache table, capacity-"
     "bounded at 1000 rows by cache_put",
+    "queries/mlpipeline_q.py": "weighted_sample_es ranks the 50-row "
+    "post-LIMIT sample only (plan-level allowlist names the same bound)",
 }
 
 
