@@ -906,3 +906,59 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "weight"
     )
+
+
+@register(
+    "mixture_token_budget",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+               ORDER BY {_bucket_expr('doc_id', 'strpos')}, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             (CAST(substr(source, 4) AS BIGINT) % 3 + 1) * 2000 AS budget
+      FROM documents)
+    SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(budget AS BIGINT) AS budget
+    FROM ranked WHERE cum - n_chars < budget
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture construction — the TOKEN-weighted sibling
+    of `mixture_sample`: each source contributes documents in
+    deterministic md5-hash order until its token budget is exhausted
+    (budgets derived from the source id here; a real mixture spec maps
+    source -> target token share).  This is how pretraining mixtures
+    are actually specified — "200B tokens of web, 30B of books" — where
+    a per-DOCUMENT quota over variable-length docs misses the target by
+    the length distribution.  The boundary document that crosses the
+    budget is included (greedy prefix: every source overshoots by less
+    than one document), and `cum_tokens` is the exact running total so
+    the consumer can trim or account.
+
+    Scale shape: one hash-partitioned window per source (running sum,
+    exact integer arithmetic — no float drift in the cutoff), no global
+    sort, no driver state; identical shuffle profile to mixture_sample.
+    Per-source skew equals source size — the same skew the source
+    dimension already has everywhere downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
+    budget = (F.substring("source", 4, 10).cast("long") % 3 + 1) * 2000
+    w = (
+        Window.partitionBy("source")
+        .orderBy(bucket.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+        budget.alias("budget"),
+    )
+    return ranked.filter(F.col("cum") - F.col("n_chars") < F.col("budget")).select(
+        "doc_id",
+        "source",
+        F.col("cum").cast("long").alias("cum_tokens"),
+        F.col("budget").cast("long").alias("budget"),
+    )

@@ -199,3 +199,36 @@ def test_weighted_sample_es_overrepresents_heavy_docs(spark, sf_dir):
         .first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_mixture_token_budget_greedy_prefix(spark, sf_dir):
+    """Budget semantics: per source, every selected doc's preceding
+    cumulative total is under budget (greedy prefix), the last selected
+    doc is the FIRST to reach/cross it, and each source overshoots by
+    less than one document (cum_tokens - budget < that doc's length)."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.mlpipeline_q import (
+        mixture_token_budget,
+    )
+
+    out = mixture_token_budget(spark, sf_dir)
+    per_source = (
+        out.groupBy("source", "budget")
+        .agg(F.max("cum_tokens").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert per_source
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for s, rs in by_src.items():
+        rs.sort(key=lambda r: r.cum_tokens)
+        budget = rs[0].budget
+        # all but the last are strictly under budget; the last reaches
+        # or crosses it unless the source ran out of documents
+        for r in rs[:-1]:
+            assert r.cum_tokens < budget
+        # prefix property: cum_tokens strictly increasing
+        assert all(a.cum_tokens < b.cum_tokens for a, b in zip(rs, rs[1:]))

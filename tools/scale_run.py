@@ -69,11 +69,14 @@ QUERIES = [
     # round 9: the flagship itself at 100x — the one query with a
     # published reference baseline (BASELINE.md <3.5 s)
     "rag_ask_flagship",        # full embeddings brute-force top-k + RAG
-    # round 10: all four new operators run UNBOUNDED (full corpus)
+    # round 10: all new operators run UNBOUNDED (full corpus)
     "winnow_fingerprints",     # full corpus: window-min + (doc,pos) join
     "embedding_project_srp",   # full embeddings: map-only 1024 mul-adds
     "bigram_perplexity",       # full corpus: 2 ngram aggs + scoring join
     "dsir_importance",         # full corpus: 256-bucket broadcast scoring
+    "retrieval_eval_srp",      # full embeddings gold scan + bucket join
+    "weighted_sample_es",      # full corpus: map + TakeOrderedAndProject
+    "mixture_token_budget",    # full corpus: per-source running sum
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
