@@ -108,6 +108,7 @@ HEADLINE = [
     # meaningful (ADVICE r6).  r6's dedup_minhash_lsh=2.13s measured
     # LSH + exact join and is not comparable to either series.
     "minhash_lsh_pairs",  # banded minhash near-dup (LSH only)
+    "lsh_bucket_stats",  # pre-join bucket-occupancy monitor (r10)
     "ann_ivf_knn_join",  # partition-pruned IVF batch kNN (gate + operator)
     "retrieval_eval_srp",  # recall@3/MRR eval harness, SRP vs exact (r10)
     "ivf_knn_join_op",   # same operator WITHOUT the recall gate's exact

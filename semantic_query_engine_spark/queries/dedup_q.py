@@ -284,12 +284,13 @@ _SIGNED64 = (
 )
 
 
-def _minhash_oracle(num_perm: int = 64, n_bands: int = 16) -> str:
-    """Generate the full DuckDB twin of the MinHash+LSH pipeline in
-    portable-hash mode: permutation i = signed 64-bit md5 hash of
-    "i|shingle", 64 conditional-MIN signature slots, 16 string band
-    keys, band-keyed candidate join, exact-Jaccard confirm over the
-    same md5-hashed shingle sets."""
+def _minhash_bands_sql(num_perm: int = 64, n_bands: int = 16) -> str:
+    """Shared DuckDB CTE prefix of the portable-hash MinHash+LSH
+    pipeline, through the `bands` (id, band, key) table: permutation i
+    = signed 64-bit md5 hash of "i|shingle", conditional-MIN signature
+    slots, string band keys.  Consumed by _minhash_oracle (candidate
+    join + exact-Jaccard confirm) and the lsh_bucket_stats oracle
+    (occupancy aggregation)."""
     r = num_perm // n_bands
     mins = ",\n           ".join(
         f"MIN(CASE WHEN i = {i} THEN s END) AS mh_{i}" for i in range(num_perm)
@@ -325,7 +326,15 @@ def _minhash_oracle(num_perm: int = 64, n_bands: int = 16) -> str:
     sig AS (SELECT id, {mins}
             FROM hs GROUP BY id),
     bands AS (
-      {band_rows}),
+      {band_rows})"""
+
+
+def _minhash_oracle(num_perm: int = 64, n_bands: int = 16) -> str:
+    """Generate the full DuckDB twin of the MinHash+LSH pipeline in
+    portable-hash mode: the shared band-table prefix plus the
+    band-keyed candidate join and the exact-Jaccard confirm over the
+    same md5-hashed shingle sets."""
+    return f"""{_minhash_bands_sql(num_perm, n_bands)},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM bands a JOIN bands b
@@ -1323,4 +1332,50 @@ def retrieval_eval_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("recall_at_3"), F.lit(0.0)).alias("recall_at_3"),
             F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
         )
+    )
+
+
+@register(
+    "lsh_bucket_stats",
+    oracle=f"""{_minhash_bands_sql()},
+    occ AS (
+      SELECT band, key, COUNT(*)::BIGINT AS sz
+      FROM bands GROUP BY band, key)
+    SELECT CAST(band AS INT) AS band,
+           COUNT(*)::BIGINT AS n_buckets,
+           MAX(sz) AS max_occupancy,
+           CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM occ GROUP BY band
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy monitor — per band: bucket count, maximum
+    occupancy, and the exact candidate-pair volume the band join WOULD
+    emit (sum of C(size, 2) over its buckets).  This is the diagnostic
+    a 100-TB dedup pipeline runs BEFORE the candidate join: SCALE.md's
+    v2-fixture post-mortem showed sign/key-identical vector families
+    piling ~200 ids into single buckets and turning the band join into
+    a ~3x10^8-row cross product that no key widening could fix — this
+    operator surfaces exactly that (max_occupancy and candidate_pairs
+    explode while n_buckets stalls) for the cost of one count
+    aggregate, so the pipeline can widen keys, pre-block, or cap BEFORE
+    paying for the join.  Runs the same portable-hash band table the
+    fully-checked dedup_minhash_lsh_portable pipeline uses, over the
+    same planted pool, so every stat is value-hash-checked.
+
+    Scale shape: map-only signatures (the shuffle carries one
+    (id, band, key) row per band per doc), one (band, key) count agg
+    with map-side combine, one 16-group rollup.  Strictly cheaper than
+    the join it de-risks, at any scale."""
+    from ..operators.dedup import minhash_band_table
+
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    bands = minhash_band_table(docs, portable=True)
+    occ = bands.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return occ.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_occupancy"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
     )

@@ -550,3 +550,33 @@ def test_retrieval_eval_srp_metric_bounds(spark, sf_dir):
         assert 0.0 <= r.mrr <= 1.0
         assert (r.mrr > 0) == (r.recall_at_3 > 0)
         assert round(r.recall_at_3 * 3) <= r.n_candidates
+
+
+def test_lsh_bucket_stats_consistency(spark, sf_dir):
+    """The stats row must agree with the band table it summarizes:
+    per band, n_buckets/max_occupancy/candidate_pairs recomputed
+    directly from minhash_band_table match; and the planted 80%-prefix
+    copies guarantee at least one band has a bucket of >= 2 (a shared
+    minhash signature slot group)."""
+    from collections import Counter
+
+    from semantic_query_engine_spark.operators.dedup import minhash_band_table
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _docs_with_truncated_copies,
+        lsh_bucket_stats,
+    )
+
+    stats = {r.band: r for r in lsh_bucket_stats(spark, sf_dir).collect()}
+    assert len(stats) == 16
+    bands = minhash_band_table(
+        _docs_with_truncated_copies(spark, sf_dir), portable=True
+    ).collect()
+    per_band: dict[int, Counter] = {}
+    for r in bands:
+        per_band.setdefault(r.band, Counter())[r.key] += 1
+    for b, c in per_band.items():
+        s = stats[b]
+        assert s.n_buckets == len(c)
+        assert s.max_occupancy == max(c.values())
+        assert s.candidate_pairs == sum(v * (v - 1) // 2 for v in c.values())
+    assert any(s.max_occupancy >= 2 for s in stats.values())
