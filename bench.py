@@ -101,6 +101,8 @@ HEADLINE = [
     "hash_split",        # reproducible train/val/test buckets
     "weighted_sample_es",  # one-pass weighted sample w/o replacement (r10)
     "mixture_token_budget",  # per-source token-budget mixture (r10)
+    "span_corruption_masks",  # T5 denoising mask plan (r10)
+    "vocab_coverage",    # tokenizer OOV-rate eval vs top-1k vocab (r10)
     # renamed r7: rounds <=5 timed the LSH pipeline under
     # "dedup_minhash_lsh"; since r6 that registered row ALSO runs the
     # exact all-pairs join for its recall gate, so the bench times the

@@ -962,3 +962,97 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").cast("long").alias("cum_tokens"),
         F.col("budget").cast("long").alias("budget"),
     )
+
+
+@register(
+    "span_corruption_masks",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DSIR_WORDS} AS ws FROM documents),
+    pos AS (
+      SELECT doc_id, ws, CAST(p AS BIGINT) AS p
+      FROM w, UNNEST(range(1, CAST(len(ws) + 1 AS BIGINT))) AS t(p)),
+    starts AS (
+      SELECT doc_id, ws, p
+      FROM pos
+      WHERE ({_bucket_expr("doc_id || ':' || p", 'strpos')}) < 13),
+    merged AS (
+      SELECT doc_id, ws, p,
+             CASE WHEN LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                       >= p - 2 THEN 0 ELSE 1 END AS is_head
+      FROM starts),
+    grp AS (
+      SELECT doc_id, ws, p,
+             SUM(is_head) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM merged),
+    spans AS (
+      SELECT doc_id, CAST(span_id AS INT) AS span_id,
+             MIN(p) AS span_start,
+             CAST(LEAST(MAX(p) + 2, MAX(len(ws))) - MIN(p) + 1 AS BIGINT)
+               AS span_len,
+             array_to_string(
+               MAX(ws)[MIN(p):CAST(LEAST(MAX(p) + 2, MAX(len(ws))) AS BIGINT)],
+               ' ') AS span_text
+      FROM grp GROUP BY doc_id, span_id)
+    SELECT doc_id, span_id, span_start, span_len, span_text FROM spans
+    """,
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask PLAN: deterministic ~5% of token
+    positions (md5 bucket < 13/256) seed 3-token masked spans;
+    OVERLAPPING seeds (within 2 positions) merge into one span (the LAG/cumsum
+    interval-union idiom shared with substring_dedup's coverage calc);
+    output is one row per merged span — id, start, exact length
+    (clipped at the document end), text.  This is the seq2seq denoising
+    objective's sampling step (Raffel et al. 2020 §3.1.4) as a
+    DataFrame plan: downstream rendering to <extra_id_k> input/target
+    strings is a trivial map over these rows, while the part that must
+    be reproducible across runs and engines — WHICH spans are masked —
+    is a pure hash function of (doc_id, position), so re-running the
+    pipeline on a grown corpus never re-masks old documents
+    differently (the same stability argument as hash_split).
+
+    Scale shape: one explode (token positions), a map-side hash filter
+    (~5% survive), two windows partitioned by doc over the surviving
+    seeds only, one group-by — all linear in corpus tokens with the
+    window inputs 20x smaller."""
+    from ..functions.text import words_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.transform(words_of(F.col("text")), lambda x: F.lower(x)).alias("ws"),
+    )
+    pos = w.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("p"),
+    ).select("doc_id", "ws", F.col("p").cast("long").alias("p"))
+    bucket = F.expr(
+        _bucket_expr("doc_id || ':' || p", "instr", "STRING")
+    )
+    starts = pos.filter(bucket < 13)
+    wlag = Window.partitionBy("doc_id").orderBy("p")
+    merged = starts.withColumn(
+        "is_head",
+        F.when(F.lag("p").over(wlag) >= F.col("p") - 2, 0).otherwise(1),
+    )
+    wsum = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = merged.withColumn("span_id", F.sum("is_head").over(wsum))
+    end = F.least(F.max("p") + 2, F.max(F.size("ws")).cast("long"))
+    return grp.groupBy("doc_id", F.col("span_id").cast("int").alias("span_id")).agg(
+        F.min("p").alias("span_start"),
+        (end - F.min("p") + 1).cast("long").alias("span_len"),
+        F.array_join(
+            F.slice(
+                F.max("ws"),
+                F.min("p").cast("int"),
+                (end - F.min("p") + 1).cast("int"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )

@@ -8,7 +8,7 @@ are short; the operator takes the reference's 512 as its default —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -590,5 +590,67 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(avg, 6).alias("avg_logprob"),
             F.round(F.exp(-avg), 4).alias("ppl"),
+        )
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter({_WORDS}, x -> x <> ''),
+                                   x -> lower(x))) AS word
+      FROM documents),
+    counts AS (SELECT word, COUNT(*)::BIGINT AS cnt
+               FROM toks GROUP BY word),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk
+        FROM counts) WHERE rk <= 1000)
+    SELECT t.doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.word IS NULL THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage evaluation: build the top-1000
+    corpus vocabulary (by frequency, word tiebreak) and report each
+    document's out-of-vocabulary token count and rate — the coverage
+    check run before committing to a tokenizer vocab size, and the
+    per-document signal that flags domain-shifted or gibberish text a
+    fixed vocab would shred into UNK/bytes.
+
+    Scale shape: one map-side-combined count aggregate; the top-1000
+    selection is a rank over the DISTINCT-WORD table (vocabulary-sized,
+    orders smaller than the corpus — at 100 TB still a single modest
+    window, and a real vocab is a bounded artifact anyway); scoring is
+    a left join of tokens against a 1000-row table Spark broadcasts,
+    then a per-doc combining agg.  No Python, no corpus-sized shuffle
+    beyond the token explode every text operator pays."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.words_of(F.col("text"))).alias("__w")
+    ).select("doc_id", F.lower("__w").alias("word"))
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    vocab = (
+        counts.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= 1000)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("oov_tokens"),
+            F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
         )
     )

@@ -232,3 +232,49 @@ def test_mixture_token_budget_greedy_prefix(spark, sf_dir):
             assert r.cum_tokens < budget
         # prefix property: cum_tokens strictly increasing
         assert all(a.cum_tokens < b.cum_tokens for a, b in zip(rs, rs[1:]))
+
+
+def test_span_corruption_masks_are_valid_spans(spark, sf_dir):
+    """Mask-plan invariants: spans lie inside their document, lengths
+    are >= 3 except when clipped by the document end, span_text has
+    exactly span_len words, and per-doc span ids are 1..n consecutive."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.functions.text import words_of
+    from semantic_query_engine_spark.queries.mlpipeline_q import (
+        span_corruption_masks,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    out = span_corruption_masks(spark, sf_dir).collect()
+    assert out
+    lens = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(words_of(F.col("text"))).alias("n"))
+        .collect()
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        n = lens[r.doc_id]
+        assert 1 <= r.span_start <= n
+        assert r.span_start + r.span_len - 1 <= n
+        assert r.span_len >= 3 or r.span_start + r.span_len - 1 == n
+        assert len(r.span_text.split(" ")) == r.span_len
+    for rs in by_doc.values():
+        assert sorted(r.span_id for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    """OOV rate is in [0,1], oov_tokens <= n_tokens, and the corpus-wide
+    OOV mass equals total tokens minus the top-1000 vocab's counts."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.textops import vocab_coverage
+
+    rows = vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.oov_tokens <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
