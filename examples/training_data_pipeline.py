@@ -3,11 +3,13 @@
 Run:  python examples/training_data_pipeline.py [sf_dir] [out_dir]
 
 Composes the curation surface the way a 100 TB corpus run would:
-quality scoring -> exact dedup -> MinHash near-dedup + connected
-components -> repeated-span stats -> PII redaction -> deterministic
-train/val/test split -> per-split sequence packing -> partitioned
-parquet sink.  Everything is one declarative DAG per stage; nothing
-collects to the driver except the final previews.
+quality scoring -> exact dedup -> LSH bucket monitor -> MinHash
+near-dedup + connected components -> repeated-span stats -> PII
+redaction -> deterministic train/val/test split -> per-source token
+budgeting -> tokenizer vocab-coverage gate -> T5 span-corruption mask
+plan -> per-split sequence packing -> partitioned parquet sink.
+Everything is one declarative DAG per stage; nothing collects to the
+driver except the final previews.
 """
 
 from __future__ import annotations
@@ -38,7 +40,12 @@ def main() -> None:
     show("profile_documents")
     show("expect_documents")
 
-    # 2. duplication landscape: exact, near (minhash), substring-level
+    # 2. duplication landscape: exact, near (minhash), substring-level.
+    #    lsh_bucket_stats runs FIRST — the pre-join occupancy monitor
+    #    that catches a band-bucket blowup (boilerplate floods one
+    #    bucket -> quadratic candidate pairs) BEFORE paying for the
+    #    join it de-risks; it shares the band-table CTE with the dedup.
+    show("lsh_bucket_stats", 5)
     show("dedup_exact", 3)
     show("dedup_minhash_lsh", 5)
     show("substring_dedup", 5)
@@ -52,6 +59,22 @@ def main() -> None:
     # 3. the composed prep plan (quality -> dedup -> neardup CC ->
     #    split -> pack) and its packed output
     prep = show("training_data_prep_neardup", 5)
+
+    # 3b. mixture construction AFTER sampling: cap each source's
+    #     contribution at a token budget ("200B web, 30B books") via a
+    #     per-source running-sum greedy prefix
+    show("mixture_token_budget", 5)
+
+    # 3c. tokenizer gate: out-of-vocabulary rate per document against
+    #     the top-1000 corpus vocabulary — run before committing to a
+    #     vocab size; domain-shifted/gibberish docs surface here
+    show("vocab_coverage", 5)
+
+    # 3d. the training objective's sampling step as a DataFrame plan:
+    #     deterministic T5 span-corruption masks (which spans are
+    #     masked is a pure hash of (doc_id, position), so a grown
+    #     corpus never re-masks old documents differently)
+    show("span_corruption_masks", 5)
 
     # 4. write the result partitioned by split — the layout a trainer
     #    reads shard-by-shard

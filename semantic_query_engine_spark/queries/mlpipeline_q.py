@@ -1012,10 +1012,15 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline on a grown corpus never re-masks old documents
     differently (the same stability argument as hash_split).
 
-    Scale shape: one explode (token positions), a map-side hash filter
-    (~5% survive), two windows partitioned by doc over the surviving
-    seeds only, one group-by — all linear in corpus tokens with the
-    window inputs 20x smaller."""
+    Scale shape: one explode (token positions) that immediately DROPS
+    the token array — only slim (doc_id, p) longs survive the map-side
+    hash filter (~5% survive) into the two doc-partitioned windows and
+    the group-by; the per-document `ws` array is joined back exactly
+    ONCE per document (doc_id equi-join) to slice span_text.  Shuffle
+    volume is therefore O(corpus tokens) + one array copy per doc,
+    instead of one array copy per surviving SEED (which was
+    O(0.05 * doc_len^2) words per doc — ruinous on book-length
+    documents)."""
     from ..functions.text import words_of
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1025,9 +1030,8 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = w.select(
         "doc_id",
-        "ws",
         F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("p"),
-    ).select("doc_id", "ws", F.col("p").cast("long").alias("p"))
+    ).select("doc_id", F.col("p").cast("long").alias("p"))
     bucket = F.expr(
         _bucket_expr("doc_id || ':' || p", "instr", "STRING")
     )
@@ -1043,15 +1047,23 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     grp = merged.withColumn("span_id", F.sum("is_head").over(wsum))
-    end = F.least(F.max("p") + 2, F.max(F.size("ws")).cast("long"))
-    return grp.groupBy("doc_id", F.col("span_id").cast("int").alias("span_id")).agg(
+    spans = grp.groupBy(
+        "doc_id", F.col("span_id").cast("int").alias("span_id")
+    ).agg(
         F.min("p").alias("span_start"),
-        (end - F.min("p") + 1).cast("long").alias("span_len"),
+        F.max("p").alias("__max_p"),
+    )
+    end = F.least(F.col("__max_p") + 2, F.size("ws").cast("long"))
+    return spans.join(w, "doc_id").select(
+        "doc_id",
+        "span_id",
+        "span_start",
+        (end - F.col("span_start") + 1).cast("long").alias("span_len"),
         F.array_join(
             F.slice(
-                F.max("ws"),
-                F.min("p").cast("int"),
-                (end - F.min("p") + 1).cast("int"),
+                F.col("ws"),
+                F.col("span_start").cast("int"),
+                (end - F.col("span_start") + 1).cast("int"),
             ),
             " ",
         ).alias("span_text"),

@@ -111,14 +111,14 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM alld),
     w AS (
       SELECT tf.doc_id, tf.word,
-             tf.tf * CAST(ROUND((ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) * 1000000, 0) AS BIGINT) AS wq
+             tf.tf * CAST(ROUND((ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) * 10000, 0) AS BIGINT) AS wq
       FROM tf JOIN df USING (word) CROSS JOIN n
       WHERE df.df <= 50),
-    norms AS (SELECT doc_id, SUM(wq * wq)::BIGINT AS n2
+    norms AS (SELECT doc_id, SUM(wq::HUGEINT * wq::HUGEINT) AS n2
               FROM w GROUP BY doc_id),
     dots AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             SUM(a.wq * b.wq)::BIGINT AS dp
+             SUM(a.wq::HUGEINT * b.wq::HUGEINT) AS dp
       FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, sim FROM (
@@ -145,15 +145,24 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     products, per-doc norms) is exact integer arithmetic, invariant
     under any summation order or partitioning
     (tests/test_sketch_textmining.py).  The residual cross-engine
-    surface is one `round(ln(x)*1e6)` per distinct df value agreeing
+    surface is one `round(ln(x)*1e4)` per distinct df value agreeing
     between Spark (BigDecimal HALF_UP) and DuckDB (ROUND) — previously
     the quantization was per-(doc,term) `round(tf*idf, 6)`, where a
     one-ulp ln() difference at any tf-scaled half-integer boundary
     could flip a weight (ADVICE r9); quantizing from the shared
     intermediate removes the tf-dependent boundary family.  A ln() ulp
-    landing exactly on a .5 boundary of idf*1e6 remains possible in
+    landing exactly on a .5 boundary of idf*1e4 remains possible in
     principle; the guarantee claimed here is summation-order
     invariance, not cross-engine ulp immunity.
+
+    Overflow (ADVICE r10): the quadratic sums (norms, dots) multiply
+    two quantized weights, so their headroom is wq^2.  The idf scale is
+    1e4 (not 1e6 — that made one tf >= ~500 bigram overflow int64), and
+    the squares/products are computed and summed in DECIMAL(38,0) —
+    exact integer arithmetic with 1e38 headroom, matching DuckDB's
+    HUGEINT sum semantics bit-for-bit instead of diverging from it
+    (tests/test_sketch_textmining.py::test_tfidf_high_tf_no_overflow
+    pins a tf=600 repeated bigram).
 
     Scale shape: explode -> two map-side-combined aggregates (tf, df)
     -> word-keyed join; the pair stage shuffles by TERM, never by pair,
@@ -185,20 +194,25 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = alld.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
-    idfq = F.round(idf * F.lit(1_000_000.0), 0).cast("bigint")
+    idfq = F.round(idf * F.lit(10_000.0), 0).cast("bigint")
     w = (
         tf.join(df.filter(F.col("df") <= 50), "word")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "word", (F.col("tf") * idfq).alias("wq"))
     )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
+    wqd = F.col("wq").cast("decimal(19,0)")
+    norms = w.groupBy("doc_id").agg(F.sum(wqd * wqd).alias("n2"))
     a = w.select(F.col("doc_id").alias("id_a"), "word", F.col("wq").alias("wa"))
     b = w.select(F.col("doc_id").alias("id_b"), "word", F.col("wq").alias("wb"))
     dots = (
         a.join(b, "word")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+        .agg(
+            F.sum(
+                F.col("wa").cast("decimal(19,0)") * F.col("wb").cast("decimal(19,0)")
+            ).alias("dp")
+        )
     )
     na = norms.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))

@@ -627,9 +627,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed vocab would shred into UNK/bytes.
 
     Scale shape: one map-side-combined count aggregate; the top-1000
-    selection is a rank over the DISTINCT-WORD table (vocabulary-sized,
-    orders smaller than the corpus — at 100 TB still a single modest
-    window, and a real vocab is a bounded artifact anyway); scoring is
+    selection is `orderBy().limit(1000)` which Spark compiles to
+    TakeOrderedAndProject — every partition keeps its local top-1000
+    and the driver merges 1000-row heaps, so a billion-distinct-word
+    web vocabulary never lands in one sorted partition; scoring is
     a left join of tokens against a 1000-row table Spark broadcasts,
     then a per-doc combining agg.  No Python, no corpus-sized shuffle
     beyond the token explode every text operator pays."""
@@ -638,10 +639,9 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.words_of(F.col("text"))).alias("__w")
     ).select("doc_id", F.lower("__w").alias("word"))
     counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
-    wv = Window.orderBy(F.desc("cnt"), F.asc("word"))
     vocab = (
-        counts.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= 1000)
+        counts.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(1000)
         .select("word", F.lit(True).alias("in_vocab"))
     )
     oov = F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)

@@ -34,6 +34,15 @@ def test_training_data_pipeline_example(tmp_path):
         ["examples/training_data_pipeline.py", SF, str(tmp_path / "prep_out")]
     )
     assert "profile_documents" in out
+    # the r10 pretraining stages must compose in the pipeline, not just
+    # sit in the registry (VERDICT r10 #6)
+    for stage in (
+        "lsh_bucket_stats",
+        "mixture_token_budget",
+        "vocab_coverage",
+        "span_corruption_masks",
+    ):
+        assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout
     assert any((tmp_path / "prep_out").rglob("*.parquet")), out[-2000:]
 

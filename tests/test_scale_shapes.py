@@ -343,3 +343,40 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_v4_fixture_diag_signs_distinct_and_engine_identical(tmp_path):
+    """The v4 scale-fixture extension (SCALE.md round-10 ceiling lift)
+    must give every replica k >= 128 a diagonal ±1 pattern that is
+    (a) DISTINCT from every other pattern in its rotation class and
+    from both v3 patterns — else two replicas of one base vector are
+    bit-identical vectors and the exactly-N× answer accounting breaks;
+    (b) sign-balanced so same-base cross-replica cosines stay far from
+    ±1; (c) reproduced bit-for-bit by the DuckDB md5 expression the
+    generator actually runs."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from make_scale_fixtures import (
+        EMB_DIM,
+        assert_sign_diversity,
+        diag_signs,
+    )
+
+    # pinned first values: determinism across environments/versions
+    assert diag_signs(128)[:8] == (-1, 1, 1, -1, 1, 1, 1, -1)
+    assert diag_signs(999)[:8] == (-1, 1, -1, -1, -1, 1, 1, -1)
+    # (a)+(b) for a full sf100 replica count — raises on violation
+    assert_sign_diversity(1000)
+    # (c) the generator's SQL expression == the Python twin
+    con = duckdb.connect()
+    for k in (128, 257, 999):
+        got = con.execute(
+            "SELECT list_transform(range(64), i -> "
+            "CASE WHEN substr(md5(? || ':' || i), 1, 1) >= '8' "
+            "THEN -1 ELSE 1 END)",
+            [str(k)],
+        ).fetchone()[0]
+        assert tuple(got) == diag_signs(k, EMB_DIM)

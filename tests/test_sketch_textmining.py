@@ -267,3 +267,58 @@ def test_tfidf_cosine_pairs_invariant_to_shuffle_partitioning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b and a
+
+
+def test_tfidf_high_tf_no_overflow(spark, tmp_path):
+    """ADVICE r10: under the old 1e-6 idf quantization, a single
+    (doc, bigram) with tf >= ~500 made wq^2 exceed 2^63, so the long
+    sums in norms/dots overflowed — an ANSI runtime failure on Spark
+    while DuckDB silently kept going in HUGEINT.  Pin the fixed
+    pipeline (1e-4 idf scale + DECIMAL(38,0) quadratic sums) on a
+    corpus whose doc 0 repeats one bigram 600 times: Spark must
+    neither raise nor diverge bit-for-bit from the DuckDB oracle."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from semantic_query_engine_spark.queries import REGISTRY
+
+    n = 300
+    texts = [
+        ("alpha beta " * 600).strip()
+        if i == 0
+        else f"w{i}a w{i}b w{i}c w{i}d w{i}e"
+        for i in range(n)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(n)),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["synthetic"] * n,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path / "hightf")
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    spec = REGISTRY["tfidf_cosine_pairs"]
+    got = sorted(
+        (int(r.id_a), int(r.id_b), float(r.sim))
+        for r in spec.fn(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), float(s))
+        for a, b, s in con.execute(spec.oracle).fetchall()
+    )
+    assert got == want and got
+    # the tf=600 doc and its 80%-prefix plant must pair near 1.0
+    by_pair = {(a, b): s for a, b, s in got}
+    assert by_pair.get((0, 50000), 0.0) > 0.95

@@ -12,10 +12,13 @@ replicates the driver's sf0.1 parquet 10x into .scale_data/sf1/
   artifact).
 - embeddings: vec_id + k*1e6; replica k applies an orthogonal
   coordinate transform (v3: cyclic rotation by k%64, half-negation for
-  k>=64), so within-replica geometry is exactly preserved while
-  cross-replica cosines are ~0 AND SRP sign patterns are decorrelated
-  (v2's one-element nudge kept replica families sign-identical, which
-  collapsed SRP-LSH buckets at sf10).
+  64<=k<128; v4 for k>=128: rotation composed with a per-replica
+  md5-hashed diagonal ±1 matrix), so within-replica geometry is
+  exactly preserved while cross-replica cosines are ~0 AND SRP sign
+  patterns are decorrelated (v2's one-element nudge kept replica
+  families sign-identical, which collapsed SRP-LSH buckets at sf10;
+  v3 reused transforms beyond 128 replicas, making same-transform
+  replicas bit-identical — SCALE.md "Round 10" ceiling, lifted here).
 - events: event_id + k*1e7; ts/user untouched (10x events per user).
 - orders + lineitem: keys offset by the SAME k*1e7, so every replicated
   order keeps its lineitems and orders-lineitem joins stay 100%-matching
@@ -38,6 +41,53 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
+
+# Driver fixture embedding dimensionality (all sf* embeddings are 64-d).
+EMB_DIM = 64
+
+
+def diag_signs(k: int, dim: int = EMB_DIM) -> tuple[int, ...]:
+    """v4 per-replica diagonal ±1 pattern for k >= 128: sign i is the
+    top bit of md5(f"{k}:{i}")'s first hex digit.  md5 (not a linear
+    integer form) because a Weyl-style hash's bit sequences for two
+    replicas in the same rotation class came out exactly COMPLEMENTARY
+    (flat-mass cosine -1); md5 patterns measured over k in [128, 1128)
+    have pairwise agreement in [17, 47] of 64 → worst same-base
+    |cosine| 0.47 on a flat-mass vector, far under every 0.8+ near-dup
+    threshold.  Engine-independent: DuckDB's md5() reproduces it
+    inside the COPY, this Python twin pins it in tests."""
+    import hashlib
+
+    return tuple(
+        -1 if hashlib.md5(f"{k}:{i}".encode()).hexdigest()[0] in "89abcdef" else 1
+        for i in range(dim)
+    )
+
+
+# v3 transforms the v4 diagonals must stay distinct from (identity and
+# first-half negation — both composed with the same rotation family).
+V3_PATTERNS = (tuple([1] * EMB_DIM), tuple([-1] * (EMB_DIM // 2) + [1] * (EMB_DIM // 2)))
+
+
+def assert_sign_diversity(replicas: int) -> None:
+    """Every pair of replicas sharing a rotation class must get
+    DISTINCT diagonal patterns (else two replicas of one base vector
+    are bit-identical — the exact failure the 128 ceiling guarded), and
+    each pattern must be sign-balanced enough (8..56 of 64 positive)
+    that same-base cross-replica cosines stay far from ±1."""
+    by_rot: dict[int, set[tuple[int, ...]]] = {}
+    for k in range(128, replicas):
+        p = diag_signs(k)
+        ones = sum(1 for s in p if s == 1)
+        if not 8 <= ones <= 56:
+            raise SystemExit(f"replica {k}: degenerate sign balance {ones}/64")
+        seen = by_rot.setdefault(k % EMB_DIM, set(V3_PATTERNS))
+        if p in seen:
+            raise SystemExit(
+                f"replica {k}: diagonal pattern collides within rotation "
+                f"class {k % EMB_DIM} — two replicas would be bit-identical"
+            )
+        seen.add(p)
 
 
 def make(src: str, dst: str, replicas: int = 10) -> None:
@@ -89,19 +139,32 @@ def make(src: str, dst: str, replicas: int = 10) -> None:
     # Cross-replica cosines for i.i.d.-ish coordinates are ~0 (incoher-
     # ent), far below every near-dup threshold in the suite.  Label
     # structure untouched; replica 0 stays bit-identical to the source.
-    if replicas > 128:
-        raise SystemExit(
-            "v3 embedding rule covers <=128 replicas (64 rotations x 2 "
-            "sign levels); add another sign pattern before going higher"
-        )
+    #
+    # v4 (round 11, lifts the 128-replica ceiling — SCALE.md "Round
+    # 10"): replica k >= 128 composes the rotation with a deterministic
+    # md5-hashed diagonal ±1 matrix (see diag_signs).  permutation x
+    # diagonal(±1) is still orthogonal, so within-replica geometry is
+    # still EXACTLY preserved; the transform family grows from 128 to
+    # 64 x 2^64, distinct-by-assertion for every generated k, and each
+    # diagonal is a fresh SRP hyperplane (sign(w . Dx) = sign((Dw) . x))
+    # so sign patterns stay decorrelated at sf100 replica counts.
+    # Replicas 0..127 are BIT-IDENTICAL to v3 output (no regeneration
+    # churn for the committed sf1/sf10 evidence).
+    assert_sign_diversity(replicas)
+    v4 = (
+        "CAST(list_transform(range(len(t.rot)), i -> t.rot[i + 1] * "
+        "(CASE WHEN substr(md5(t.k || ':' || i), 1, 1) >= '8' "
+        "THEN -1 ELSE 1 END)) AS FLOAT[])"
+    )
     con.sql(f"""
     COPY (
       SELECT t.vec_id + t.k * 1000000 AS vec_id,
              CASE WHEN t.k = 0 THEN t.embedding
                   WHEN t.k // 64 = 0 THEN CAST(t.rot AS FLOAT[])
-                  ELSE CAST(list_concat(
+                  WHEN t.k // 64 = 1 THEN CAST(list_concat(
                          list_transform(t.rot[1:32], x -> -x),
                          t.rot[33:]) AS FLOAT[])
+                  ELSE {v4}
                   END AS embedding,
              t.label
       FROM (

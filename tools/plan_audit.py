@@ -85,9 +85,6 @@ ALLOWED_UNPART_WINDOW: dict[str, str] = {
     "hierarchy recurses and every window is partitioned",
     "weighted_sample_es": "rank window runs on the 50-row post-LIMIT "
     "result only; the corpus-wide step is TakeOrderedAndProject",
-    "vocab_coverage": "top-1000 rank window runs over the DISTINCT-WORD "
-    "counts table (vocabulary-sized, orders smaller than the corpus; a "
-    "real tokenizer vocab is a bounded artifact)",
 }
 # Streaming queries execute availableNow on build (slow, not just
 # planning) — the audit covers them when run via the CLI; the pytest
@@ -102,8 +99,6 @@ ALLOWED_SOURCE_UNPART_WINDOW: dict[str, str] = {
     "bounded at 1000 rows by cache_put",
     "queries/mlpipeline_q.py": "weighted_sample_es ranks the 50-row "
     "post-LIMIT sample only (plan-level allowlist names the same bound)",
-    "queries/textops.py": "vocab_coverage ranks the distinct-vocabulary "
-    "counts table (plan-level allowlist names the same bound)",
 }
 
 

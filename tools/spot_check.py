@@ -60,12 +60,24 @@ JUDGE_R8 = [
 
 
 def driver_sample_names() -> set[str]:
-    """Names in the newest driver CORRECTNESS_r*.json (the static 50)."""
-    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    if not files:
-        return set()
-    with open(files[-1]) as fh:
-        return set(json.load(fh).keys())
+    """UNION of names across every committed driver CORRECTNESS_r*.json.
+
+    The newest file alone is not enough (VERDICT r10 evidence-gap a):
+    the driver's per-round sample ROTATES (r10 picked 7 names absent
+    from r9's file), so excluding only the latest sample let SPOT_r10
+    overlap the driver's r10 batch.  Excluding everything the driver
+    has EVER sampled keeps the committed SPOT artifact disjoint from
+    any repeat pick; only a never-before-sampled driver name can still
+    collide, which is exactly the residual rotation risk no ex-ante
+    exclusion can remove."""
+    names: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                names |= set(json.load(fh).keys())
+        except (OSError, json.JSONDecodeError):
+            continue
+    return names
 
 
 def last_spot_rounds() -> dict[str, int]:
@@ -81,8 +93,21 @@ def last_spot_rounds() -> dict[str, int]:
                 payload = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        for name, res in payload.items():
-            if isinstance(res, dict) and "rows_match" in res:
+        # check_oracle --json nests per-query records under "queries";
+        # the old top-level scan matched NOTHING (every committed SPOT
+        # file has the nested shape), silently degrading the rotation
+        # to pure seeded-hash order.  Found while applying ADVICE r10.
+        records = payload.get("queries", payload)
+        if not isinstance(records, dict):
+            continue
+        for name, res in records.items():
+            # Only a PASSING record counts as "verified" (ADVICE r10):
+            # a name that failed its spot check must stay at the front
+            # of the least-recently-verified queue, not be deprioritized
+            # for the next ~3-4 rounds by its own failure.
+            if isinstance(res, dict) and (
+                res.get("pass") is True or res.get("rows_match") is True
+            ):
                 last[name] = max(last.get(name, -1), rnd)
     return last
 

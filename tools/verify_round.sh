@@ -31,8 +31,17 @@ done
 PADDED=$(printf "%02d" "$ROUND")
 
 # clear leftovers from SIGKILLed processes (scratch.py cleans on normal
-# exit; this is the backstop the fixed per-repo location exists for)
-rm -rf .scratch
+# exit; this is the backstop the fixed per-repo location exists for).
+# Dead pids only (ADVICE r10): a concurrent live gate/bench run's
+# layouts must never be yanked mid-read.  Dir names are <pid>-<boot
+# starttime>; liveness is keyed by the pid component.
+if [[ -d .scratch ]]; then
+    for d in .scratch/*/; do
+        [[ -e "$d" ]] || continue
+        pid="$(basename "$d")"; pid="${pid%%-*}"
+        kill -0 "$pid" 2>/dev/null || rm -rf "$d"
+    done
+fi
 
 python tools/check_oracle.py --json "GATE_r${PADDED}.json" "$SF_DIR"
 python tools/plan_audit.py --markdown > PLAN_AUDIT.md
