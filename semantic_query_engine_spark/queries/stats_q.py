@@ -209,22 +209,60 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_agg", oracle=None)
+@register(
+    "approx_percentile_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS exact_p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS exact_p75,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch): the constant-memory
-    quantile for 100 TB profiling.  One of exactly TWO deliberately
-    rows-only registry entries (with distinct_count_approx): it emits
-    the RAW sketch value, which no other engine's sketch reproduces —
-    the accuracy of the same sketch is hash-gated by its checked twin
-    approx_percentile_checked below.  The exact percentile rides
-    alongside so the rows-check still sees both values."""
+    """Multi-quantile approx_percentile (rank sketch) per group — the
+    constant-memory quantile PROFILE (p25/p50/p75 in ONE sketch pass)
+    for 100 TB data profiling.  Error-gated (VERDICT r10 #7, closing
+    the last rows-only entries): raw sketch values cannot be
+    value-hashed against another engine's sketch, so the output
+    carries the exact interpolated quantiles plus one `within_tol`
+    boolean — every quantile must land within 1% of the continuous OR
+    the discrete exact value (the OR-disjunct lesson from round 8: at
+    small group sizes the interpolation-vs-data-value gap alone
+    exceeds 1% even when the sketch is rank-perfect).  Single-median
+    twin: approx_percentile_checked below."""
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(
         """
+        WITH ranked AS (
+          SELECT o_orderpriority, o_totalprice,
+                 cume_dist() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 ) AS cd
+          FROM orders
+        ), exact AS (
+          SELECT o_orderpriority,
+                 percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)) AS cont,
+                 array(min(CASE WHEN cd >= 0.25 THEN o_totalprice END),
+                       min(CASE WHEN cd >= 0.5 THEN o_totalprice END),
+                       min(CASE WHEN cd >= 0.75 THEN o_totalprice END)) AS disc,
+                 approx_percentile(
+                   o_totalprice, array(0.25D, 0.5D, 0.75D), 10000) AS approx
+          FROM ranked GROUP BY o_orderpriority
+        )
         SELECT o_orderpriority,
-               ROUND(approx_percentile(o_totalprice, 0.5, 10000), 2) AS approx_median,
-               ROUND(percentile(o_totalprice, 0.5), 2) AS exact_median
-        FROM orders GROUP BY o_orderpriority
+               ROUND(cont[0], 2) AS exact_p25,
+               ROUND(cont[1], 2) AS exact_p50,
+               ROUND(cont[2], 2) AS exact_p75,
+               (abs(approx[0] - cont[0]) / cont[0] <= 0.01
+                  OR abs(approx[0] - disc[0]) / disc[0] <= 0.01)
+               AND (abs(approx[1] - cont[1]) / cont[1] <= 0.01
+                  OR abs(approx[1] - disc[1]) / disc[1] <= 0.01)
+               AND (abs(approx[2] - cont[2]) / cont[2] <= 0.01
+                  OR abs(approx[2] - disc[2]) / disc[2] <= 0.01)
+               AS within_tol
+        FROM exact
         """
     )
 

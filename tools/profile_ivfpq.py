@@ -18,13 +18,39 @@ drift can be attributed to a specific stage rather than argued:
                   should roughly sum to this, minus plan-reuse effects)
 
 Protocol: one session, one untimed warmup of the full row (codegen),
-then median of SPARK_GRAFT_BENCH_RUNS (default 3) per stage.  Stages
-are timed by materializing ONLY up to that stage (count/collect), so
-earlier-stage work repeats inside later stages — the numbers are
-cumulative-shape, read the deltas.
+then median of SPARK_GRAFT_BENCH_RUNS (default 3) per stage.
 
-Usage: python tools/profile_ivfpq.py [sf_dir]
-Prints one JSON object {stage: sec}.
+Two modes:
+
+- default (cumulative): each stage materializes everything UP TO that
+  stage, so earlier-stage work repeats inside later stages — read the
+  deltas.  Kept for continuity with the r10 numbers.
+- --absolute (VERDICT r10 #8): each stage boundary is materialized
+  through scratch parquet, so every number is that stage's OWN cost
+  given already-materialized inputs (no double-materialization).
+
+What --absolute established (round 11, quiet machine): stage_sum does
+NOT converge to `full`, and the gap is STRUCTURAL, not instrument
+error — the dominant term is `encode`, whose isolated cost (2.9 s at
+sf0.1, 13.1 s at sf1) exceeds the ENTIRE registered row (4.3 s /
+3.8 s).  Isolating the stage forces the COMPLETE code table to be
+computed and materialized; the fused row never does that — the codes
+column is consumed lazily behind the probe's cluster join
+(whole-stage codegen defers non-key expressions past the join probe,
+so codes are evaluated only for rows in probed clusters) and is never
+written anywhere.  The r10 "4.36 vs 2.59" caveat is thereby explained
+and quantified: the composed Catalyst plan is strictly cheaper than
+the sum of its honestly-measured parts — an argument FOR the
+declarative formulation, not a measurement artifact.  Read stage
+numbers as what-the-stage-costs-in-isolation, and `full` as the
+product.
+(Parquet, not .persist(), for the boundary: an InMemoryRelation both
+costs more to build — +1.6 s on encode — and gets silently
+substituted by the cache manager into the registered row's matching
+sub-plans, corrupting `full`.)
+
+Usage: python tools/profile_ivfpq.py [sf_dir] [--absolute]
+Prints one JSON object {stage: sec} (+ "stage_sum" in absolute mode).
 """
 
 from __future__ import annotations
@@ -40,8 +66,88 @@ sys.path.insert(0, REPO)
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def run_absolute(spark, sf_dir: str) -> dict[str, float]:
+    """One absolute-cost pass: persist each stage's outputs so the next
+    stage starts from materialized inputs; return per-stage seconds.
+    Caches are dropped before `full` so the registered row runs cold."""
+    from pyspark.sql import DataFrame
+
+    from semantic_query_engine_spark.operators.ann import (
+        build_ivf,
+        sample_vectors,
+    )
+    from semantic_query_engine_spark.operators.pq import (
+        build_pq,
+        ivfpq_topk,
+        pq_encode,
+    )
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _checked_ann_topk,
+        _planted_query_index,
+        ann_ivfpq_topk,
+    )
+
+    from semantic_query_engine_spark.scratch import scratch_path
+
+    base = scratch_path("profile_ivfpq_abs")
+    seq = [0]
+
+    def mat(df: DataFrame) -> DataFrame:
+        """Materialize a stage boundary through scratch parquet: the
+        write prices the stage's own compute, the read-back hands the
+        next stage a plain scan.  Parquet (not .persist()) because an
+        InMemoryRelation boundary both costs more to build (columnar
+        cache conversion measured ~1.6 s extra on the encode stage)
+        and gets silently substituted by the cache manager into the
+        registered row's matching sub-plans, corrupting `full`."""
+        seq[0] += 1
+        p = os.path.join(base, f"stage{seq[0]}")
+        df.write.mode("overwrite").parquet(p)
+        return df.sparkSession.read.parquet(p)
+
+    t: dict[str, float] = {}
+
+    def clock(name: str, fn):
+        t0 = time.time()
+        r = fn()
+        t[name] = time.time() - t0
+        return r
+
+    index, qvec = _planted_query_index(spark, sf_dir)
+    index = clock("plant", lambda: mat(index))
+    X = clock("sample", lambda: sample_vectors(index))
+
+    def _kmeans():
+        assigned, centroids = build_ivf(index, n_clusters=8, sample_X=X)
+        assigned = mat(assigned)
+        if isinstance(centroids, DataFrame):
+            centroids = mat(centroids)
+        return assigned, centroids
+
+    assigned, centroids = clock("kmeans", _kmeans)
+    books = clock("pq_train", lambda: build_pq(index, m=8, k=16, sample_X=X))
+    enc = clock("encode", lambda: mat(pq_encode(index, books)))
+    approx = clock(
+        "probe",
+        lambda: mat(
+            ivfpq_topk(
+                assigned, centroids, enc, index, books, qvec,
+                k=3, nprobe=4, refine=100,
+            )
+        ),
+    )
+    clock(
+        "gate",
+        lambda: _checked_ann_topk(index, qvec, approx.select("vec_id")).count(),
+    )
+    clock("full", lambda: ann_ivfpq_topk(spark, sf_dir).count())
+    return t
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--absolute"]
+    absolute = "--absolute" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     os.environ.setdefault(
         "PYSPARK_SUBMIT_ARGS",
         "--conf spark.ui.showConsoleProgress=false pyspark-shell",
@@ -66,6 +172,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     ann_ivfpq_topk(spark, sf_dir).count()  # untimed codegen warmup
+
+    if absolute:
+        passes = [run_absolute(spark, sf_dir) for _ in range(RUNS)]
+        out = {
+            name: round(sorted(p[name] for p in passes)[RUNS // 2], 3)
+            for name in passes[0]
+        }
+        out["stage_sum"] = round(sum(v for k, v in out.items() if k != "full"), 3)
+        for k, v in out.items():
+            print(f"# {k}: {v}s", file=sys.stderr)
+        spark.stop()
+        print(json.dumps(out))
+        return
 
     def stage_plant():
         index, _ = _planted_query_index(spark, sf_dir)
