@@ -555,3 +555,114 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", F.col("h").alias("fp"))
         .distinct()
     )
+
+
+# In-plan multi-line construction for the line-level boilerplate
+# remover (the fixture corpus has no newlines): a banner on 2/3 of the
+# corpus, a per-source promo header on every document, and a RARE promo
+# line on every 50th document.  The removal threshold (doc-frequency
+# ratio > 1/25, compared as integer df*25 > n_docs — no float boundary)
+# must strip the banner (~67%) and the per-source headers (5% each)
+# while KEEPING the 2% rare line and every unique content line.
+_BANNER = "attention limited offer subscribe for the full archive"
+_RARE = "editor pick of the week read this one"
+
+
+@register(
+    "boilerplate_line_removal",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 <> 0
+                  THEN '{_BANNER}' || chr(10) ELSE '' END
+             || 'promo feed from ' || source || chr(10)
+             || CASE WHEN doc_id % 50 = 0
+                     THEN '{_RARE}' || chr(10) ELSE '' END
+             || {_CLEAN} AS t
+      FROM documents),
+    la AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM docs2),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM docs2),
+    lines AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos] AS ln
+      FROM (SELECT doc_id, ls,
+                   unnest(range(1, CAST(len(ls) AS BIGINT) + 1)) AS pos
+            FROM la)),
+    df AS (SELECT ln, COUNT(DISTINCT doc_id)::BIGINT AS df
+           FROM lines GROUP BY ln),
+    boiler AS (SELECT ln FROM df, n WHERE df * 25 > n_docs),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.ln
+      FROM lines l LEFT JOIN boiler b USING (ln)
+      WHERE b.ln IS NULL),
+    sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_lines
+              FROM lines GROUP BY doc_id)
+    SELECT s.doc_id, s.n_lines,
+           CAST(s.n_lines - COUNT(k.pos) AS BIGINT) AS n_removed,
+           string_agg(k.ln, chr(10) ORDER BY k.pos) AS clean_text
+    FROM sizes s JOIN kept k USING (doc_id)
+    GROUP BY s.doc_id, s.n_lines
+    """,
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate REMOVAL with document reassembly
+    (Raffel et al. 2020 §2.2 removed lines occurring 3+ times; CCNet and
+    RefinedWeb use the same line-frequency rule): split each document
+    into lines, drop every line whose corpus doc-frequency ratio
+    exceeds 1/25, and re-emit the CLEANED document text in original
+    line order — the transformation step that complements
+    substring_dedup_capped's detection-only report.  Because the
+    fixture corpus has no newlines, the multi-line structure is planted
+    in-plan (banner on 2/3 of docs, per-source promo on all, rare promo
+    on 2%) and the oracle plants identically; the threshold provably
+    cuts both frequent planted lines while keeping the rare one —
+    both sides of the cut are exercised.
+
+    Scale shape: one line explode; doc-frequency is a map-side-combined
+    (line -> distinct doc) aggregate; the boilerplate set is BROADCAST
+    back (a line in >4% of a 100 TB corpus is by construction a tiny
+    set — frequency-capped vocabularies are bounded artifacts, the same
+    argument as vocab_coverage's top-k) and removal is a broadcast anti
+    join; reassembly is one per-doc aggregate over (pos, line) structs
+    with array_sort — no window, no skew (line df is capped by the
+    threshold itself on the join side).  The threshold compare is
+    integer (df * 25 > n_docs), so no float boundary can flip a line
+    cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.when(F.col("doc_id") % 3 != 0, F.lit(_BANNER + "\n")).otherwise(F.lit("")),
+        F.lit("promo feed from "),
+        F.col("source"),
+        F.lit("\n"),
+        F.when(F.col("doc_id") % 50 == 0, F.lit(_RARE + "\n")).otherwise(F.lit("")),
+        F.trim(F.regexp_replace("text", "\n", " ")),
+    )
+    docs2 = docs.select("doc_id", t.alias("t"))
+    lines = docs2.select(
+        "doc_id",
+        F.posexplode(F.split("t", "\n")).alias("pos0", "ln"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "ln")
+    n = docs2.agg(F.count("*").alias("n_docs"))
+    df = lines.groupBy("ln").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 25 > F.col("n_docs"))
+        .select("ln")
+    )
+    kept = lines.join(F.broadcast(boiler), "ln", "left_anti")
+    sizes = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda x: x["ln"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return sizes.join(clean, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_removed"),
+        "clean_text",
+    )

@@ -1068,3 +1068,62 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("span_text"),
     )
+
+
+@register(
+    "epoch_shuffle",
+    oracle=f"""
+    WITH withe AS (
+      SELECT doc_id, e.epoch
+      FROM documents, (SELECT unnest([0, 1]) AS epoch) e),
+    ranked AS (
+      SELECT epoch, doc_id,
+             CAST(({_bucket_expr("doc_id || ':' || epoch", 'strpos')}) % 8
+                  AS INT) AS shard,
+             md5(CAST(doc_id || ':' || epoch || ':o' AS VARCHAR)) AS k
+      FROM withe)
+    SELECT epoch, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch, shard ORDER BY k, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM ranked
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every document
+    gets, for each epoch, a hash-derived shard (md5 bucket % 8) and a
+    position within its shard (rank of an independent md5 key) — the
+    reshuffle-between-epochs a trainer consumes as `ORDER BY (epoch,
+    shard, pos)`, reproducible from (doc_id, epoch) alone so any worker
+    can recompute its slice without coordination and a re-run of the
+    pipeline never changes historical epochs (the hash_split stability
+    argument applied to ORDERING).
+
+    Scale shape: epochs come from an in-row explode (no join); shard
+    assignment is a map-side hash; the only shuffle is the hash
+    partition to (epoch, shard) where each shard sorts LOCALLY — a
+    global training order without any global sort, uniform by
+    construction (md5 on unique ids -> no skew), shards sized
+    corpus/8/epoch for sequential reads.  This is exactly the physical
+    layout `df.repartition(shard).sortWithinPartitions(pos)` writes as
+    training shards; the rank window is partitioned by (epoch, shard)
+    so no single-partition stage exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    withe = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    )
+    bucket = F.expr(_bucket_expr("doc_id || ':' || epoch", "instr", "STRING"))
+    ranked = withe.select(
+        "epoch",
+        "doc_id",
+        (bucket % 8).cast("int").alias("shard"),
+        F.expr("md5(CAST(doc_id || ':' || epoch || ':o' AS STRING))").alias("k"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return ranked.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+    )

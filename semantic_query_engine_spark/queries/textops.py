@@ -654,3 +654,61 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_transform(list_filter({_WORDS}, x -> x <> ''),
+                                   x -> lower(x))) AS w
+      FROM documents),
+    wf AS (SELECT w, COUNT(*)::BIGINT AS freq FROM toks GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM wf)),
+    counts AS (SELECT pair, SUM(freq)::BIGINT AS n
+               FROM pairs GROUP BY pair)
+    SELECT pair, n FROM counts ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training kernel at corpus scale (Sennrich et
+    al. 2016): count adjacent-symbol pairs over the WORD-FREQUENCY
+    table and emit the top-20 merge candidates.  This is the inner
+    statistic of every BPE/WordPiece training iteration; the iterative
+    trainer is a driver loop over exactly this job (pick top pair,
+    merge, recount — the same driver-coordinates/cluster-computes
+    pattern as build_ivf's Lloyd iterations), so the kernel is what
+    must scale.
+
+    Scale shape: the corpus reduces to the distinct-word frequency
+    table in ONE map-side-combined aggregate (the BPE insight — at
+    100 TB the word table is orders smaller than the corpus, and it is
+    the only thing the pair explode ever touches); pair counting is a
+    second small aggregate, and top-20 is orderBy().limit() =
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heaps, never a global sort).  Ties break on the pair string, so
+    the emitted ranking is deterministic cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.words_of(F.col("text"))).alias("w0")
+    ).select(F.lower("w0").alias("w"))
+    wf = toks.groupBy("w").agg(F.count("*").alias("freq"))
+    # single-char words contribute no pairs (sequence(1, 0) would emit a
+    # DESCENDING [1, 0] in Spark while DuckDB's range(1, 1) is empty)
+    pairs = wf.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -54,6 +54,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "bm25_topk": "broadcast 1-row corpus-stats side",
     "unigram_perplexity": "broadcast 1-row total-token-count side",
     "bigram_perplexity": "broadcast 1-row vocab-size side",
+    "boilerplate_line_removal": "broadcast 1-row corpus-count side onto "
+    "the line-df table for the integer threshold compare",
     "dsir_importance": "broadcast 1-row corpus-total sides; the lambda "
     "feature table is a bounded 256-bucket broadcast equi-join",
     "cms_frequency": "broadcast 1-row total-count side vs 20-row probe",
