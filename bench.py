@@ -105,7 +105,9 @@ HEADLINE = [
     "vocab_coverage",    # tokenizer OOV-rate eval vs top-1k vocab (r10)
     "boilerplate_line_removal",  # C4 line-frequency strip + reassembly (r11)
     "bpe_pair_counts",   # BPE merge-candidate kernel over word table (r11)
+    "bpe_merges",        # 3 driver-coordinated BPE training steps (r11)
     "epoch_shuffle",     # deterministic per-epoch shard/order plan (r11)
+    "fim_transform",     # fill-in-middle PSM objective plan, map-only (r11)
     # renamed r7: rounds <=5 timed the LSH pipeline under
     # "dedup_minhash_lsh"; since r6 that registered row ALSO runs the
     # exact all-pairs join for its recall gate, so the bench times the

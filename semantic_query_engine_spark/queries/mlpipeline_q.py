@@ -1127,3 +1127,86 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("pos"),
         "doc_id",
     )
+
+
+_FIM_WORDS = (
+    "list_filter(regexp_split_to_array("
+    "trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+@register(
+    "fim_transform",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_FIM_WORDS} AS ws FROM documents),
+    cuts AS (
+      SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+             CAST(({_bucket_expr("doc_id || ':fim1'", 'strpos')})
+                  % (len(ws) + 1) AS BIGINT) AS a,
+             CAST(({_bucket_expr("doc_id || ':fim2'", 'strpos')})
+                  % (len(ws) + 1) AS BIGINT) AS b
+      FROM w),
+    uv AS (SELECT doc_id, ws, n,
+                  LEAST(a, b) AS u, GREATEST(a, b) AS v
+           FROM cuts)
+    SELECT doc_id,
+           u AS prefix_len,
+           v - u AS middle_len,
+           n - v AS suffix_len,
+           '<PRE> ' || COALESCE(array_to_string(ws[1:u], ' '), '')
+           || ' <SUF> ' || COALESCE(array_to_string(ws[v + 1:n], ' '), '')
+           || ' <MID> ' || COALESCE(array_to_string(ws[u + 1:v], ' '), '')
+             AS psm_text
+    FROM uv
+    """,
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transformation (Bavarian et al. 2022
+    "Efficient Training of Language Models to Fill in the Middle"):
+    deterministically cut each document into prefix/middle/suffix at
+    two hash-derived word positions and emit the PSM reordering
+    (<PRE> prefix <SUF> suffix <MID> middle) plus the segment lengths —
+    the code/infilling-objective complement of span_corruption_masks'
+    T5 plan.  The cut points are a pure hash of doc_id, so rerunning on
+    a grown corpus never re-cuts old documents differently (the same
+    stability argument as hash_split/span_corruption_masks), and a
+    trainer that wants the documented 50/50 FIM rate composes this
+    with a hash_sample on the same key family.
+
+    Scale shape: strictly map-only — no explode, no join, no shuffle;
+    one projection computing two md5 buckets and three array slices
+    per row, whole-stage-codegen'd.  The cheapest possible objective
+    plan: at 100 TB it is bounded by the parquet scan itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import words_of
+
+    w = docs.select("doc_id", words_of(F.col("text")).alias("ws"))
+    n = F.size("ws").cast("long")
+    a = (
+        F.expr(_bucket_expr("doc_id || ':fim1'", "instr", "STRING"))
+        % (n + 1)
+    ).cast("long")
+    b = (
+        F.expr(_bucket_expr("doc_id || ':fim2'", "instr", "STRING"))
+        % (n + 1)
+    ).cast("long")
+    u = F.least(a, b)
+    v = F.greatest(a, b)
+    seg = lambda start, length: F.array_join(  # noqa: E731
+        F.slice("ws", start.cast("int"), length.cast("int")), " "
+    )
+    return w.select(
+        "doc_id",
+        u.alias("prefix_len"),
+        (v - u).alias("middle_len"),
+        (n - v).alias("suffix_len"),
+        F.concat(
+            F.lit("<PRE> "),
+            seg(F.lit(1), u),
+            F.lit(" <SUF> "),
+            seg(v + 1, n - v),
+            F.lit(" <MID> "),
+            seg(u + 1, v - u),
+        ).alias("psm_text"),
+    )

@@ -712,3 +712,115 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 3-iteration BPE merge oracle: each block counts adjacent
+    symbol pairs over the (symbol-string, freq) word table, picks the
+    top pair (count desc, pair asc), and applies it via non-overlapping
+    left-to-right string replace — the same greedy semantics Spark's
+    replace() uses, so the two engines merge identically."""
+    toks = (
+        "SELECT lower(unnest(list_filter("
+        f"{_WORDS}, x -> x <> ''))) AS w FROM documents"
+    )
+    blocks = [
+        f"toks AS ({toks})",
+        "wf AS (SELECT w, COUNT(*)::BIGINT AS freq FROM toks GROUP BY w)",
+        "s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')"
+        " || ' ' AS s, freq FROM wf)",
+    ]
+    for i in (1, 2, 3):
+        prev = f"s{i - 1}"
+        blocks.append(
+            f"p{i} AS (SELECT sym[i] || ' ' || sym[i + 1] AS pair,"
+            f" SUM(freq)::BIGINT AS cnt"
+            f" FROM (SELECT string_split(trim(s), ' ') AS sym, freq,"
+            f"       unnest(range(1, len(string_split(trim(s), ' ')))) AS i"
+            f"       FROM {prev}) GROUP BY 1)"
+        )
+        blocks.append(
+            f"t{i} AS (SELECT pair, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if i < 3:
+            blocks.append(
+                f"s{i} AS (SELECT replace(s,"
+                f" ' ' || (SELECT pair FROM t{i}) || ' ',"
+                f" ' ' || replace((SELECT pair FROM t{i}), ' ', '') || ' ')"
+                f" AS s, freq FROM {prev})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, cnt"
+        f" FROM t{i}"
+        for i in (1, 2, 3)
+    )
+    return "WITH " + ",\n    ".join(blocks) + "\n    " + union
+
+
+@register("bpe_merges", oracle=_bpe_oracle())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three iterations of actual BPE TRAINING (Sennrich et al. 2016)
+    distributed: each step counts adjacent-symbol pairs over the
+    (symbol-string, word-frequency) table, takes the single best pair
+    to the driver (a 1-row bounded collect — the driver-coordinates /
+    cluster-computes iteration pattern of build_ivf's Lloyd steps), and
+    applies the merge with a non-overlapping left-to-right replace
+    (identical greedy semantics in Spark and DuckDB, so the unrolled
+    SQL oracle reproduces every merge bit-for-bit).  Output is the
+    merge table (step, pair, merged, count) a tokenizer would persist.
+
+    Scale shape: the corpus collapses to the distinct-word frequency
+    table once (map-side combine) and every iteration thereafter
+    touches ONLY that vocabulary-sized table — pair counting is a small
+    agg, the merge is a map — which is why corpus size only affects the
+    first aggregate no matter how many merges are trained.  Driver
+    state per step is exactly one (pair, count) row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.words_of(F.col("text"))).alias("w0")
+    ).select(F.lower("w0").alias("w"))
+    wf = toks.groupBy("w").agg(F.count("*").alias("freq"))
+    cur = wf.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+        ).alias("s"),
+        "freq",
+    )
+    rows = []
+    for step in (1, 2, 3):
+        sym = F.split(F.trim(F.col("s")), " ")
+        pairs = (
+            cur.filter(F.size(sym) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(sym) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(sym, i), F.element_at(sym, i + 1)
+                        ),
+                    )
+                ).alias("pair"),
+            )
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        merged = top["pair"].replace(" ", "")
+        rows.append((step, top["pair"], merged, int(top["cnt"])))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} "),
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        rows, "step int, pair string, merged string, cnt long"
+    )
