@@ -39,6 +39,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query; rows-only
     ops (streaming state, LSH/ML stages) are intentionally absent."""
+    # jsonl_ingest's static oracle names a shared scratch file; ensure
+    # it exists even if the caller executes oracles before queries.
+    from semantic_query_engine_spark.queries.ingest_q import ensure_jsonl
+
+    ensure_jsonl()
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
     }
