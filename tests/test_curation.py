@@ -193,3 +193,44 @@ def test_embedding_project_srp_linearity(spark, sf_dir):
     assert a == b  # deterministic
     per_vec = out.groupBy("vec_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_vec] == [16]
+
+
+def test_boilerplate_line_removal_shapes_and_threshold(spark, sf_dir):
+    """The banner (2/3 of docs) and per-source promo (5%) must be
+    stripped, the rare line (2%) and unique content kept; the removal
+    join must be a broadcast anti join (the boilerplate set is bounded
+    by the frequency threshold itself) and no window may appear."""
+    from semantic_query_engine_spark.queries.curation_q import (
+        _RARE,
+        boilerplate_line_removal,
+    )
+
+    df = boilerplate_line_removal(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "windowspecdefinition" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # banner+promo stripped: content line always survives
+        assert r.n_removed in (1, 2)
+        assert "promo feed from" not in r.clean_text
+        if r.doc_id % 50 == 0:
+            assert _RARE in r.clean_text  # rare line is KEPT
+        else:
+            assert _RARE not in r.clean_text
+
+
+def test_bpe_merges_are_real_merges(spark, sf_dir):
+    """Each step's merged symbol must be the concatenation of its pair,
+    counts must be non-increasing (greedy argmax), and step-2/3 pairs
+    may reference earlier merged symbols (that's what iterating buys)."""
+    from semantic_query_engine_spark.queries.textops import bpe_merges
+
+    rows = sorted(bpe_merges(spark, sf_dir).collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == [1, 2, 3]
+    for r in rows:
+        left, right = r.pair.split(" ")
+        assert r.merged == left + right
+        assert r.cnt > 0
+    assert rows[0].cnt >= rows[1].cnt >= rows[2].cnt

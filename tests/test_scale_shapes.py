@@ -380,3 +380,52 @@ def test_v4_fixture_diag_signs_distinct_and_engine_identical(tmp_path):
             [str(k)],
         ).fetchone()[0]
         assert tuple(got) == diag_signs(k, EMB_DIM)
+
+
+def test_fim_transform_is_map_only(spark, sf_dir):
+    """The FIM objective plan must be bounded by the scan: no Exchange,
+    no join, no generator — a single projection."""
+    from semantic_query_engine_spark.queries.mlpipeline_q import fim_transform
+
+    df = fim_transform(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.prefix_len >= 0 and r.middle_len >= 0 and r.suffix_len >= 0
+        words = (r.prefix_len or 0) + (r.middle_len or 0) + (r.suffix_len or 0)
+        assert r.psm_text.count(" ") >= 2  # three markers present
+
+
+def test_bpe_pair_counts_take_ordered(spark, sf_dir):
+    from semantic_query_engine_spark.queries.textops import bpe_pair_counts
+
+    df = bpe_pair_counts(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_epoch_shuffle_deterministic_and_partitioned(spark, sf_dir):
+    """Two builds must produce identical orderings (pure hash of
+    (doc_id, epoch)), positions must be 1..shard_size per (epoch,
+    shard), and the rank window must be PARTITIONED (no single-task
+    global sort)."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.mlpipeline_q import epoch_shuffle
+
+    a = sorted(map(tuple, epoch_shuffle(spark, sf_dir).collect()))
+    b = sorted(map(tuple, epoch_shuffle(spark, sf_dir).collect()))
+    assert a == b and a
+    df = epoch_shuffle(spark, sf_dir)
+    chk = df.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in chk.collect():
+        assert r.mn == 1 and r.mx == r.n
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        assert "epoch" in m.group(1) and "shard" in m.group(1)
