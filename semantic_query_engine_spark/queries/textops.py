@@ -774,19 +774,24 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table once (map-side combine) and every iteration thereafter
     touches ONLY that vocabulary-sized table — pair counting is a small
     agg, the merge is a map — which is why corpus size only affects the
-    first aggregate no matter how many merges are trained.  Driver
-    state per step is exactly one (pair, count) row."""
+    first aggregate no matter how many merges are trained.  The symbol
+    table is PERSISTED before the loop (vocabulary-sized by
+    construction — the one cache this module ever takes) so the three
+    steps run one corpus scan total instead of one per step, and
+    unpersisted before returning.  Driver state per step is exactly
+    one (pair, count) row."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.words_of(F.col("text"))).alias("w0")
     ).select(F.lower("w0").alias("w"))
     wf = toks.groupBy("w").agg(F.count("*").alias("freq"))
-    cur = wf.select(
+    base = wf.select(
         F.concat(
             F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
         ).alias("s"),
         "freq",
-    )
+    ).persist()
+    cur = base
     rows = []
     for step in (1, 2, 3):
         sym = F.split(F.trim(F.col("s")), " ")
@@ -821,6 +826,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         )
+    base.unpersist()
     return spark.createDataFrame(
         rows, "step int, pair string, merged string, cnt long"
     )
