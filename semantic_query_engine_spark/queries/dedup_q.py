@@ -1379,3 +1379,136 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs"
         ),
     )
+
+
+_INCR_CAP = 20
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH hist AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 200),
+    newb AS (
+      SELECT id + 20000 AS id, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] AS ws
+      FROM hist WHERE id % 8 = 0
+      UNION ALL
+      SELECT id + 30000, list_transform(ws, w -> 'nw' || w)
+      FROM hist WHERE id % 8 = 1),
+    hsh0 AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM hist),
+    nsh0 AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM newb),
+    hot AS (SELECT shingle FROM hsh0 GROUP BY shingle
+            HAVING COUNT(*) > {_INCR_CAP}),
+    hsh AS (SELECT h.* FROM hsh0 h LEFT JOIN hot USING (shingle)
+            WHERE hot.shingle IS NULL),
+    nsh AS (SELECT n.* FROM nsh0 n LEFT JOIN hot USING (shingle)
+            WHERE hot.shingle IS NULL),
+    hsz AS (SELECT id, COUNT(*)::BIGINT AS n FROM hsh GROUP BY id),
+    nsz AS (SELECT id, COUNT(*)::BIGINT AS n FROM nsh GROUP BY id),
+    inter AS (
+      SELECT n.id AS new_id, h.id AS hist_id, COUNT(*)::BIGINT AS i
+      FROM nsh n JOIN hsh h ON n.shingle = h.shingle
+      GROUP BY 1, 2),
+    dups AS (
+      SELECT new_id, hist_id
+      FROM inter JOIN nsz ON nsz.id = inter.new_id
+      JOIN hsz ON hsz.id = inter.hist_id
+      WHERE 2 * i >= nsz.n + hsz.n - i),
+    rollup_ AS (
+      SELECT new_id, COUNT(*)::BIGINT AS n_matches,
+             MIN(hist_id) AS matched_hist
+      FROM dups GROUP BY new_id)
+    SELECT b.id AS new_id,
+           r.new_id IS NOT NULL AS is_dup,
+           COALESCE(r.n_matches, 0) AS n_matches,
+           r.matched_hist
+    FROM newb b LEFT JOIN rollup_ r ON r.new_id = b.id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental deduplication — the daily-crawl shape: a NEW batch is
+    checked against the HISTORICAL corpus only (never against itself,
+    never historical-vs-historical), via an asymmetric shingle-keyed
+    join + exact word-bigram Jaccard >= 0.5.  The batch is planted
+    in-plan: 80%-prefix copies of every 8th historical doc (must flag
+    as dups with their source as the match) and 'nw'-prefixed variants
+    of every 8th+1 doc (share no shingles — must pass as new).  The
+    Jaccard threshold is the INTEGER comparison 2i >= nA + nH - i, so
+    no float boundary exists anywhere in the decision.
+
+    Scale shape: this is the operator that makes dedup affordable as a
+    RECURRING job — cost is keyed by the increment: the new batch's
+    shingles join against the (pre-computable, re-usable) historical
+    shingle table, so each day pays O(increment x matches), not
+    O(corpus^2); the historical-df cap (> {cap} docs) is the same
+    boilerplate skew valve as dedup_jaccard_capped, computed on the
+    historical side where the hot keys live.  At 100 TB the historical
+    shingle table is a bucketed layout the daily join co-partitions
+    against.""".format(cap=_INCR_CAP)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    hist = docs.select(F.col("doc_id").alias("id"), words_of(F.col("text")).alias("ws"))
+    keep = F.ceil(F.size("ws") * 0.8).cast("int")
+    newb = hist.filter(F.col("id") % 8 == 0).select(
+        (F.col("id") + 20000).alias("id"), F.slice("ws", 1, keep).alias("ws")
+    ).unionByName(
+        hist.filter(F.col("id") % 8 == 1).select(
+            (F.col("id") + 30000).alias("id"),
+            F.transform("ws", lambda w: F.concat(F.lit("nw"), w)).alias("ws"),
+        )
+    )
+
+    def grams(df):
+        count = F.greatest(F.lit(1), F.size("ws") - 1)
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), count - 1),
+                lambda i: F.array_join(F.slice("ws", i + 1, 2), " "),
+            )
+        )
+        return df.select("id", F.explode(sh).alias("shingle"))
+
+    hsh0 = grams(hist)
+    nsh0 = grams(newb)
+    hot = (
+        hsh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _INCR_CAP)
+        .select("shingle")
+    )
+    hsh = hsh0.join(F.broadcast(hot), "shingle", "left_anti")
+    nsh = nsh0.join(F.broadcast(hot), "shingle", "left_anti")
+    hsz = hsh.groupBy("id").agg(F.count("*").alias("nh"))
+    nsz = nsh.groupBy("id").agg(F.count("*").alias("nn"))
+    inter = (
+        nsh.select(F.col("id").alias("new_id"), "shingle")
+        .join(hsh.select(F.col("id").alias("hist_id"), "shingle"), "shingle")
+        .groupBy("new_id", "hist_id")
+        .agg(F.count("*").alias("i"))
+    )
+    dups = (
+        inter.join(nsz.select(F.col("id").alias("new_id"), "nn"), "new_id")
+        .join(hsz.select(F.col("id").alias("hist_id"), "nh"), "hist_id")
+        .filter(2 * F.col("i") >= F.col("nn") + F.col("nh") - F.col("i"))
+    )
+    roll = dups.groupBy("new_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("hist_id").alias("matched_hist"),
+    )
+    return (
+        newb.select(F.col("id").alias("new_id"))
+        .join(roll, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            "matched_hist",
+        )
+    )

@@ -714,12 +714,14 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle() -> str:
-    """Unrolled 3-iteration BPE merge oracle: each block counts adjacent
-    symbol pairs over the (symbol-string, freq) word table, picks the
-    top pair (count desc, pair asc), and applies it via non-overlapping
-    left-to-right string replace — the same greedy semantics Spark's
-    replace() uses, so the two engines merge identically."""
+def _bpe_blocks() -> list[str]:
+    """Shared unrolled 3-iteration BPE CTE chain: each block counts
+    adjacent symbol pairs over the (word, symbol-string, freq) table,
+    picks the top pair (count desc, pair asc), and applies it via
+    non-overlapping left-to-right string replace — the same greedy
+    semantics Spark's replace() uses, so the two engines merge
+    identically.  `s3` is the fully-merged symbol table the encoder
+    (bpe_encode_fertility) consumes; bpe_merges reads only t1..t3."""
     toks = (
         "SELECT lower(unnest(list_filter("
         f"{_WORDS}, x -> x <> ''))) AS w FROM documents"
@@ -727,7 +729,7 @@ def _bpe_oracle() -> str:
     blocks = [
         f"toks AS ({toks})",
         "wf AS (SELECT w, COUNT(*)::BIGINT AS freq FROM toks GROUP BY w)",
-        "s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')"
+        "s0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ')"
         " || ' ' AS s, freq FROM wf)",
     ]
     for i in (1, 2, 3):
@@ -743,49 +745,35 @@ def _bpe_oracle() -> str:
             f"t{i} AS (SELECT pair, cnt FROM p{i}"
             f" ORDER BY cnt DESC, pair LIMIT 1)"
         )
-        if i < 3:
-            blocks.append(
-                f"s{i} AS (SELECT replace(s,"
-                f" ' ' || (SELECT pair FROM t{i}) || ' ',"
-                f" ' ' || replace((SELECT pair FROM t{i}), ' ', '') || ' ')"
-                f" AS s, freq FROM {prev})"
-            )
+        blocks.append(
+            f"s{i} AS (SELECT w, replace(s,"
+            f" ' ' || (SELECT pair FROM t{i}) || ' ',"
+            f" ' ' || replace((SELECT pair FROM t{i}), ' ', '') || ' ')"
+            f" AS s, freq FROM {prev})"
+        )
+    return blocks
+
+
+def _bpe_merges_oracle() -> str:
     union = " UNION ALL ".join(
         f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, cnt"
         f" FROM t{i}"
         for i in (1, 2, 3)
     )
-    return "WITH " + ",\n    ".join(blocks) + "\n    " + union
+    return "WITH " + ",\n    ".join(_bpe_blocks()) + "\n    " + union
 
 
-@register("bpe_merges", oracle=_bpe_oracle())
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three iterations of actual BPE TRAINING (Sennrich et al. 2016)
-    distributed: each step counts adjacent-symbol pairs over the
-    (symbol-string, word-frequency) table, takes the single best pair
-    to the driver (a 1-row bounded collect — the driver-coordinates /
-    cluster-computes iteration pattern of build_ivf's Lloyd steps), and
-    applies the merge with a non-overlapping left-to-right replace
-    (identical greedy semantics in Spark and DuckDB, so the unrolled
-    SQL oracle reproduces every merge bit-for-bit).  Output is the
-    merge table (step, pair, merged, count) a tokenizer would persist.
-
-    Scale shape: the corpus collapses to the distinct-word frequency
-    table once (map-side combine) and every iteration thereafter
-    touches ONLY that vocabulary-sized table — pair counting is a small
-    agg, the merge is a map — which is why corpus size only affects the
-    first aggregate no matter how many merges are trained.  The symbol
-    table is PERSISTED before the loop (vocabulary-sized by
-    construction — the one cache this module ever takes) so the three
-    steps run one corpus scan total instead of one per step, and
-    unpersisted before returning.  Driver state per step is exactly
-    one (pair, count) row."""
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the 3 driver-coordinated BPE merge steps.  Returns
+    (persisted base symbol table, fully-merged (w, s, freq) frame,
+    merge rows).  Caller must unpersist the base."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.words_of(F.col("text"))).alias("w0")
     ).select(F.lower("w0").alias("w"))
     wf = toks.groupBy("w").agg(F.count("*").alias("freq"))
     base = wf.select(
+        "w",
         F.concat(
             F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
         ).alias("s"),
@@ -819,6 +807,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = top["pair"].replace(" ", "")
         rows.append((step, top["pair"], merged, int(top["cnt"])))
         cur = cur.select(
+            "w",
             F.replace(
                 F.col("s"),
                 F.lit(f" {top['pair']} "),
@@ -826,7 +815,91 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         )
+    return base, cur, rows
+
+
+@register("bpe_merges", oracle=_bpe_merges_oracle())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three iterations of actual BPE TRAINING (Sennrich et al. 2016)
+    distributed: each step counts adjacent-symbol pairs over the
+    (symbol-string, word-frequency) table, takes the single best pair
+    to the driver (a 1-row bounded collect — the driver-coordinates /
+    cluster-computes iteration pattern of build_ivf's Lloyd steps), and
+    applies the merge with a non-overlapping left-to-right replace
+    (identical greedy semantics in Spark and DuckDB, so the unrolled
+    SQL oracle reproduces every merge bit-for-bit).  Output is the
+    merge table (step, pair, merged, count) a tokenizer would persist.
+
+    Scale shape: the corpus collapses to the distinct-word frequency
+    table once (map-side combine) and every iteration thereafter
+    touches ONLY that vocabulary-sized table — pair counting is a small
+    agg, the merge is a map — which is why corpus size only affects the
+    first aggregate no matter how many merges are trained.  The symbol
+    table is PERSISTED before the loop (vocabulary-sized by
+    construction) so the three steps run one corpus scan total instead
+    of one per step, and unpersisted before returning.  Driver state
+    per step is exactly one (pair, count) row."""
+    base, _, rows = _bpe_learn(spark, sf_dir)
     base.unpersist()
     return spark.createDataFrame(
         rows, "step int, pair string, merged string, cnt long"
     )
+
+
+@register(
+    "bpe_encode_fertility",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_blocks())
+    + """,
+    wsym AS (SELECT w,
+                    CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+             FROM s3),
+    dtoks AS (
+      SELECT doc_id, lower(unnest(list_filter("""
+    + _WORDS
+    + """, x -> x <> ''))) AS w
+      FROM documents)
+    SELECT d.doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           SUM(n_sym)::BIGINT AS n_symbols,
+           ROUND(SUM(n_sym) / COUNT(*), 6) AS fertility
+    FROM dtoks d JOIN wsym USING (w)
+    GROUP BY d.doc_id
+    """,
+)
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus and report each
+    document's tokenizer FERTILITY (symbols emitted per word) — the
+    metric that decides whether a vocabulary is adequate for a domain
+    (high fertility = the tokenizer shreds this text; the per-doc
+    signal complements vocab_coverage's OOV rate).  Completes the
+    tokenizer loop: bpe_pair_counts (kernel) -> bpe_merges (training)
+    -> THIS (encoding + evaluation), all value-hash-checked.
+
+    Scale shape: encoding never touches document text with merge logic
+    — merges apply once per DISTINCT WORD (vocabulary-sized map), and
+    the corpus is scored by broadcasting that word -> symbol-count
+    table into a token equi-join + per-doc combining agg.  Exactly how
+    a production tokenizer pass avoids per-token Python: the expensive
+    step is vocab-sized, the corpus-sized step is one broadcast join.
+    fertility = round(n_symbols / n_words, 6): integer/integer in
+    double, identical in both engines."""
+    base, cur, _ = _bpe_learn(spark, sf_dir)
+    wsym = cur.select(
+        "w", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select(
+        "doc_id", F.explode(TX.words_of(F.col("text"))).alias("w0")
+    ).select("doc_id", F.lower("w0").alias("w"))
+    out = (
+        dtoks.join(F.broadcast(wsym), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_symbols"),
+            F.round(F.sum("n_sym") / F.count("*"), 6).alias("fertility"),
+        )
+    )
+    base.unpersist()
+    return out
