@@ -108,6 +108,7 @@ HEADLINE = [
     "bpe_merges",        # 3 driver-coordinated BPE training steps (r11)
     "bpe_encode_fertility",  # apply merges via broadcast vocab join (r11)
     "dedup_incremental",  # new-batch vs historical asymmetric dedup (r11)
+    "neardup_keep_longest",  # keep-longest policy over CC clusters (r11)
     "epoch_shuffle",     # deterministic per-epoch shard/order plan (r11)
     "fim_transform",     # fill-in-middle PSM objective plan, map-only (r11)
     # renamed r7: rounds <=5 timed the LSH pipeline under

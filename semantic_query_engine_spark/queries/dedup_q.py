@@ -1512,3 +1512,91 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_hist",
         )
     )
+
+
+@register(
+    "neardup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base
+      UNION ALL
+      SELECT id + 20000,
+             ws[1:CAST(ceil(0.8 * ceil(0.8 * len(ws))) AS BIGINT)] FROM base),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM alldocs),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    edges AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2) e
+      JOIN sizes sa ON sa.id = e.id_a
+      JOIN sizes sb ON sb.id = e.id_b
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.7),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT id AS node, id AS r FROM alldocs
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+    wc AS (SELECT id AS doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM alldocs)
+    SELECT c.doc_id, c.component, w.n_words,
+           ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY w.n_words DESC, c.doc_id) = 1 AS keep
+    FROM comp c JOIN wc w ON w.doc_id = c.doc_id
+    """,
+)
+def neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation POLICY on top of dedup_cluster's groups: within each
+    near-dup connected component, KEEP the longest member (word count,
+    tiebreak min id) and drop the rest — the RefinedWeb/Gopher choice
+    (the longest member is usually the superset the truncated variants
+    were cut from), versus training_data_prep_neardup's keep-min-id.
+    On the planted A / A80 / A64 generations the kept doc is provably
+    the original A in every 3-member cluster.
+
+    Scale shape: identical cluster machinery to dedup_cluster (shingle
+    equi-join edges, checkpointed, alternating-star CC), plus one
+    word-count projection and ONE window partitioned by component —
+    components are near-dup families (small by construction; a huge
+    component means your threshold is wrong, which lsh_bucket_stats
+    flags first), so the rank window never sees a heavy partition."""
+    from ..operators.graph import connected_components
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    v1 = _trunc_80(base)
+    v2 = _trunc_80(v1)
+    pool = base.unionByName(v1).unionByName(v2)
+    edges = jaccard_pairs(pool, threshold=0.7, n=2)
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(edges, nodes=pool.select("doc_id"))
+    wc = pool.select(
+        "doc_id", F.size(words_of(F.col("text"))).cast("long").alias("n_words")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    return (
+        cc.select(F.col("node").alias("doc_id"), "component")
+        .join(wc, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            "n_words",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
