@@ -50,6 +50,18 @@ def main() -> None:
     show("dedup_minhash_lsh", 5)
     show("substring_dedup", 5)
 
+    # 2a. boilerplate stripping (the C4 line-frequency rule) runs before
+    #     near-dup detection so shared banners can't glue unrelated docs
+    show("boilerplate_line_removal", 3)
+
+    # 2c. the recurring shape: tomorrow's batch checks against TODAY's
+    #     corpus only — cost keyed by the increment, never corpus^2
+    show("dedup_incremental", 3)
+
+    # 2d. cluster resolution policy: keep the longest member per
+    #     near-dup component (RefinedWeb), not just min-id
+    show("neardup_keep_longest", 3)
+
     # 2b. contamination sweep against the held-out eval split: verbatim
     #     (8-gram overlap) and paraphrase-level (embedding cosine,
     #     broadcast eval set) — both run before any training split is cut
@@ -65,16 +77,23 @@ def main() -> None:
     #     per-source running-sum greedy prefix
     show("mixture_token_budget", 5)
 
-    # 3c. tokenizer gate: out-of-vocabulary rate per document against
-    #     the top-1000 corpus vocabulary — run before committing to a
-    #     vocab size; domain-shifted/gibberish docs surface here
+    # 3c. tokenizer loop: train three BPE merges on the corpus word
+    #     table, then gate on vocab coverage (OOV rate) and fertility
+    #     (symbols per word) before committing to the tokenizer
+    show("bpe_merges", 3)
     show("vocab_coverage", 5)
+    show("bpe_encode_fertility", 5)
 
     # 3d. the training objective's sampling step as a DataFrame plan:
     #     deterministic T5 span-corruption masks (which spans are
     #     masked is a pure hash of (doc_id, position), so a grown
-    #     corpus never re-masks old documents differently)
+    #     corpus never re-masks old documents differently) — and the
+    #     FIM/PSM reordering for infilling objectives
     show("span_corruption_masks", 5)
+    show("fim_transform", 3)
+
+    # 3e. the order the trainer reads: deterministic per-epoch shards
+    show("epoch_shuffle", 5)
 
     # 4. write the result partitioned by split — the layout a trainer
     #    reads shard-by-shard

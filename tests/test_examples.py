@@ -41,6 +41,13 @@ def test_training_data_pipeline_example(tmp_path):
         "mixture_token_budget",
         "vocab_coverage",
         "span_corruption_masks",
+        "boilerplate_line_removal",
+        "dedup_incremental",
+        "neardup_keep_longest",
+        "bpe_merges",
+        "bpe_encode_fertility",
+        "fim_transform",
+        "epoch_shuffle",
     ):
         assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout
