@@ -111,6 +111,8 @@ HEADLINE = [
     "neardup_keep_longest",  # keep-longest policy over CC clusters (r11)
     "epoch_shuffle",     # deterministic per-epoch shard/order plan (r11)
     "fim_transform",     # fill-in-middle PSM objective plan, map-only (r11)
+    "multimodal_decode_meta",  # Arrow mapInPandas binary decode (r11)
+    "multimodal_byte_features",  # pandas-UDF payload featurization (r11)
     # renamed r7: rounds <=5 timed the LSH pipeline under
     # "dedup_minhash_lsh"; since r6 that registered row ALSO runs the
     # exact all-pairs join for its recall gate, so the bench times the

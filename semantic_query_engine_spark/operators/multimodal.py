@@ -108,10 +108,11 @@ def extract_features(
 
     width = 256 // n_bins
 
-    # micro-unit integer output (floor(ratio * 1e6)): the repo-wide
-    # determinism discipline — float rounding modes (banker's vs
-    # half-away) diverge across engines exactly on the dyadic ratios a
-    # byte histogram produces
+    # micro-unit integer output (count * 1e6 // size — PURE integer
+    # arithmetic): the repo-wide determinism discipline.  The earlier
+    # floor(float_div * 1e6) form could disagree with an engine's
+    # integer division by one unit whenever the float quotient rounds
+    # UP across an integer boundary; exact int arithmetic cannot.
     @pandas_udf("array<bigint>")
     def feats(payloads: pd.Series) -> pd.Series:
         out = []
@@ -120,8 +121,8 @@ def extract_features(
             if arr.size == 0:
                 out.append([0] * n_bins)
                 continue
-            hist = np.bincount(arr // width, minlength=n_bins).astype("float64")
-            micro = np.floor(hist / arr.size * 1_000_000).astype("int64")
+            hist = np.bincount(arr // width, minlength=n_bins).astype("int64")
+            micro = hist * 1_000_000 // arr.size
             out.append([int(x) for x in micro])
         return pd.Series(out)
 

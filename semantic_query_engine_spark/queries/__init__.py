@@ -19,6 +19,7 @@ from . import textmining_q  # noqa: F401,E402
 from . import graph_q  # noqa: F401,E402
 from . import encoding_q  # noqa: F401,E402
 from . import ingest_q  # noqa: F401,E402
+from . import multimodal_q  # noqa: F401,E402
 from . import streaming_q  # noqa: F401,E402
 from . import tenant  # noqa: F401,E402
 from . import semantic  # noqa: F401,E402

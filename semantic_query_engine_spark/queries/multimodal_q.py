@@ -1,0 +1,121 @@
+"""Multimodal pipeline queries — the binary-column operators
+(operators/multimodal.py) promoted into the VALUE-HASH oracle gate.
+
+Until round 11 the multimodal plumbing (opaque binary payloads, Arrow
+mapInPandas decode, pandas-UDF feature extraction, JVM frame sampling)
+was pytest-covered only; these registrations put every byte of its
+output behind the DuckDB comparison.  The fixture has no true binary
+column, so the payload is the UTF-8 encoding of `text` (pure ASCII in
+every fixture — asserted cheap in the oracle via ord()); the decode
+step is the documented deterministic fake (a real libjpeg/ffmpeg
+decoder slots into the same interface — operators/multimodal.py
+docstring), so metadata is a pure function of the byte stream that
+DuckDB reproduces with octet_length / codepoint arithmetic.
+
+Scale shape (all three): map-only over Arrow batches — binary payloads
+never shuffle; frame sampling is a JVM-side generator over the typed
+metadata, not the bytes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    FEATURE_BINS,
+    attach_binary_payload,
+    decode_metadata,
+    extract_features,
+    frame_sample,
+)
+from ..sources.fixtures import load_table
+from .registry import register
+
+# the fake decoder's metadata formulas, in SQL, over the UTF-8 byte
+# length (= octet_length of the encoded text; fixtures are pure ASCII
+# so it equals the char length, but encode() keeps it honest)
+_NB = "octet_length(encode(text))"
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NB} AS INT) AS n_bytes,
+           CAST({_NB} % 64 + 1 AS INT) AS width,
+           CAST(({_NB} // 64) % 64 + 1 AS INT) AS height,
+           CASE WHEN {_NB} % 2 = 0 THEN 'fakeimg' ELSE 'fakevid' END AS format,
+           CAST(CASE WHEN {_NB} % 2 = 0 THEN 1
+                     ELSE {_NB} % 30 + 1 END AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload DECODE through the real mapInPandas plumbing
+    (Arrow batch in, typed-metadata batch out — the exact shape a
+    libjpeg/ffmpeg decoder uses): every metadata column the fake
+    decoder derives from the byte stream is value-hash-checked against
+    DuckDB's arithmetic over the same bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_metadata(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_byte_features",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, {_NB} AS n, ord(unnest(string_split(text, ''))) AS cp
+      FROM documents),
+    hist AS (
+      SELECT doc_id, n, cp // {256 // FEATURE_BINS} AS bin,
+             COUNT(*)::BIGINT AS cnt
+      FROM chars GROUP BY doc_id, n, bin),
+    grid AS (
+      SELECT d.doc_id, d.n, b.bin
+      FROM (SELECT DISTINCT doc_id, n FROM chars) d,
+           (SELECT unnest(range({FEATURE_BINS})) AS bin) b)
+    SELECT g.doc_id, CAST(g.bin AS INT) AS bin,
+           COALESCE(h.cnt, 0) * 1000000 // g.n AS micro
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
+    """,
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over opaque payloads (the multimodal analog
+    of the text embedder — payload batch in, fixed-dim vector batch
+    out, via an Arrow pandas UDF), exploded to (doc_id, bin, micro)
+    scalar rows for the hash gate.  Micro-units are count*1e6 // size
+    in EXACT integer arithmetic on both sides.  The oracle rebuilds
+    the byte histogram from codepoints (fixtures are pure ASCII, so
+    codepoint == byte)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "micro")
+    ).select("doc_id", F.col("bin").cast("int").alias("bin"), "micro")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST({_NB} % 30 + 1 AS INT) AS n_frames
+      FROM documents WHERE {_NB} % 2 = 1)
+    SELECT doc_id, n_frames,
+           CAST(f * 10 AS INT) AS frame_idx
+    FROM meta,
+         UNNEST(range(CAST(greatest(0, (n_frames - 1) // 10) AS BIGINT) + 1))
+           AS t(f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for the 'video' rows: one typed-metadata row
+    explodes into every-10th-frame rows as a JVM generator (no UDF
+    touches the bytes once metadata is typed) — 1 row -> ceil(n/10)
+    rows, the decode->sample composition a video curation pipeline
+    runs before per-frame featurization."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = decode_metadata(attach_binary_payload(docs))
+    return frame_sample(meta, every_nth=10).select(
+        "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
