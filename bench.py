@@ -109,6 +109,7 @@ HEADLINE = [
     "bpe_encode_fertility",  # apply merges via broadcast vocab join (r11)
     "dedup_incremental",  # new-batch vs historical asymmetric dedup (r11)
     "neardup_keep_longest",  # keep-longest policy over CC clusters (r11)
+    "dup_cluster_stats",  # cluster-size histogram monitor (r11)
     "epoch_shuffle",     # deterministic per-epoch shard/order plan (r11)
     "fim_transform",     # fill-in-middle PSM objective plan, map-only (r11)
     "multimodal_decode_meta",  # Arrow mapInPandas binary decode (r11)

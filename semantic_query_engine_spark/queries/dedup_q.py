@@ -1600,3 +1600,79 @@ def neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w) == 1).alias("keep"),
         )
     )
+
+
+@register(
+    "dup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base
+      UNION ALL
+      SELECT id + 20000,
+             ws[1:CAST(ceil(0.8 * ceil(0.8 * len(ws))) AS BIGINT)] FROM base),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM alldocs),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    edges AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2) e
+      JOIN sizes sa ON sa.id = e.id_a
+      JOIN sizes sb ON sb.id = e.id_b
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.7),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT id AS node, id AS r FROM alldocs
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    csz AS (SELECT component, COUNT(*)::BIGINT AS cluster_size
+            FROM comp GROUP BY component)
+    SELECT cluster_size,
+           COUNT(*)::BIGINT AS n_clusters,
+           MIN(component) AS min_component
+    FROM csz GROUP BY cluster_size
+    """,
+)
+def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-clustering monitor (the CC-side sibling of
+    lsh_bucket_stats' pre-join check): the histogram of duplicate-
+    cluster SIZES plus an example component per size.  The number a
+    dedup operator reads before trusting its own output — a fat tail
+    (one giant component) means the similarity threshold or banding is
+    wrong and the keep-one-per-cluster step is about to delete half
+    the corpus; on the planted A/A80/A64 generations the histogram is
+    exactly {{3: 100}}.
+
+    Scale shape: two combining aggregates over the component labels —
+    strictly cheaper than the CC that produced them; never touches
+    text."""
+    from ..operators.graph import connected_components
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    v1 = _trunc_80(base)
+    v2 = _trunc_80(v1)
+    pool = base.unionByName(v1).unionByName(v2)
+    edges = jaccard_pairs(pool, threshold=0.7, n=2)
+    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(edges, nodes=pool.select("doc_id"))
+    csz = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return csz.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.min("component").alias("min_component"),
+    )

@@ -867,3 +867,59 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(target).localCheckpoint(eager=True)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_dedup_incremental",
+    oracle="""
+    WITH fp_of AS (
+      SELECT doc_id,
+             md5(lower(array_to_string(
+               list_filter(regexp_split_to_array(
+                 trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+'),
+                 x -> x <> ''), ' '))) AS fp
+      FROM documents),
+    hist AS (SELECT DISTINCT fp FROM fp_of WHERE doc_id < 250)
+    SELECT i.doc_id, i.fp
+    FROM fp_of i LEFT JOIN hist h USING (fp)
+    WHERE h.fp IS NULL
+    """,
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest deduplicated against a HISTORICAL index — the
+    production shape of continuous corpus growth: the incoming document
+    stream (a file stream over the same parquet the batch engine reads)
+    fingerprints each arrival and a STREAM-STATIC LEFT ANTI join drops
+    anything whose fingerprint already exists in the historical corpus
+    (here: docs < 250 play history; the stream replays all docs, so
+    exactly the >= 250 tail survives — the fixture has no text dups).
+    Complements stream_dedup (within-stream exactly-once state) with
+    the against-EXISTING-data check an incremental crawl needs, and
+    dedup_incremental's batch shape with its streaming twin.
+
+    Scale shape: the static side is a fingerprint TABLE (16-byte keys,
+    not documents) that Spark re-plans per micro-batch — broadcast
+    while small, shuffle-join when not; the stream side is map-only
+    fingerprinting, so no state store grows at all (unlike
+    dropDuplicates, whose state is unbounded without a watermark —
+    the anti join keys state OFF the stream entirely)."""
+    import os
+
+    from ..functions.text import fingerprint
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hist = (
+        batch.filter(F.col("doc_id") < 250)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    fresh = stream.select(
+        "doc_id", fingerprint("text").alias("fp")
+    ).join(hist, "fp", "left_anti")
+    out = run_to_memory(fresh, output_mode="append")
+    return out.select("doc_id", "fp")
