@@ -580,3 +580,19 @@ def test_lsh_bucket_stats_consistency(spark, sf_dir):
         assert s.max_occupancy == max(c.values())
         assert s.candidate_pairs == sum(v * (v - 1) // 2 for v in c.values())
     assert any(s.max_occupancy >= 2 for s in stats.values())
+
+
+def test_dup_cluster_stats_planted_histogram(spark, sf_dir):
+    """Every component contains whole A/A80/A64 families, so sizes are
+    multiples of 3 summing to the 300-doc pool, and the dominant size
+    is 3 (at sf0.001 a few SHORT docs genuinely near-dup each other and
+    merge families — exactly the fat-tail signal the monitor exists to
+    surface, so the test pins the invariants, not one histogram)."""
+    from semantic_query_engine_spark.queries.dedup_q import dup_cluster_stats
+
+    rows = dup_cluster_stats(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == 300
+    assert all(r.cluster_size % 3 == 0 for r in rows)
+    dominant = max(rows, key=lambda r: r.n_clusters)
+    assert dominant.cluster_size == 3 and dominant.n_clusters >= 90

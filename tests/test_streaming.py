@@ -279,3 +279,33 @@ def test_write_replay_chunks_rejects_empty_chunk(spark, sf_dir, tmp_path):
     chunked = _time_chunked(events, 4).filter(F.col("chunk") != 2)
     with pytest.raises(ValueError, match=r"replay chunk 2/4 is empty"):
         _write_replay_chunks(chunked, str(tmp_path / "src2"), 4)
+
+
+def test_stream_dedup_incremental_tail_only_and_stateless(spark, sf_dir):
+    """Exactly the >= 250 tail must survive the anti join (history is
+    docs < 250 and the fixture has no text dups), every surviving
+    fingerprint must be absent from history, and re-running must be
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.functions.text import fingerprint
+    from semantic_query_engine_spark.queries.streaming_q import (
+        stream_dedup_incremental,
+    )
+    from semantic_query_engine_spark.sources.fixtures import load_table
+
+    out = stream_dedup_incremental(spark, sf_dir)
+    rows = out.collect()
+    ids = sorted(r.doc_id for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    expect = sorted(
+        r.doc_id for r in docs.filter(F.col("doc_id") >= 250).collect()
+    )
+    assert ids == expect
+    hist = {
+        r.fp
+        for r in docs.filter(F.col("doc_id") < 250)
+        .select(fingerprint("text").alias("fp"))
+        .collect()
+    }
+    assert all(r.fp not in hist for r in rows)
