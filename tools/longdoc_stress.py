@@ -146,6 +146,13 @@ def main() -> None:
         "span_corruption_masks_carry": span_corruption_masks_carry,
         "winnow_fingerprints": REGISTRY["winnow_fingerprints"].fn,
         "bigram_perplexity": REGISTRY["bigram_perplexity"].fn,
+        # r11 second wave: the rest of the token-explode family —
+        # substring_dedup's per-position digests + TWO window families
+        # (digest-partitioned cross-doc test, doc-partitioned coverage
+        # LEAD) are the most length-exposed plan in the repo
+        "substring_dedup": REGISTRY["substring_dedup"].fn,
+        "vocab_coverage": REGISTRY["vocab_coverage"].fn,
+        "bpe_encode_fertility": REGISTRY["bpe_encode_fertility"].fn,
     }
     results: dict[str, dict[int, dict]] = {k: {} for k in ops}
     for group in groups:
