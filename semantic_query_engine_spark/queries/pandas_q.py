@@ -153,8 +153,8 @@ def pandas_udaf_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN n = 0
                   THEN list_transform(range(16), k -> CAST(0 AS BIGINT))
                   ELSE list_transform(range(16),
-                         k -> CAST(floor(CAST(len(list_filter(bins, x -> x = k)) AS DOUBLE)
-                                    / n * 1000000) AS BIGINT))
+                         k -> CAST(len(list_filter(bins, x -> x = k))
+                                   AS BIGINT) * 1000000 // n)
              END AS features
       FROM b)
     SELECT doc_id, CAST(k AS INT) AS bin_idx,

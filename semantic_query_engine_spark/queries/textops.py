@@ -516,10 +516,12 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS lq
       FROM bg JOIN cbg USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
     SELECT doc_id,
-           ROUND(CAST(SUM(lq) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
-             AS avg_logprob,
-           ROUND(exp(-(CAST(SUM(lq) AS DOUBLE) / 1000000.0 / COUNT(*))), 4)
-             AS ppl
+           CAST(FLOOR(CAST(2 * SUM(lq) + COUNT(*) AS DOUBLE)
+                      / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)
+             / 1000000.0 AS avg_logprob,
+           ROUND(exp(-(CAST(FLOOR(CAST(2 * SUM(lq) + COUNT(*) AS DOUBLE)
+                                  / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE)
+                       / 1000000.0)), 4) AS ppl
     FROM scored GROUP BY doc_id
     """,
 )
@@ -580,7 +582,18 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1_000_000,
         0,
     ).cast("long")
-    avg = F.sum("lq").cast("double") / 1_000_000.0 / F.count("*")
+    # 6-dp mean via integer HALF-UP division, not round(double, 6): the
+    # mean of 1e-6-quantized log-probs lands exactly on a half-micro
+    # boundary whenever 2*sum(lq) = (2k+1)*n, and round() of the double
+    # quotient then flips per engine (caught by the r11 sf0.1 full
+    # gate: one of 5,000 docs).  floor((2s+n)/(2n)) is half-up exactly;
+    # the double division is safe because the quotient sits at least
+    # 1/(2n) away from any integer unless exactly on it.
+    micro = F.floor(
+        (2 * F.sum("lq") + F.count("*")).cast("double")
+        / (2 * F.count("*")).cast("double")
+    )
+    avg = micro.cast("double") / 1_000_000.0
     return (
         bg.join(cbg, ["w1", "w2"])
         .join(cu, "w1")
@@ -588,7 +601,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lq", lq)
         .groupBy("doc_id")
         .agg(
-            F.round(avg, 6).alias("avg_logprob"),
+            avg.alias("avg_logprob"),
             F.round(F.exp(-avg), 4).alias("ppl"),
         )
     )
