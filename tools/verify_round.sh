@@ -5,6 +5,8 @@
 #
 # runs, in order, at the current HEAD:
 #   1. the full-surface oracle gate     -> GATE_r{N}.json   (must be N/N)
+#      plus the same gate at sf0.1      -> GATE_r{N}_sf0.1.json (boundary
+#      flips are data-dependent; see round-11 catches)
 #   2. the physical-plan red-flag sweep -> PLAN_AUDIT.md    (0 hard flags,
 #      header stamped with the HEAD commit + dirty marker)
 #   3. the accuracy-gate revalidator    (every hardcoded-TRUE oracle gate
@@ -44,6 +46,11 @@ if [[ -d .scratch ]]; then
 fi
 
 python tools/check_oracle.py --json "GATE_r${PADDED}.json" "$SF_DIR"
+# Second full gate at sf0.1 (10x the driver's comparison SF): 1-ulp
+# rounding boundaries are data-dependent — round 11's sf0.1 run caught
+# two flips (bigram_perplexity's half-micro mean, multimodal_features'
+# stale float-floor oracle) that sf0.01 had never hit.  ~6 min.
+python tools/check_oracle.py --json "GATE_r${PADDED}_sf0.1.json" /root/testdata/sf0.1
 python tools/plan_audit.py --markdown > PLAN_AUDIT.md
 head -3 PLAN_AUDIT.md
 python tools/revalidate_gates.py "$SF_DIR"
