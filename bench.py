@@ -174,6 +174,25 @@ def main() -> None:
     from semantic_query_engine_spark.session import get_spark
     from tools.harness_util import release_persistent_rdds
 
+    # Quiet-machine wait (VERDICT r11 #6): when a foreign JVM is still
+    # running (e.g. a gate run winding down) or the pre-JVM loadavg has
+    # not decayed, WAIT — bounded — instead of stamping a loaded run.
+    # The budget is env-tunable; on timeout we proceed and the loaded
+    # flag below still tells the truth.
+    cpus = os.cpu_count() or 1
+    quiet_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "360"))
+    waited = 0.0
+    while waited < quiet_budget and (
+        _foreign_jvms() > 0 or os.getloadavg()[0] > 0.25 * cpus
+    ):
+        if waited == 0.0:
+            sys.stderr.write(
+                "bench: machine not quiet (foreign JVM or loadavg); "
+                f"waiting up to {quiet_budget:.0f}s\n"
+            )
+        time.sleep(15)
+        waited += 15
+
     # Machine-load evidence, sampled BEFORE our JVM exists so a quiet
     # machine reads near-zero load and zero JVMs (VERDICT r9 #1).
     load_before = list(os.getloadavg())
@@ -233,7 +252,6 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     load_after = list(os.getloadavg())
     jvms_after = _foreign_jvms()
-    cpus = os.cpu_count() or 1
     # "loaded": another JVM was present, or the 1-min load BEFORE our
     # JVM started was already a nontrivial fraction of the machine.  A
     # True here means the timings are inflated and must not be read as

@@ -200,6 +200,7 @@ def ivf_topk(
         .filter(F.coalesce(F.col("csim"), F.lit(-1.0)) >= F.lit(-1.0))
         .select("cluster_id")
     )
+    # bounded: near is at most nprobe cluster ids
     pruned = assigned.join(F.broadcast(near), "cluster_id", "left_semi")
     return topk_similar(pruned, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
@@ -229,6 +230,7 @@ def ivf_knn_join(
     from pyspark.sql import Window
 
     p = probes.select(F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec"))
+    # bounded: centroids is nlist rows
     pc = p.crossJoin(F.broadcast(centroids)).select(
         "__pid", "__pvec", "cluster_id", cosine("centroid", "__pvec").alias("__csim")
     )

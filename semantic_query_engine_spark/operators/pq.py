@@ -176,6 +176,7 @@ def pq_topk(
     )
     qlit = vector_lit([float(x) for x in q])
     return (
+        # bounded: cand is limit(refine) rows
         index.join(F.broadcast(cand), id_col, "left_semi")
         .select(F.col(id_col), F.round(cosine(vec_col, qlit), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))

@@ -80,6 +80,7 @@ def knn_join(
         F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
     )
     if broadcast_probes:
+        # bounded: caller-gated (broadcast_probes flag) for small probe sets
         p = F.broadcast(p)
     scored = index.crossJoin(p).select(
         F.col("__pid").alias(probe_id),

@@ -44,6 +44,7 @@ def rag_ask(
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
 
+    # bounded: single query row
     qside = F.broadcast(
         emb.filter(F.col("vec_id") == query_vec_id).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")

@@ -372,6 +372,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("o_orderkey", "k")
     )
+    # bounded: chg is the per-run CDC change batch, not the corpus
     kept = tgt.join(F.broadcast(chg.select("k")), "k", "left_anti").select(
         F.col("k").alias("o_orderkey"),
         F.col("p").alias("price"),
@@ -644,10 +645,12 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs2.agg(F.count("*").alias("n_docs"))
     df = lines.groupBy("ln").agg(F.countDistinct("doc_id").alias("df"))
     boiler = (
+        # bounded: 1-row corpus count
         df.crossJoin(F.broadcast(n))
         .filter(F.col("df") * 25 > F.col("n_docs"))
         .select("ln")
     )
+    # bounded: boilerplate set <= 25 * avg lines/doc by the df*25 > n counting argument
     kept = lines.join(F.broadcast(boiler), "ln", "left_anti")
     sizes = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
     clean = kept.groupBy("doc_id").agg(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.text import words_of
 from ..operators.dedup import exact_dedup, jaccard_pairs
 from ..sources.fixtures import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 _CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
 _WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
@@ -137,6 +137,7 @@ _STOP_SHINGLE_CAP = 20
     WHERE jaccard >= 0.5
     """,
 )
+@fmt_doc(cap=_STOP_SHINGLE_CAP)
 def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_jaccard with the skew valve ENGAGED: shingles appearing in
     more than {cap} documents are stop-shingles (boilerplate at corpus
@@ -387,6 +388,7 @@ def _attach_recall(
             >= F.count("*") * F.lit(threshold)
         ).alias("recall_ok")
     )
+    # bounded: 1-row recall flag
     return exact.crossJoin(F.broadcast(flag))
 
 
@@ -1051,6 +1053,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tg = grams(trainset, "doc_id")
     eg = grams(evalset, "eval_id")
     return (
+        # bounded: eval-benchmark shingles — sized by the benchmark suite, not the corpus
         tg.join(F.broadcast(eg), "gram")
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").alias("shared_grams"))
@@ -1115,6 +1118,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
     )
     return (
+        # bounded: eval-benchmark vectors — sized by the suite, not the corpus
         trainset.crossJoin(F.broadcast(ev))
         .select(
             F.col("vec_id").alias("train_id"),
@@ -1433,6 +1437,7 @@ _INCR_CAP = 20
     FROM newb b LEFT JOIN rollup_ r ON r.new_id = b.id
     """,
 )
+@fmt_doc(cap=_INCR_CAP)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental deduplication — the daily-crawl shape: a NEW batch is
     checked against the HISTORICAL corpus only (never against itself,
@@ -1450,9 +1455,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table, so each day pays O(increment x matches), not
     O(corpus^2); the historical-df cap (> {cap} docs) is the same
     boilerplate skew valve as dedup_jaccard_capped, computed on the
-    historical side where the hot keys live.  At 100 TB the historical
-    shingle table is a bucketed layout the daily join co-partitions
-    against.""".format(cap=_INCR_CAP)
+    historical side where the hot keys live.  The hot-set anti joins
+    are UN-HINTED (the jaccard_pairs rule: never force a broadcast on a
+    data-dependent-size side — the number of over-cap shingles is
+    bounded only by total-shingles/cap, which at 100 TB can exceed
+    executor memory); AQE broadcasts when the set is actually small.
+    At 100 TB the historical shingle table is a bucketed layout the
+    daily join co-partitions against (see dedup_incremental_indexed for
+    the persisted-index twin)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     hist = docs.select(F.col("doc_id").alias("id"), words_of(F.col("text")).alias("ws"))
     keep = F.ceil(F.size("ws") * 0.8).cast("int")
@@ -1483,8 +1493,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > _INCR_CAP)
         .select("shingle")
     )
-    hsh = hsh0.join(F.broadcast(hot), "shingle", "left_anti")
-    nsh = nsh0.join(F.broadcast(hot), "shingle", "left_anti")
+    hsh = hsh0.join(hot, "shingle", "left_anti")
+    nsh = nsh0.join(hot, "shingle", "left_anti")
     hsz = hsh.groupBy("id").agg(F.count("*").alias("nh"))
     nsz = nsh.groupBy("id").agg(F.count("*").alias("nn"))
     inter = (

@@ -181,6 +181,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
 
     scored = (
+        # bounded: _CP_ANCHORS constant anchor rows
         emb.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .select("anchor_id", "vec_id", cosine("embedding", "av").alias("raw"))

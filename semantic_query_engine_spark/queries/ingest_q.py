@@ -35,7 +35,11 @@ _JSONL_PATH = os.path.join(SCRATCH_BASE, "shared-jsonl-v1", "corpus.jsonl")
 # The JSONL content derives from the SMALLEST committed fixture so the
 # file is a pure function of driver testdata, independent of which
 # sf_dir the query is invoked with (the registered oracle is static).
-_JSONL_SRC = "/root/testdata/sf0.001/documents.parquet"
+# Overridable (ADVICE r11) so a different testdata layout doesn't break
+# the registered query; the default keeps the static-oracle contract.
+_JSONL_SRC = os.environ.get(
+    "SPARK_GRAFT_JSONL_SRC", "/root/testdata/sf0.001/documents.parquet"
+)
 
 # corrupt payloads planted between records: unclosed object, bare text
 _CORRUPT = ('{"doc_id": 7777, "lang": "en"', "not json at all {{{")

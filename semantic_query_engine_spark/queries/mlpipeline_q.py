@@ -253,6 +253,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = exclusive_prefix_sum(totals, "shard", "shard_total").select(
         F.col("shard").alias("s"), "offset"
     )
+    # bounded: one row per shard (constant shard count)
     c = c.join(F.broadcast(offs), c["shard"] == offs["s"]).withColumn(
         "cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long")
     )
@@ -426,6 +427,7 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals, "shard", "shard_total", part_cols=("split",)
     ).select(F.col("split").alias("sp"), F.col("shard").alias("s"), "offset")
     c = c.join(
+        # bounded: one row per (split, shard) pair
         F.broadcast(offs), (c["split"] == offs["sp"]) & (c["shard"] == offs["s"])
     ).withColumn("cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long"))
     return c.select(
@@ -601,6 +603,7 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals, "shard", "shard_total", part_cols=("split",)
     ).select(F.col("split").alias("sp"), F.col("shard").alias("s"), "offset")
     c = c.join(
+        # bounded: one row per (split, shard) pair
         F.broadcast(offs), (c["split"] == offs["sp"]) & (c["shard"] == offs["s"])
     ).withColumn("cum_tokens", (F.col("shard_cum") + F.col("offset")).cast("long"))
     return c.select(
@@ -823,6 +826,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = tgt.agg(F.sum("ct").alias("total_t"))
     lam = (
         raw.join(tgt, "b", "left")
+        # bounded: tr/tt are 1-row totals
         .crossJoin(F.broadcast(tr))
         .crossJoin(F.broadcast(tt))
         .select(
@@ -843,6 +847,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
+        # bounded: one row per hash bucket (constant bucket count)
         fb.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(

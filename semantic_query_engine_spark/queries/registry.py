@@ -31,6 +31,19 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def fmt_doc(**kw):
+    """Decorator (applied BELOW @register) that interpolates constants
+    into a literal docstring via str.format — a `\"\"\"...\"\"\".format()`
+    expression in function position is NOT a docstring (fn.__doc__ stays
+    None and the registry's doc field goes empty)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        fn.__doc__ = (fn.__doc__ or "").format(**kw)
+        return fn
+
+    return deco
+
+
 def register(name: str, oracle: Optional[str] = None):
     """Decorator: register a query builder under `name` with its oracle."""
 

@@ -346,8 +346,11 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 analog: selective dim filter -> 3-way join -> agg ->
-    top-10.  customer is broadcast (small after the segment filter);
-    lineitem never shuffles more than its filtered slice."""
+    top-10.  The filtered customer side is UN-HINTED: it shrinks 5x
+    but still grows linearly with SF (the jaccard_pairs rule — never
+    force a broadcast on a data-dependent-size side), so AQE broadcasts
+    it at demo scale and shuffle-joins at 100 TB.  lineitem never
+    shuffles more than its filtered slice."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -360,7 +363,7 @@ def join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_c = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -389,8 +392,11 @@ def join_inner_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 analog: the 6-table star join.  region/nation/supplier
-    broadcast; only the fact tables shuffle, keyed on orderkey."""
+    """TPC-H Q5 analog: the 6-table star join.  region/nation broadcast
+    (25/5 rows by schema, SF-invariant); supplier is UN-HINTED because
+    it grows linearly with SF — AQE broadcasts it at demo scale and
+    shuffle-joins it at 100 TB.  Only the fact tables shuffle, keyed on
+    orderkey."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -404,9 +410,10 @@ def join_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
+        # bounded: nation/region are 25/5 rows by TPC-H schema, SF-invariant
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -558,6 +565,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(
+            # bounded: 3 literal band rows
             F.broadcast(bands),
             (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
         )
@@ -777,6 +785,8 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): nations that have both a customer and
+    a supplier — one hash-distinct per side plus an equi semi join."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -795,6 +805,8 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): parts that were ordered but are not small
+    (p_size > 25) — distinct + anti join, shuffle keyed on partkey."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("partkey")
     )
@@ -973,6 +985,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
+        # bounded: distinct of nation-bucket => at most 5 rows
         c.join(F.broadcast(d), c["bucket"].eqNullSafe(d["bucket"]))
         .groupBy(c["bucket"])
         .agg(F.count("*").alias("n"))
@@ -1053,6 +1066,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, F.col("l_orderkey") == o["o_orderkey"])
+        # bounded: nation is 25 rows by TPC-H schema
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(rev_c)

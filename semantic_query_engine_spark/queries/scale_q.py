@@ -62,6 +62,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
+        # bounded: nation is 25 rows by TPC-H schema, SF-invariant
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("n_customers"))

@@ -209,6 +209,7 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm.orderBy(F.desc("score"), F.asc("doc_id")).limit(20), "score", "bm_r"
     )
     emb = load_table(spark, sf_dir, "embeddings")
+    # bounded: single query row (vec_id = 0)
     qside = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     )

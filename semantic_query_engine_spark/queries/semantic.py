@@ -21,6 +21,7 @@ _Q = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
 def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # bounded: single query row (vec_id = 0)
     return F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     )
@@ -261,6 +262,7 @@ def semantic_topk_dim1024(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.flatten(F.array_repeat(F.col("embedding"), 16)).alias("embedding"),
     )
+    # bounded: single query row, widened in-plan
     qside = F.broadcast(
         wide.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     )
@@ -364,6 +366,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
     )
     return (
+        # bounded: one row per embedding dimension (constant dim)
         expl.join(F.broadcast(stats), "d")
         .withColumn("code", code)
         .select(
@@ -441,6 +444,7 @@ def embedding_binarize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").alias("phi"),
     )
     scored = (
+        # bounded: 5 probe rows by the vec_id < 5 filter
         sig.join(F.broadcast(probes), sig.vec_id != F.col("probe_id"))
         .select(
             "probe_id",
@@ -526,6 +530,7 @@ def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     cand = (
         emb.filter(F.col("vec_id") != 0)
+        # bounded: single query row
         .crossJoin(F.broadcast(q))
         .select("vec_id", "embedding", cosine("embedding", F.col("qv")).alias("simq"))
     )
@@ -538,6 +543,7 @@ def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("s"), F.col("embedding").alias("vb")
     )
     pairs = (
+        # bounded: re-rank pool is limit()-capped upstream
         a.join(F.broadcast(b), F.col("d") != F.col("s"))
         .select("d", "s", cosine("va", "vb").alias("sim"))
         .localCheckpoint(eager=True)  # 380 rows
@@ -555,6 +561,7 @@ def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(2, _MMR_K + 1):
         chosen_ids = selected.select(F.col("vec_id").alias("s"))
         penalty = (
+            # bounded: at most _MMR_K chosen ids
             pairs.join(F.broadcast(chosen_ids), "s")
             .groupBy("d")
             .agg(F.max("sim").alias("max_sim"))

@@ -178,6 +178,7 @@ def cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
+        # bounded: CMS sketch is depth x width cells (constants)
         probe_cells.join(F.broadcast(sketch), ["depth", "bucket"])
         .groupBy("user_id", "exact_cnt")
         .agg(F.min("c").alias("est"))
@@ -234,6 +235,7 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.explode(positions(F.col("o_custkey"), "ps")).alias("pos")
     )
     survivors = (
+        # bounded: bit-position table <= m = 8192 rows by construction
         fact_pos.join(F.broadcast(bits), "pos", "left")
         .groupBy("o_orderkey")
         .agg(F.count("hit").alias("nhit"))
@@ -241,8 +243,10 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     pruned = o.join(survivors, "o_orderkey")  # bloom-surviving fact rows
+    # UN-HINTED: dim is a filtered slice of customer and grows with SF
+    # (the jaccard_pairs rule) — AQE broadcasts it at demo scale.
     return pruned.join(
-        F.broadcast(dim), pruned.o_custkey == F.col("key")
+        dim, pruned.o_custkey == F.col("key")
     ).select(
         "o_orderkey",
         "o_custkey",

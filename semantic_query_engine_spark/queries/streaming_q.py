@@ -793,7 +793,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     src = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
-    enriched = src.join(F.broadcast(profile), "user_id")
+    # UN-HINTED: the per-user profile grows with the user base — at demo
+    # scale Spark broadcasts it from the static side's size estimate; at
+    # 100 TB the stream-static join falls back to a partitioned join
+    # rather than OOMing every executor on a forced hint.
+    enriched = src.join(profile, "user_id")
     agg = enriched.groupBy("event_type", "cohort").agg(
         F.count("*").alias("n"),
         (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(

@@ -84,6 +84,7 @@ def tenant_auth_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
+        # bounded: user_id = c_custkey % 10 => at most 10 distinct rows
         docs.join(F.broadcast(valid), "user_id", "left_semi")
         .groupBy("user_id")
         .agg(F.count("*").alias("n_docs"))

@@ -65,6 +65,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "word")
+        # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -197,6 +198,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idfq = F.round(idf * F.lit(10_000.0), 0).cast("bigint")
     w = (
         tf.join(df.filter(F.col("df") <= 50), "word")
+        # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n))
         .select("doc_id", "word", (F.col("tf") * idfq).alias("wq"))
     )
@@ -546,6 +548,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append(top)
         words = (
+            # bounded: 1-row merge rule per step
             words.crossJoin(F.broadcast(top.select("pair", "m")))
             .select(
                 F.trim(

@@ -341,6 +341,7 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     alp = F.avg(F.log(F.col("cnt") / F.col("total")))
     return (
         words.join(counts, "word")
+        # bounded: 1-row corpus total
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -597,6 +598,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bg.join(cbg, ["w1", "w2"])
         .join(cu, "w1")
+        # bounded: 1-row vocabulary count
         .crossJoin(F.broadcast(v))
         .withColumn("lq", lq)
         .groupBy("doc_id")
@@ -659,6 +661,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oov = F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)
     return (
+        # bounded: vocab is limit(1000)
         toks.join(F.broadcast(vocab), "word", "left")
         .groupBy("doc_id")
         .agg(
@@ -891,22 +894,27 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: encoding never touches document text with merge logic
     — merges apply once per DISTINCT WORD (vocabulary-sized map), and
-    the corpus is scored by broadcasting that word -> symbol-count
-    table into a token equi-join + per-doc combining agg.  Exactly how
-    a production tokenizer pass avoids per-token Python: the expensive
-    step is vocab-sized, the corpus-sized step is one broadcast join.
-    fertility = round(n_symbols / n_words, 6): integer/integer in
-    double, identical in both engines."""
+    the corpus is scored by joining that word -> symbol-count table
+    into a token equi-join + per-doc combining agg.  The join is
+    deliberately UN-HINTED (the jaccard_pairs rule: never force a
+    broadcast on a data-dependent-size side) — a web corpus's distinct
+    words run to hundreds of millions, so AQE broadcasts at demo scale
+    and shuffle-hash-joins at corpus scale.  The merged symbol table is
+    locally checkpointed (vocab-sized, bounded) so the word-frequency
+    pipeline can be unpersisted before the caller's action without
+    recomputing from raw text.  fertility = round(n_symbols / n_words,
+    6): integer/integer in double, identical in both engines."""
     base, cur, _ = _bpe_learn(spark, sf_dir)
     wsym = cur.select(
         "w", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_sym")
-    )
+    ).localCheckpoint(eager=True)
+    base.unpersist()
     docs = load_table(spark, sf_dir, "documents")
     dtoks = docs.select(
         "doc_id", F.explode(TX.words_of(F.col("text"))).alias("w0")
     ).select("doc_id", F.lower("w0").alias("w"))
-    out = (
-        dtoks.join(F.broadcast(wsym), "w")
+    return (
+        dtoks.join(wsym, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
@@ -914,5 +922,3 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_sym") / F.count("*"), 6).alias("fertility"),
         )
     )
-    base.unpersist()
-    return out

@@ -396,7 +396,10 @@ def test_fim_transform_is_map_only(spark, sf_dir):
     for r in rows[:50]:
         assert r.prefix_len >= 0 and r.middle_len >= 0 and r.suffix_len >= 0
         words = (r.prefix_len or 0) + (r.middle_len or 0) + (r.suffix_len or 0)
-        assert r.psm_text.count(" ") >= 2  # three markers present
+        # segment lengths reconstruct the doc: psm_text is the 3 marker
+        # tokens plus every word exactly once (split() collapses the
+        # double spaces an empty segment leaves behind)
+        assert len(r.psm_text.split()) == words + 3
 
 
 def test_bpe_pair_counts_take_ordered(spark, sf_dir):

@@ -80,6 +80,30 @@ def driver_sample_names() -> set[str]:
     return names
 
 
+def new_since_last_gate() -> set[str]:
+    """Registry names absent from the newest committed GATE_r*.json —
+    i.e. operators ADDED this round.  The round-11 SPOT/driver overlap
+    (VERDICT r11 #3) happened because the driver's sample rotates
+    TOWARD new operators: SPOT ran first, then the driver's refreshed
+    sample picked 3 of the same brand-new names.  New names are fully
+    covered by this round's 100%-surface gate, so excluding them from
+    the spot pool costs no coverage and removes the race ex ante."""
+    from semantic_query_engine_spark.queries import REGISTRY
+
+    gates = sorted(glob.glob(os.path.join(REPO, "GATE_r??.json")))
+    if not gates:
+        return set()
+    try:
+        with open(gates[-1]) as fh:
+            payload = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return set()
+    records = payload.get("queries", payload)
+    if not isinstance(records, dict):
+        return set()
+    return set(REGISTRY) - set(records)
+
+
 def last_spot_rounds() -> dict[str, int]:
     """name -> newest round whose committed SPOT_r*.json covered it."""
     last: dict[str, int] = {}
@@ -115,7 +139,7 @@ def last_spot_rounds() -> dict[str, int]:
 def pick(round_no: int, n: int) -> list[str]:
     from semantic_query_engine_spark.queries import REGISTRY
 
-    excluded = driver_sample_names() | set(JUDGE_R8)
+    excluded = driver_sample_names() | set(JUDGE_R8) | new_since_last_gate()
     pool = sorted(set(REGISTRY) - excluded)
     last = last_spot_rounds()
 
@@ -152,9 +176,12 @@ def main() -> int:
             "seed": f"spot-r{round_no}",
             "policy": "least-recently-spot-verified first, seeded-hash "
                       "tiebreak (VERDICT r9 #6)",
-            "excluded": "driver static sample (latest CORRECTNESS_r*.json)"
-                        " + round-8 judge batch",
-            "pool_excluded_count": len(driver_sample_names() | set(JUDGE_R8)),
+            "excluded": "union of ALL committed CORRECTNESS_r*.json "
+                        "samples + round-8 judge batch + operators new "
+                        "since the last committed gate (VERDICT r11 #3)",
+            "pool_excluded_count": len(
+                driver_sample_names() | set(JUDGE_R8) | new_since_last_gate()
+            ),
         }
         with open(out, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)

@@ -41,6 +41,11 @@ if [[ -d .scratch ]]; then
     for d in .scratch/*/; do
         [[ -e "$d" ]] || continue
         pid="$(basename "$d")"; pid="${pid%%-*}"
+        # non-numeric "pid" = not a per-process dir (e.g. the shared
+        # constant-path JSONL corpus) — never sweep those (ADVICE r11:
+        # kill -0 shared fails and a concurrent live gate gets its
+        # corpus yanked mid-read)
+        [[ "$pid" =~ ^[0-9]+$ ]] || continue
         kill -0 "$pid" 2>/dev/null || rm -rf "$d"
     done
 fi
