@@ -108,6 +108,7 @@ HEADLINE = [
     "bpe_merges",        # 3 driver-coordinated BPE training steps (r11)
     "bpe_encode_fertility",  # apply merges via broadcast vocab join (r11)
     "dedup_incremental",  # new-batch vs historical asymmetric dedup (r11)
+    "dedup_incremental_indexed",  # probe via persisted bucketed index (r12)
     "neardup_keep_longest",  # keep-longest policy over CC clusters (r11)
     "dup_cluster_stats",  # cluster-size histogram monitor (r11)
     "epoch_shuffle",     # deterministic per-epoch shard/order plan (r11)

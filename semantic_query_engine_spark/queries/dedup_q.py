@@ -1387,10 +1387,11 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_CAP = 20
 
-
-@register(
-    "dedup_incremental",
-    oracle=f"""
+# Shared by dedup_incremental (in-plan historical tables) and
+# dedup_incremental_indexed (persisted bucketed historical tables):
+# identical semantics, identical output, so both hash against this one
+# oracle and therefore against each other.
+_INCR_ORACLE = f"""
     WITH hist AS (
       SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 200),
     newb AS (
@@ -1435,36 +1436,18 @@ _INCR_CAP = 20
            COALESCE(r.n_matches, 0) AS n_matches,
            r.matched_hist
     FROM newb b LEFT JOIN rollup_ r ON r.new_id = b.id
-    """,
-)
-@fmt_doc(cap=_INCR_CAP)
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental deduplication — the daily-crawl shape: a NEW batch is
-    checked against the HISTORICAL corpus only (never against itself,
-    never historical-vs-historical), via an asymmetric shingle-keyed
-    join + exact word-bigram Jaccard >= 0.5.  The batch is planted
-    in-plan: 80%-prefix copies of every 8th historical doc (must flag
-    as dups with their source as the match) and 'nw'-prefixed variants
-    of every 8th+1 doc (share no shingles — must pass as new).  The
-    Jaccard threshold is the INTEGER comparison 2i >= nA + nH - i, so
-    no float boundary exists anywhere in the decision.
+    """
 
-    Scale shape: this is the operator that makes dedup affordable as a
-    RECURRING job — cost is keyed by the increment: the new batch's
-    shingles join against the (pre-computable, re-usable) historical
-    shingle table, so each day pays O(increment x matches), not
-    O(corpus^2); the historical-df cap (> {cap} docs) is the same
-    boilerplate skew valve as dedup_jaccard_capped, computed on the
-    historical side where the hot keys live.  The hot-set anti joins
-    are UN-HINTED (the jaccard_pairs rule: never force a broadcast on a
-    data-dependent-size side — the number of over-cap shingles is
-    bounded only by total-shingles/cap, which at 100 TB can exceed
-    executor memory); AQE broadcasts when the set is actually small.
-    At 100 TB the historical shingle table is a bucketed layout the
-    daily join co-partitions against (see dedup_incremental_indexed for
-    the persisted-index twin)."""
+
+def _incr_hist_newb(spark: SparkSession, sf_dir: str):
+    """(historical corpus, planted NEW batch) for the incremental-dedup
+    pair: 80%-prefix copies of every 8th historical doc (must flag as
+    dups) and 'nw'-prefixed variants of every 8th+1 doc (share no
+    shingles — must pass as new)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    hist = docs.select(F.col("doc_id").alias("id"), words_of(F.col("text")).alias("ws"))
+    hist = docs.select(
+        F.col("doc_id").alias("id"), words_of(F.col("text")).alias("ws")
+    )
     keep = F.ceil(F.size("ws") * 0.8).cast("int")
     newb = hist.filter(F.col("id") % 8 == 0).select(
         (F.col("id") + 20000).alias("id"), F.slice("ws", 1, keep).alias("ws")
@@ -1474,28 +1457,30 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("ws", lambda w: F.concat(F.lit("nw"), w)).alias("ws"),
         )
     )
+    return hist, newb
 
-    def grams(df):
-        count = F.greatest(F.lit(1), F.size("ws") - 1)
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), count - 1),
-                lambda i: F.array_join(F.slice("ws", i + 1, 2), " "),
-            )
+
+def _bigram_rows(df: DataFrame) -> DataFrame:
+    """(id, ws) -> one row per distinct word-bigram shingle."""
+    count = F.greatest(F.lit(1), F.size("ws") - 1)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.array_join(F.slice("ws", i + 1, 2), " "),
         )
-        return df.select("id", F.explode(sh).alias("shingle"))
-
-    hsh0 = grams(hist)
-    nsh0 = grams(newb)
-    hot = (
-        hsh0.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > _INCR_CAP)
-        .select("shingle")
     )
-    hsh = hsh0.join(hot, "shingle", "left_anti")
+    return df.select("id", F.explode(sh).alias("shingle"))
+
+
+def _incr_probe(
+    newb: DataFrame, hsh: DataFrame, hsz: DataFrame, hot: DataFrame
+) -> DataFrame:
+    """The daily probe: new-batch shingles vs a historical shingle index
+    (hsh: hot-capped (id, shingle); hsz: per-doc capped sizes (id, nh);
+    hot: over-cap stop-shingles).  Integer Jaccard >= 0.5 via
+    2i >= nn + nh - i; output one verdict row per new doc."""
+    nsh0 = _bigram_rows(newb)
     nsh = nsh0.join(hot, "shingle", "left_anti")
-    hsz = hsh.groupBy("id").agg(F.count("*").alias("nh"))
     nsz = nsh.groupBy("id").agg(F.count("*").alias("nn"))
     inter = (
         nsh.select(F.col("id").alias("new_id"), "shingle")
@@ -1522,6 +1507,93 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_hist",
         )
     )
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE)
+@fmt_doc(cap=_INCR_CAP)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental deduplication — the daily-crawl shape: a NEW batch is
+    checked against the HISTORICAL corpus only (never against itself,
+    never historical-vs-historical), via an asymmetric shingle-keyed
+    join + exact word-bigram Jaccard >= 0.5.  The batch is planted
+    in-plan: 80%-prefix copies of every 8th historical doc (must flag
+    as dups with their source as the match) and 'nw'-prefixed variants
+    of every 8th+1 doc (share no shingles — must pass as new).  The
+    Jaccard threshold is the INTEGER comparison 2i >= nA + nH - i, so
+    no float boundary exists anywhere in the decision.
+
+    Scale shape: this is the operator that makes dedup affordable as a
+    RECURRING job — cost is keyed by the increment: the new batch's
+    shingles join against the (pre-computable, re-usable) historical
+    shingle table, so each day pays O(increment x matches), not
+    O(corpus^2); the historical-df cap (> {cap} docs) is the same
+    boilerplate skew valve as dedup_jaccard_capped, computed on the
+    historical side where the hot keys live.  The hot-set anti joins
+    are UN-HINTED (the jaccard_pairs rule: never force a broadcast on a
+    data-dependent-size side — the number of over-cap shingles is
+    bounded only by total-shingles/cap, which at 100 TB can exceed
+    executor memory); AQE broadcasts when the set is actually small.
+    At 100 TB the historical shingle table is a bucketed layout the
+    daily join co-partitions against (see dedup_incremental_indexed for
+    the persisted-index twin)."""
+    from ..operators.shingle_index import build_shingle_index
+
+    hist, newb = _incr_hist_newb(spark, sf_dir)
+    hsh, hsz, hot = build_shingle_index(_bigram_rows(hist), cap=_INCR_CAP)
+    return _incr_probe(newb, hsh, hsz, hot)
+
+
+# sf_dir -> persisted shingle-index table names; the index build +
+# bucketed write happen once per process (gate/bench warmup pays them),
+# so repeated probes measure ONLY the daily read path — exactly how the
+# index amortizes in production.
+_SHINGLE_IDX_CACHE: dict[str, tuple[str, str, str]] = {}
+
+
+def _ensure_shingle_index(spark: SparkSession, sf_dir: str):
+    import os
+
+    from ..operators.shingle_index import write_shingle_index
+
+    key = os.path.abspath(sf_dir)
+    if key not in _SHINGLE_IDX_CACHE:
+        hist, _ = _incr_hist_newb(spark, sf_dir)
+        _SHINGLE_IDX_CACHE[key] = write_shingle_index(
+            spark, _bigram_rows(hist), cap=_INCR_CAP, key=key
+        )
+    return _SHINGLE_IDX_CACHE[key]
+
+
+@register("dedup_incremental_indexed", oracle=_INCR_ORACLE)
+@fmt_doc(cap=_INCR_CAP)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental probed through the PERSISTED bucketed
+    historical shingle index (VERDICT r11 #2): the docstring promise
+    'at 100 TB the historical shingle table is a bucketed layout the
+    daily join co-partitions against' made physical.
+    `write_shingle_index` (operators/shingle_index.py) computes the
+    hot-capped (id, shingle) table ONCE, writes it
+    `bucketBy(shingle)` + sortBy alongside the per-doc size and
+    stop-shingle tables, and every daily batch thereafter probes the
+    read-back layout: the shingle equi-join reads the historical side
+    straight from its buckets with NO Exchange (only the
+    increment-sized new side shuffles to match) — pytest-pinned in
+    tests/test_scale_shapes.py.  Same oracle as dedup_incremental, so
+    the persisted round-trip (bucket layout, table types, hot-cap
+    semantics) value-hash-matches the in-plan twin inside the full
+    gate.
+
+    Scale shape: the index is built once per corpus epoch and
+    amortized over every daily increment; a probe pays
+    O(increment shingles + matched buckets), never a historical-side
+    shuffle.  The historical-df cap (> {cap} docs) is baked into the
+    persisted tables, so the probe inherits the skew valve for free."""
+    from ..operators.shingle_index import read_shingle_index
+
+    names = _ensure_shingle_index(spark, sf_dir)
+    hsh, hsz, hot = read_shingle_index(spark, names)
+    _, newb = _incr_hist_newb(spark, sf_dir)
+    return _incr_probe(newb, hsh, hsz, hot)
 
 
 @register(

@@ -118,6 +118,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
+def test_shingle_index_bucketed_probe(spark, sf_dir):
+    """The persisted historical shingle index (VERDICT r11 #2): the
+    daily probe's shingle equi-join must read the bucketed historical
+    side with NO Exchange (only the increment shuffles to match the
+    buckets), and the indexed query must return exactly the in-plan
+    twin's rows."""
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _bigram_rows,
+        _ensure_shingle_index,
+        _incr_hist_newb,
+        dedup_incremental,
+        dedup_incremental_indexed,
+    )
+
+    names = _ensure_shingle_index(spark, sf_dir)
+    sh_t = names[0]
+
+    # the raw equi-join shape (broadcasts disabled so the plan shows the
+    # 100-TB fact-fact strategy): bucketed side scans with no Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        _, newb = _incr_hist_newb(spark, sf_dir)
+        probe = _bigram_rows(newb).withColumnRenamed("id", "new_id")
+        joined = probe.join(spark.table(sh_t), "shingle")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # exactly ONE exchange: the probe side repartitioning to the
+        # bucket count; a second would mean the historical side shuffled
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Bucketed: true" in _optimized(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    # value equivalence with the in-plan twin
+    a = sorted(map(tuple, dedup_incremental(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup_incremental_indexed(spark, sf_dir).collect()))
+    assert a == b and a
+
+
 def test_minhash_lsh_no_cartesian_all_codegen(spark, sf_dir):
     """The native MinHash+LSH path must be equality joins end-to-end (no
     CartesianProduct/BroadcastNestedLoop) and stay out of Python: no
