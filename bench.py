@@ -106,7 +106,8 @@ HEADLINE = [
     "boilerplate_line_removal",  # C4 line-frequency strip + reassembly (r11)
     "bpe_pair_counts",   # BPE merge-candidate kernel over word table (r11)
     "bpe_merges",        # 3 driver-coordinated BPE training steps (r11)
-    "bpe_encode_fertility",  # apply merges via broadcast vocab join (r11)
+    "bpe_encode_fertility",  # apply merges via un-hinted vocab join (r11)
+    "bpe_merges_n10",    # 10-round parameterized trainer, early-stop (r12)
     "dedup_incremental",  # new-batch vs historical asymmetric dedup (r11)
     "dedup_incremental_indexed",  # probe via persisted bucketed index (r12)
     "neardup_keep_longest",  # keep-longest policy over CC clusters (r11)

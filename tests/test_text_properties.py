@@ -278,3 +278,43 @@ def test_vocab_coverage_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.oov_tokens <= r.n_tokens
         assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_bpe_vocab_target_stop(spark, sf_dir):
+    """The vocab-size-targeted stop (VERDICT r11 #5): each BPE merge
+    adds exactly one symbol, so training to vocab_target = |base
+    charset| + 4 must perform exactly 4 merges and leave exactly that
+    many distinct symbols in the merged table; a target below the base
+    charset trains nothing."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.queries.textops import _bpe_learn
+
+    def distinct_syms(df):
+        return (
+            df.select(F.explode(F.split(F.trim(F.col("s")), " ")).alias("y"))
+            .distinct()
+            .count()
+        )
+
+    base, cur, rows = _bpe_learn(spark, sf_dir, n_rounds=50, vocab_target=None)
+    base_syms = distinct_syms(base)
+    base.unpersist()
+
+    base2, cur2, rows2 = _bpe_learn(
+        spark, sf_dir, n_rounds=50, vocab_target=base_syms + 4
+    )
+    try:
+        assert len(rows2) == 4
+        assert distinct_syms(cur2) == base_syms + 4
+        # the 4 merges are the PREFIX of the unbounded greedy sequence
+        assert rows2 == rows[:4]
+        # each merged token really is its pair without the space
+        for step, pair, merged, cnt in rows2:
+            assert merged == pair.replace(" ", "") and cnt >= 2
+    finally:
+        base2.unpersist()
+
+    base3, _, rows3 = _bpe_learn(spark, sf_dir, n_rounds=50, vocab_target=1)
+    base3.unpersist()
+    assert rows3 == []
