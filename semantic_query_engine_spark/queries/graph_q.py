@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
-from .registry import register
+from .registry import fmt_doc, register
 
 _POOL = 200  # bounded demo pool; the scale path for edge generation is
 # the IVF-pruned ivf_knn_join (operators/ann.py), which produces the
@@ -120,6 +120,151 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
+
+
+_PR_EPS = 0.011  # L1 stop threshold — sits >= 3.7% from every measured
+# per-iteration delta at sf0.001/0.01/0.1 (deltas decay ~0.73x/iter;
+# cross-engine double-sum noise is ~1e-15 relative), so the stop
+# iteration is boundary-safe on the fixtures.  All three SFs stop at 8.
+_PR_MAX = 15
+
+
+def _pagerank_converged_oracle() -> str:
+    """The convergence-terminated twin: unroll _PR_MAX materialized
+    iterations AND their L1 deltas, derive the stop iteration IN SQL
+    (min i with d_i < eps, fallback _PR_MAX), and select that pr level.
+    AS MATERIALIZED throughout — each pr{i} is referenced by pr{i+1},
+    two deltas and the final union, so inlining would re-expand the
+    chain exponentially (the bpe_merges_n10 lesson)."""
+    parts = [
+        f"""
+    WITH pool AS MATERIALIZED (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_POOL}),
+    n AS MATERIALIZED (SELECT COUNT(*) AS n FROM pool),
+    scored AS MATERIALIZED (
+      SELECT a.id AS src, b.id AS dst,
+             list_cosine_similarity(a.v, b.v) AS raw
+      FROM pool a JOIN pool b ON a.id <> b.id),
+    edges AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY raw DESC, dst) AS rn
+        FROM scored) WHERE rn <= {_K}),
+    pr0 AS MATERIALIZED (SELECT id, 1.0 / n.n AS r FROM pool, n)"""
+    ]
+    for i in range(1, _PR_MAX + 1):
+        parts.append(
+            f""",
+    pr{i} AS MATERIALIZED (
+      SELECT p.id,
+             {1 - _DAMP} / n.n + {_DAMP} * COALESCE(c.in_r, 0) AS r
+      FROM pool p CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS id, SUM(pr{i - 1}.r / {_K}) AS in_r
+        FROM edges e JOIN pr{i - 1} ON pr{i - 1}.id = e.src
+        GROUP BY e.dst) c ON c.id = p.id),
+    d{i} AS MATERIALIZED (
+      SELECT SUM(ABS(a.r - b.r)) AS d
+      FROM pr{i} a JOIN pr{i - 1} b ON a.id = b.id)"""
+        )
+    dunion = " UNION ALL ".join(
+        f"SELECT {i} AS i, (SELECT d FROM d{i}) AS d"
+        for i in range(1, _PR_MAX + 1)
+    )
+    parts.append(
+        f""",
+    stop AS MATERIALIZED (
+      SELECT COALESCE(MIN(i), {_PR_MAX}) AS it
+      FROM ({dunion}) WHERE d < {_PR_EPS}),
+    final AS ("""
+        + " UNION ALL ".join(
+            f"SELECT id, r FROM pr{i} WHERE (SELECT it FROM stop) = {i}"
+            for i in range(1, _PR_MAX + 1)
+        )
+        + f""")
+    SELECT id AS vec_id, ROUND(r, 6) AS pagerank,
+           CAST((SELECT it FROM stop) AS INT) AS iterations
+    FROM final"""
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank_converged", oracle=_pagerank_converged_oracle())
+@fmt_doc(eps=_PR_EPS, mx=_PR_MAX)
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank with CONVERGENCE-BASED termination (VERDICT r11
+    #8): iterate until the L1 rank delta drops below {eps} (max
+    {mx} rounds) instead of a fixed 10.  The per-iteration driver
+    check is ONE double (sum |r_i - r_(i-1)|, a bounded scalar agg over
+    the pool-sized rank table); the stop iteration rides along as an
+    `iterations` output column, and the oracle derives the SAME stop
+    level in SQL from its own unrolled delta chain — so the iteration
+    count itself is value-hash-checked, not asserted.  The threshold
+    sits >= 3.7% from every measured fixture delta (deltas decay
+    ~0.73x/iter; cross-engine summation noise ~1e-15), so no float
+    boundary is live.
+
+    Scale shape: identical per-iteration plan to graph_pagerank (one
+    src-keyed equi-join + one dst-keyed combining agg, ranks
+    localCheckpoint'd so lineage stays one deep); the delta adds one
+    pool-sized join + scalar agg per round.  Convergence
+    termination is what makes PR affordable on a 100-TB similarity
+    graph: web-scale rank vectors converge long before a conservative
+    fixed iteration budget, and every skipped round is a full
+    edge-table join saved."""
+    from ..operators.retrieval import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _POOL)
+    pool = emb.select("vec_id", "embedding")
+    probes = pool.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    edges = (
+        knn_join(probes, pool, k=_K, exclude_self=True)
+        .select(F.col("probe_id").alias("src"), F.col("vec_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    n = pool.count()  # bounded pool (<= _POOL rows) — setup scalar
+    ranks = pool.select("vec_id", F.lit(1.0 / n).alias("r"))
+    iters = _PR_MAX
+    for i in range(1, _PR_MAX + 1):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.vec_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / _K).alias("in_r"))
+        )
+        new = (
+            pool.select("vec_id")
+            .join(contrib, F.col("vec_id") == F.col("dst"), "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit((1 - _DAMP) / n)
+                    + F.lit(_DAMP) * F.coalesce(F.col("in_r"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # bounded per-iteration driver check: ONE double
+        delta = (
+            new.alias("a")
+            .join(ranks.alias("b"), "vec_id")
+            .agg(F.sum(F.abs(F.col("a.r") - F.col("b.r"))))
+            .head()[0]
+        )
+        ranks = new
+        if delta < _PR_EPS:
+            iters = i
+            break
+    return ranks.select(
+        "vec_id",
+        F.round("r", 6).alias("pagerank"),
+        F.lit(iters).cast("int").alias("iterations"),
+    )
+
+
 
 
 _CP_ANCHORS = 20
