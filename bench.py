@@ -116,6 +116,10 @@ HEADLINE = [
     "fim_transform",     # fill-in-middle PSM objective plan, map-only (r11)
     "multimodal_decode_meta",  # Arrow mapInPandas binary decode (r11)
     "multimodal_byte_features",  # pandas-UDF payload featurization (r11)
+    "multimodal_real_decode",  # genuine BMP/WAV header parsing (r12)
+    "embedding_drift",   # two-snapshot per-dim drift monitor (r12)
+    "source_datacard",   # per-source mixing report + epoch plan (r12)
+    "bpe_roundtrip",     # detokenize(encode(w)) == w corpus gate (r12)
     # renamed r7: rounds <=5 timed the LSH pipeline under
     # "dedup_minhash_lsh"; since r6 that registered row ALSO runs the
     # exact all-pairs join for its recall gate, so the bench times the

@@ -669,3 +669,75 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_lines") - F.col("n_kept")).cast("long").alias("n_removed"),
         "clean_text",
     )
+
+
+_MIX_BUDGET = 1_000_000  # demo training token budget; a real run passes its own
+
+
+@register(
+    "source_datacard",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, CAST(len({_WORDS}) AS BIGINT) AS toks,
+             CAST(n_chars AS BIGINT) AS chars
+      FROM documents),
+    tot AS (SELECT SUM(toks) AS t FROM d)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(toks)::BIGINT AS n_tokens,
+           SUM(chars)::BIGINT AS n_chars,
+           COUNT(DISTINCT lang)::BIGINT AS n_langs,
+           (SUM(toks) * 1000000 // (SELECT t FROM tot))::BIGINT
+             AS token_share_micro,
+           ({_MIX_BUDGET} * SUM(toks) // (SELECT t FROM tot))::BIGINT
+             AS target_tokens,
+           (({_MIX_BUDGET} * SUM(toks) // (SELECT t FROM tot)) * 1000
+             // SUM(toks))::BIGINT AS epochs_milli
+    FROM d GROUP BY source
+    """,
+)
+def source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datacard + mixture plan — the report a curation
+    pipeline publishes per crawl and the table a pretraining run is
+    specified FROM: per source, document/token/char volume, language
+    breadth, the source's share of corpus tokens, and a
+    proportional-allocation plan against a training token budget
+    (target tokens for this source, and epochs_milli = how many
+    thousandths of an epoch over the source that target implies — the
+    >1000 values are exactly the sources a Llama-style mixture
+    oversamples).  Every column is exact integer arithmetic (shares
+    and epochs as *1e6 / *1e3 floor-divided BIGINTs), so no float
+    boundary exists.
+
+    Scale shape: ONE map-side-combined aggregate over one corpus scan
+    (token counts are size(split()) projections, never an explode),
+    grouped on the low-cardinality source key, plus a 1-row total.
+    The canonical datacard query at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(words_of(F.col("text"))).cast("long").alias("toks"),
+        F.col("n_chars").cast("long").alias("chars"),
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.sum("chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    tot = d.agg(F.sum("toks").alias("t"))
+    # bounded: 1-row corpus token total
+    j = per.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        F.expr("n_tokens * 1000000 DIV t").alias("token_share_micro"),
+        F.expr(f"{_MIX_BUDGET} * n_tokens DIV t").alias("target_tokens"),
+        F.expr(
+            f"({_MIX_BUDGET} * n_tokens DIV t) * 1000 DIV n_tokens"
+        ).alias("epochs_milli"),
+    )

@@ -320,6 +320,80 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_drift",
+    oracle="""
+    WITH cur AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    prev AS (
+      SELECT vec_id, dim,
+             CASE WHEN vec_id % 10 = 0 AND dim < 4 THEN x + 0.25
+                  ELSE x END AS y
+      FROM cur),
+    j AS (
+      SELECT c.dim,
+             CAST(round(c.x * 1000000) AS BIGINT) AS cm,
+             CAST(round(p.y * 1000000) AS BIGINT) AS pm,
+             CAST(round((c.x - p.y) * 1000000) AS BIGINT) AS dm
+      FROM cur c JOIN prev p ON p.vec_id = c.vec_id AND p.dim = c.dim)
+    SELECT CAST(dim AS INT) AS dim,
+           COUNT(*)::BIGINT AS n,
+           SUM(cm)::BIGINT AS cur_sum_micro,
+           SUM(pm)::BIGINT AS prev_sum_micro,
+           SUM(dm)::BIGINT AS shift_sum_micro,
+           SUM(ABS(dm))::BIGINT AS abs_shift_sum_micro
+    FROM j GROUP BY dim
+    """,
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor between two index snapshots — the check a
+    production pipeline runs after every re-embed (model upgrade, new
+    preprocessing): per-dimension sums of the current snapshot, the
+    previous snapshot, their signed difference, and the L1 mass, joined
+    on (vec_id, dim).  The 'previous' snapshot is planted in-plan with
+    a known drift (dims 0-3 of every 10th vector shifted by 0.25), so
+    the monitor's detection behavior — large |shift| mass concentrated
+    on exactly the drifted dims, signed shift exposing the direction —
+    is itself value-hash-checked.  All stats are exact micro-unit
+    BIGINT sums (round(x*1e6) per element BEFORE aggregation): no
+    double accumulation anywhere, so shuffle order cannot move a bit;
+    consumers divide by n downstream.
+
+    Scale shape: two narrow (vec_id, dim, micro) streams equi-joined on
+    their natural key and reduced by a dim-keyed combining agg —
+    map-side partials shrink each side to |dims| rows per partition
+    before the shuffle.  At 100 TB both snapshots are parquet scans and
+    the join co-partitions on the same key the tables are laid out by;
+    no vector payload survives past the projection."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cur = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    prev = cur.select(
+        "vec_id",
+        "dim",
+        F.when(
+            (F.col("vec_id") % 10 == 0) & (F.col("dim") < 4),
+            F.col("x") + F.lit(0.25),
+        )
+        .otherwise(F.col("x"))
+        .alias("y"),
+    )
+    micro = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    j = cur.join(prev, ["vec_id", "dim"])
+    return j.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.sum(micro(F.col("x"))).alias("cur_sum_micro"),
+        F.sum(micro(F.col("y"))).alias("prev_sum_micro"),
+        F.sum(micro(F.col("x") - F.col("y"))).alias("shift_sum_micro"),
+        F.sum(F.abs(micro(F.col("x") - F.col("y")))).alias(
+            "abs_shift_sum_micro"
+        ),
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH expl AS (

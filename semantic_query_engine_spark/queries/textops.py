@@ -938,6 +938,48 @@ def bpe_merges_n10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_roundtrip",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_blocks())
+    + """
+    SELECT COUNT(*)::BIGINT AS n_words,
+           SUM(CASE WHEN replace(trim(s), ' ', '') = w
+               THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+           COUNT(*) = SUM(CASE WHEN replace(trim(s), ' ', '') = w
+                          THEN 1 ELSE 0 END) AS roundtrip_ok
+    FROM s3
+    """,
+)
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer RECONSTRUCTION invariant: after the learned merges are
+    applied, stripping the symbol separators must rebuild every
+    distinct word byte-for-byte (detokenize(encode(w)) == w) — the
+    lossless-round-trip check every production tokenizer ships with,
+    here as a one-row corpus gate (n_words, n_ok, roundtrip_ok).  A
+    merge that ever corrupted a word (overlapping replace, separator
+    leakage, case drift) flips n_ok and the boolean, and the oracle
+    recomputes the same verdict over its own CTE merge chain, so the
+    invariant is value-hash-checked rather than asserted in a test.
+
+    Scale shape: the check runs on the DISTINCT-WORD symbol table
+    (vocab-sized — the corpus is never touched after the one collapse
+    scan shared with bpe_merges), reduced by a combining count/sum agg
+    to one row.  The 1-row result is locally checkpointed so the
+    persisted word table can be released before the caller's action."""
+    base, cur, _ = _bpe_learn(spark, sf_dir)
+    ok = (
+        F.replace(F.trim(F.col("s")), F.lit(" "), F.lit("")) == F.col("w")
+    ).cast("long")
+    out = cur.agg(
+        F.count("*").alias("n_words"),
+        F.sum(ok).alias("n_ok"),
+        (F.count("*") == F.sum(ok)).alias("roundtrip_ok"),
+    ).localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
+@register(
     "bpe_encode_fertility",
     oracle="WITH "
     + ",\n    ".join(_bpe_blocks())

@@ -160,6 +160,10 @@ def main() -> int:
     )
     ap.add_argument("--json", dest="json_out", metavar="OUT.json",
                     help="write the per-query machine-readable gate artifact")
+    ap.add_argument("--module", dest="modules", metavar="MOD[,MOD...]",
+                    help="select every registry query defined in the "
+                    "named queries/ module(s), e.g. dedup_q,curation_q "
+                    "(VERDICT r11 #7: the per-round sf1 family gate)")
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*", metavar="query",
                     help="query names (default: entire registry)")
@@ -168,7 +172,17 @@ def main() -> int:
     opts = ap.parse_intermixed_args()
     json_out = opts.json_out
     sf_dir = opts.sf_dir
-    names = opts.names or list(REGISTRY)
+    names = list(opts.names)
+    if opts.modules:
+        mods = {m.strip() for m in opts.modules.split(",") if m.strip()}
+        by_mod = [
+            n for n, s in REGISTRY.items()
+            if s.fn.__module__.rsplit(".", 1)[-1] in mods
+        ]
+        if not by_mod:
+            ap.error(f"--module matched no registry queries: {opts.modules}")
+        names.extend(n for n in by_mod if n not in names)
+    names = names or list(REGISTRY)
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         ap.error(

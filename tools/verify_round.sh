@@ -56,6 +56,16 @@ python tools/check_oracle.py --json "GATE_r${PADDED}.json" "$SF_DIR"
 # two flips (bigram_perplexity's half-micro mean, multimodal_features'
 # stale float-floor oracle) that sf0.01 had never hit.  ~6 min.
 python tools/check_oracle.py --json "GATE_r${PADDED}_sf0.1.json" /root/testdata/sf0.1
+# Third gate (VERDICT r11 #7): the dedup/curation family at sf1 on the
+# replica fixtures — summation-order / grouping boundary classes only
+# show at bigger groups (the sf0.1 gate caught two 1-ulp flips in r11;
+# sf1 is the next rung).  Family-scoped to keep the round affordable.
+if [[ -d .scale_data/sf1 ]]; then
+    python tools/check_oracle.py --module dedup_q,curation_q \
+        --json "GATE_r${PADDED}_sf1_subset.json" .scale_data/sf1
+else
+    echo "verify_round: .scale_data/sf1 missing — skipping sf1 family gate" >&2
+fi
 python tools/plan_audit.py --markdown > PLAN_AUDIT.md
 head -3 PLAN_AUDIT.md
 python tools/revalidate_gates.py "$SF_DIR"
