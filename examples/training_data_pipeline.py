@@ -55,8 +55,11 @@ def main() -> None:
     show("boilerplate_line_removal", 3)
 
     # 2c. the recurring shape: tomorrow's batch checks against TODAY's
-    #     corpus only — cost keyed by the increment, never corpus^2
+    #     corpus only — cost keyed by the increment, never corpus^2;
+    #     the indexed twin probes the PERSISTED bucketed shingle
+    #     layout a production pipeline re-uses across daily runs
     show("dedup_incremental", 3)
+    show("dedup_incremental_indexed", 3)
 
     # 2d. cluster resolution policy: keep the longest member per
     #     near-dup component (RefinedWeb), not just min-id
@@ -72,6 +75,12 @@ def main() -> None:
     #    split -> pack) and its packed output
     prep = show("training_data_prep_neardup", 5)
 
+    # 3a2. the per-source datacard + proportional epoch plan the
+    #      mixture is specified from (and the drift monitor a
+    #      re-embed would be gated on)
+    show("source_datacard", 5)
+    show("embedding_drift", 5)
+
     # 3b. mixture construction AFTER sampling: cap each source's
     #     contribution at a token budget ("200B web, 30B books") via a
     #     per-source running-sum greedy prefix
@@ -81,6 +90,8 @@ def main() -> None:
     #     table, then gate on vocab coverage (OOV rate) and fertility
     #     (symbols per word) before committing to the tokenizer
     show("bpe_merges", 3)
+    show("bpe_merges_n10", 5)  # parameterized depth, cnt>=2 early stop
+    show("bpe_roundtrip", 1)  # detokenize(encode(w)) == w gate
     show("vocab_coverage", 5)
     show("bpe_encode_fertility", 5)
 

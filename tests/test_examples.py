@@ -48,6 +48,13 @@ def test_training_data_pipeline_example(tmp_path):
         "bpe_encode_fertility",
         "fim_transform",
         "epoch_shuffle",
+        # r12 stages (VERDICT r11: new operators must compose, not just
+        # sit in the registry)
+        "dedup_incremental_indexed",
+        "bpe_merges_n10",
+        "bpe_roundtrip",
+        "source_datacard",
+        "embedding_drift",
     ):
         assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout

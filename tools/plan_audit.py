@@ -72,6 +72,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "suites are thousands of rows vs a billion-row train corpus); train "
     "side streams map-only",
     "join_range_bands": "intentional theta/range-join demo, banded sides",
+    "source_datacard": "broadcast 1-row corpus-token-total side onto the "
+    "per-source aggregate for the share/epoch floor divisions",
 }
 ALLOWED_ROW_PYTHON: dict[str, str] = {
     "udtf_word_index": "Python UDTF surface demo (BatchEvalPythonUDTF); "
