@@ -136,6 +136,37 @@ def real_decode(payload: bytes) -> dict:
     return {"n_bytes": n, "width": 0, "height": 0, "format": "unknown", "n_frames": 0}
 
 
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash — Krawetz 2013, "Kind of Like
+    That"; public algorithm) from a GENUINELY PARSED uncompressed
+    24-bit BMP: the pixel-array offset comes from the file header,
+    width/height from the BITMAPINFOHEADER, rows are un-padded (BMP
+    pads each row to 4 bytes) and un-flipped (positive-height BMPs
+    store rows bottom-up), the grayscale grid is nearest-neighbor
+    sampled to 9x8, and bit (r, c) is 1 iff the right neighbor is
+    brighter.  Same stdlib-struct parsing discipline as real_decode —
+    a bug in padding, row order, or channel layout changes the hash
+    and fails the value gate.  Returns the signed 64-bit integer with
+    the same bit pattern (Java long semantics, like simhash packing)."""
+    import struct
+
+    (off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    bits = 0
+    for r in range(8):
+        j = height - 1 - (r * height // 8)  # bottom-up row storage
+        base = off + j * row_bytes
+        # blue channel of each sampled pixel; encode_bmp writes equal
+        # RGB triplets, and real grayscale conversion would land here
+        px = [payload[base + (c * width // 9) * 3] for c in range(9)]
+        for c in range(8):
+            if px[c + 1] > px[c]:
+                bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
 def attach_real_payload(
     docs: DataFrame, id_col: str = "doc_id", seed_col: str = "n_chars"
 ) -> DataFrame:

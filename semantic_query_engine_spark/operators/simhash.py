@@ -90,6 +90,17 @@ def simhash_pairs(
     sigs = docs.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), portable).alias("sig")
     )
+    return banded_hamming_pairs(sigs, max_hamming)
+
+
+def banded_hamming_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column — the banded
+    candidate join + Hamming verify shared by text SimHash
+    (simhash_pairs) and image dHash (multimodal_phash_dedup).  Input is
+    (id, sig); output (id_a, id_b, hamming <= max_hamming).  For
+    max_hamming < N_BANDS the banding is EXACT by pigeonhole: fewer
+    differing bits than bands means at least one band is bit-identical,
+    so the equality join cannot miss a qualifying pair."""
     banded = sigs.select(
         "id", "sig", F.posexplode(band_values(F.col("sig"))).alias("band_idx", "band_val")
     )

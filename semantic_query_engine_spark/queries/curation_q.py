@@ -741,3 +741,235 @@ def source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({_MIX_BUDGET} * n_tokens DIV t) * 1000 DIV n_tokens"
         ).alias("epochs_milli"),
     )
+
+
+# --- HTML extraction (the crawl front door before any text curation) ---
+
+# The fixture has no HTML, so each doc is wrapped in a deterministic
+# page skeleton IN-PLAN (title from doc_id, a style block, a script
+# whose body contains bare < > & — the canary naive tag-stripping would
+# leak —, the doc text inside <p>, and an entity-laden footer); the
+# oracle builds the identical bytes.  Extraction itself never assumes
+# the wrapper: it is the generic strip pipeline (drop script/style
+# blocks, strip tags, decode the 6 ubiquitous entities, collapse
+# whitespace) a real crawl would run.
+_HTML_PRE = (
+    '<html><head><title>Doc '
+)
+_HTML_MID = (
+    '</title><style type="text/css">p { margin: 0 }</style>'
+    "<script type=\"text/javascript\">var ok = 1 < 2 && 3 > 2;</script>"
+    '</head><body><div class="main"><p>'
+)
+_HTML_POST = (
+    "</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; it&#39;s&nbsp;fine</p>"
+    "</div><footer>(c) 2026</footer></body></html>"
+)
+
+
+@register(
+    "html_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID.replace("'", "''")}'
+             || text || '{_HTML_POST.replace("'", "''")}' AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id, html,
+             regexp_replace(
+               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
+               '<style[^>]*>.*?</style>', ' ', 'gs') AS x1
+      FROM h),
+    t AS (SELECT doc_id, html, regexp_replace(x1, '<[^>]+>', ' ', 'g') AS x2
+          FROM s),
+    e AS (
+      SELECT doc_id, html,
+             replace(replace(replace(replace(replace(replace(x2,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x3
+      FROM t)
+    SELECT doc_id,
+           trim(regexp_replace(x3, '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(html) AS BIGINT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(x3, '\\s+', ' ', 'g'))) AS BIGINT)
+             AS n_chars_clean
+    FROM e
+    """,
+)
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction — the step BEFORE every other curation
+    operator on a web crawl (C4 / CCNet / RefinedWeb all start from
+    markup removal): drop <script>/<style> blocks wholesale (their
+    bodies are code, and this page's script contains bare '<', '>', '&'
+    precisely so that a naive strip-tags-first bug leaks them into the
+    text and fails the value hash), strip remaining tags, decode the
+    six ubiquitous HTML entities (&amp; LAST, so '&amp;lt;' decodes to
+    the literal '&lt;' and not '<' — the standard double-escape rule),
+    and collapse whitespace.  Page skeleton is planted in-plan
+    (deterministic from doc_id + text); the oracle builds identical
+    bytes and runs the identical pipeline in DuckDB's regex engine, so
+    every byte of the extraction — block removal order, entity order,
+    collapse — is value-hash-checked across two regex dialects (Java
+    vs RE2: patterns here stay in the shared subset; RE2 has no
+    backreferences, hence separate script/style passes).
+
+    Scale shape: pure per-row JVM string expressions inside one
+    whole-stage-codegen'd map — no UDF, no shuffle, nothing leaves the
+    scan partition; at 100 TB this is the textbook embarrassingly
+    parallel stage, bounded by scan throughput alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    x = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ]:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(html).cast("long").alias("n_chars_raw"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+_NEWSLETTER = "subscribe to the newsletter variant "
+_PARA_W = 12  # words per synthetic paragraph
+
+
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    g AS (
+      SELECT doc_id, ws,
+             list_transform(range(CAST((len(ws) + {_PARA_W - 1}) // {_PARA_W}
+                                       AS BIGINT)),
+               i -> array_to_string(
+                      ws[i * {_PARA_W} + 1 : i * {_PARA_W} + {_PARA_W}], ' '))
+               AS gs
+      FROM base),
+    pl AS (
+      SELECT doc_id,
+             list_concat(gs, ['{_NEWSLETTER}' || CAST(doc_id % 7 AS VARCHAR)])
+               AS gs2
+      FROM g),
+    paras0 AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, gs2[pos] AS p
+      FROM (SELECT doc_id, gs2,
+                   unnest(range(1, CAST(len(gs2) AS BIGINT) + 1)) AS pos
+            FROM pl)),
+    extra AS (
+      SELECT doc_id,
+             CAST((len(ws) + {_PARA_W - 1}) // {_PARA_W} + 2 AS BIGINT) AS pos,
+             array_to_string(ws[1:{_PARA_W}], ' ') AS p
+      FROM base WHERE doc_id % 10 = 0),
+    paras AS (SELECT * FROM paras0 UNION ALL SELECT * FROM extra),
+    keyed AS (
+      SELECT doc_id, pos, p, md5(p) AS h,
+             doc_id * 100000 + pos AS k
+      FROM paras),
+    first AS (SELECT h, MIN(k) AS kk FROM keyed GROUP BY h),
+    kept AS (SELECT keyed.doc_id, keyed.pos, keyed.p
+             FROM keyed JOIN first USING (h) WHERE keyed.k = first.kk),
+    sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_paras
+              FROM paras GROUP BY doc_id)
+    SELECT s.doc_id, s.n_paras,
+           CAST(s.n_paras - COUNT(kept.pos) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(kept.p, chr(10) ORDER BY kept.pos), '')
+             AS clean_text
+    FROM sizes s LEFT JOIN kept ON kept.doc_id = s.doc_id
+    GROUP BY s.doc_id, s.n_paras
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide KEEP-FIRST paragraph deduplication (the Dolma /
+    CCNet paragraph-hash rule: a paragraph survives only at its first
+    occurrence in the whole corpus — Soldaini et al. 2024 §3.2, Wenzek
+    et al. 2020 §3) with document reassembly — the complement of
+    boilerplate_line_removal's frequency-threshold rule: THIS removes
+    the 2nd..Nth copy of ANY repeated paragraph regardless of how rare,
+    that removes every copy of very-frequent lines.  The fixture has no
+    natural paragraph structure, so docs are chunked into 12-word
+    paragraphs in-plan, a shared newsletter paragraph (7 variants, each
+    duplicated across ~n/7 docs) is appended to every doc, and every
+    10th doc repeats its own first paragraph (within-doc dup) — so
+    keep-first exercises cross-doc, within-doc, and keeper-doc cases;
+    the oracle plants identically.
+
+    Scale shape: first-occurrence = groupBy(md5(paragraph)) with a
+    combining MIN over the scalar key doc_id*1e5+pos — map-side combine
+    collapses per-partition copies of a viral paragraph BEFORE the
+    shuffle, so the reducer for a paragraph with 1M copies receives one
+    row per map partition, not 1M rows (no skew valve needed, unlike a
+    window-rank plan whose partition would hold all copies).  The keep
+    decision is an equi-join on the hash, co-partitioned with the agg's
+    own shuffle; paragraph text rides only the probe side.  Reassembly
+    is the boilerplate_line_removal struct-sort aggregate — no window.
+    Scalar keys stay exact: pos <= ~1e1 paragraphs/doc << 1e5, and
+    doc_id*1e5 fits a BIGINT at any fixture scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_of(F.col("text"))
+    n_groups = ((F.size(w) + (_PARA_W - 1)) / _PARA_W).cast("int")
+    groups = F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda i: F.array_join(F.slice(w, i * _PARA_W + 1, _PARA_W), " "),
+    )
+    planted = F.concat(
+        groups,
+        F.array(
+            F.concat(F.lit(_NEWSLETTER), (F.col("doc_id") % 7).cast("string"))
+        ),
+    )
+    paras0 = docs.select(
+        "doc_id", F.posexplode(planted).alias("pos0", "p")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "p")
+    extra = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        (n_groups + 2).cast("long").alias("pos"),
+        F.array_join(F.slice(w, 1, _PARA_W), " ").alias("p"),
+    )
+    paras = paras0.unionAll(extra)
+    keyed = paras.select(
+        "doc_id", "pos", "p",
+        F.md5("p").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("pos")).alias("k"),
+    )
+    first = keyed.groupBy("h").agg(F.min("k").alias("kk"))
+    kept = (
+        keyed.join(first, "h")
+        .filter(F.col("k") == F.col("kk"))
+        .select("doc_id", "pos", "p")
+    )
+    sizes = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda x: x["p"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    # LEFT join: a doc whose EVERY paragraph first occurred elsewhere
+    # (a whole-doc duplicate — the sf0.001 fixture has 2) must survive
+    # as an EMPTY doc, not silently vanish from the corpus manifest
+    return sizes.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -1758,3 +1758,113 @@ def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clusters"),
         F.min("component").alias("min_component"),
     )
+
+
+@register(
+    "dedup_eval_lsh",
+    oracle=f"""{_minhash_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+    shm AS (SELECT id, md5(shingle) AS m FROM sh0),
+    shv AS (SELECT id,
+                   CAST({_md5_poly(1)} AS HUGEINT) * 4294967296
+                     + ({_md5_poly(9)}) AS h
+            FROM shm),
+    shh AS (SELECT id, {_SIGNED64} AS sh FROM shv),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM shh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT inter.id_a, inter.id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b
+      WHERE 2 * i >= sa.ns + sb.ns - i),
+    tp AS (SELECT COUNT(*)::BIGINT AS c
+           FROM truth JOIN cand USING (id_a, id_b)),
+    nt AS (SELECT COUNT(*)::BIGINT AS c FROM truth),
+    nc AS (SELECT COUNT(*)::BIGINT AS c FROM cand)
+    SELECT nt.c AS n_truth, nc.c AS n_candidates, tp.c AS true_positives,
+           tp.c * 1000 // nt.c AS recall_milli,
+           tp.c * 1000 // nc.c AS precision_milli
+    FROM nt, nc, tp
+    """,
+)
+def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall AND candidate precision of the MinHash-LSH
+    sketch against exact-Jaccard ground truth — the dedup family's
+    analog of the ANN ladder's retrieval_eval_srp: not a boolean
+    recall_ok gate (dedup_minhash_lsh already carries one) but the
+    full confusion counts an operator of a 100-TB dedup run publishes
+    before committing to a (num_perm, n_bands) configuration.  Ground
+    truth: ALL pairs at word-bigram Jaccard >= 0.5 over documents[:100]
+    plus 80%-prefix copies, decided by the integer rule
+    2*inter >= nA+nB-inter (no float boundary).  Candidates: the
+    portable-hash 64-perm/16-band table BEFORE the confirm step, so
+    the numbers measure the SKETCH itself (banding theory at s=0.8:
+    detect p ~ 1-(1-s^4)^16 ~ 0.9998; candidate precision is what the
+    confirm join must pay for).  Everything derives from md5 hashes
+    both engines share; the oracle recomputes signatures, bands,
+    candidates, truth, and the three counts bit-for-bit.
+
+    Scale shape: the truth side's shared-shingle self-join is the only
+    quadratic-risk stage and exists ONLY in this eval (production uses
+    the banded path it certifies); run it on a sampled slice — the
+    registered demo caps the pool at 100 docs the same way
+    lsh_bucket_stats' monitor bounds its probe.  One final 3-way
+    cross of 1-row aggregates; no collect."""
+    from ..operators.dedup import minhash_band_table, shingle_table
+
+    pool = _docs_with_truncated_copies(spark, sf_dir)
+    bt = minhash_band_table(pool, num_perm=64, n_bands=16, n=2, portable=True)
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    from ..operators.dedup import _p64
+
+    sh = shingle_table(pool, n=2).select("id", _p64(F.col("shingle")).alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("ns"))
+    ea = sh.select(F.col("id").alias("id_a"), "sh")
+    eb = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        ea.join(eb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("nb")), "id_b")
+        .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
+        .select("id_a", "id_b")
+    )
+    tp = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count("*").alias("c")
+    )
+    nt = truth.agg(F.count("*").alias("c"))
+    nc = cand.agg(F.count("*").alias("c"))
+    # bounded: three 1-row count aggregates
+    j = (
+        nt.select(F.col("c").alias("n_truth"))
+        .crossJoin(F.broadcast(nc.select(F.col("c").alias("n_candidates"))))
+        .crossJoin(F.broadcast(tp.select(F.col("c").alias("true_positives"))))
+    )
+    return j.select(
+        "n_truth",
+        "n_candidates",
+        "true_positives",
+        F.expr("true_positives * 1000 DIV n_truth").alias("recall_milli"),
+        F.expr("true_positives * 1000 DIV n_candidates").alias("precision_milli"),
+    )

@@ -159,3 +159,119 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(meta, every_nth=10).select(
         "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
     )
+
+
+def _phash_oracle(max_hamming: int = 3, cap: int = 1200) -> str:
+    """Generate the DuckDB twin of the image dHash near-dup pipeline:
+    the 9x8 sampled grayscale grid recomputed ANALYTICALLY from the BMP
+    generation parameters (encode_bmp's pixel formula — pixel k of a
+    w x h image is (k*31 + seed) % 256, stored bottom-up), the 64
+    difference bits packed into a HUGEINT, 16-bit banding, and the
+    band-wise xor/bit_count Hamming confirm — bit-for-bit the
+    operator's arithmetic, but derived WITHOUT parsing bytes, so a bug
+    in either the encoder or the Spark-side pixel parser (padding, row
+    flip, channel stride) hash-mismatches."""
+    shifts = [1, 65536, 4294967296, 281474976710656]
+    band_val = (
+        "CAST((sig // CASE band_idx WHEN 0 THEN 1 WHEN 1 THEN 65536 "
+        "WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT)"
+    )
+    ham = " + ".join(
+        f"bit_count(xor(CAST((sig_a // {s}) % 65536 AS BIGINT), "
+        f"CAST((sig_b // {s}) % 65536 AS BIGINT)))"
+        for s in shifts
+    )
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id AS id, doc_id % 56 + 9 AS w, doc_id % 41 + 8 AS h,
+             n_chars AS seed
+      FROM documents WHERE doc_id < {cap}
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id % 56 + 9, doc_id % 41 + 8,
+             n_chars + 1
+      FROM documents WHERE doc_id < {cap} AND doc_id % 8 = 0),
+    grid AS (
+      SELECT id, w, h, seed, r, c
+      FROM imgs,
+           (SELECT unnest(range(8)) AS r) rr,
+           (SELECT unnest(range(9)) AS c) cc),
+    pix AS (
+      SELECT id, r, c,
+             (((h - 1 - (r * h // 8)) * w + (c * w // 9)) * 31 + seed)
+               % 256 AS p
+      FROM grid),
+    bits AS (
+      SELECT a.id, a.r, a.c, CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      FROM pix a JOIN pix b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 8),
+    sigs AS (
+      SELECT id,
+             SUM(CAST(bit AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << CAST(r * 8 + c AS INT))) AS sig
+      FROM bits GROUP BY id),
+    bands AS (
+      SELECT id, sig, band_idx, {band_val} AS band_val
+      FROM (SELECT id, sig, unnest([0, 1, 2, 3]) AS band_idx FROM sigs)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.id < b.id)
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand WHERE {ham} <= {max_hamming}
+    """
+
+
+_PHASH_CAP = 1200
+
+
+@register("multimodal_phash_dedup", oracle=_phash_oracle(cap=_PHASH_CAP))
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over IMAGES — the dedup
+    family extended to a multimodal column: every doc (capped for the
+    demo) gets a spec-conformant BMP built in-plan, `dhash64`
+    (operators/multimodal.py) genuinely parses the container bytes
+    (header offsets, row padding, bottom-up order) into a 64-bit
+    difference hash, and near-dups are found by the SAME banded-Hamming
+    machinery as text SimHash (operators/simhash.py
+    banded_hamming_pairs) at hamming <= 3.  Planted near-dups: every
+    8th doc also emits a brightness-shifted variant (seed+1 — every
+    pixel +1 mod 256), which leaves all right-neighbor comparisons
+    unchanged except where a sampled pixel wraps 255 -> 0, i.e. the
+    exact robustness-to-global-brightness property dHash is built for;
+    the detection behavior itself is part of the value hash.
+
+    Scale shape (the 100-TB image-corpus dedup): encode+parse+hash is
+    one fused Arrow mapInPandas stage — payloads are born and consumed
+    inside their split, only 8-byte signatures ever shuffle; banding
+    turns near-dup search into an equality join (no all-pairs); at
+    max_hamming=3 < 4 bands the banded join is EXACT by pigeonhole, so
+    the oracle's identical banded twin provably equals a full-scan
+    ground truth.  Reference analog: the dedup capability of
+    /root/reference (documents near-dup) applied to the image modality.
+    """
+    from ..operators.multimodal import dhash64, encode_bmp
+    from ..operators.simhash import banded_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PHASH_CAP
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for d, s in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, s = int(d), int(s)
+                w, h = d % 56 + 9, d % 41 + 8
+                ids.append(d)
+                sigs.append(dhash64(encode_bmp(w, h, s)))
+                if d % 8 == 0:
+                    ids.append(d + 1_000_000)
+                    sigs.append(dhash64(encode_bmp(w, h, s + 1)))
+            import pandas as _pd
+
+            yield _pd.DataFrame({"id": ids, "sig": sigs})
+
+    sigs = docs.select("doc_id", "n_chars").mapInPandas(run, "id long, sig long")
+    return banded_hamming_pairs(sigs, max_hamming=3)

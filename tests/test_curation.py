@@ -234,3 +234,58 @@ def test_bpe_merges_are_real_merges(spark, sf_dir):
         assert r.merged == left + right
         assert r.cnt > 0
     assert rows[0].cnt >= rows[1].cnt >= rows[2].cnt
+
+
+def test_html_extract_strips_markup_and_decodes_entities(spark, sf_dir):
+    """The extraction pipeline removes script/style BODIES (the script
+    contains bare < > & that naive tag-stripping would leak), keeps the
+    title and document text, and decodes entities in the planted
+    footer."""
+    from semantic_query_engine_spark.queries.curation_q import html_extract
+
+    rows = {r.doc_id: r for r in html_extract(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert rows.keys() == docs.keys()
+    for did, r in rows.items():
+        assert r.clean_text.startswith(f"Doc {did} ")
+        assert docs[did].split()[0] in r.clean_text
+        # script body never leaks
+        assert "var ok" not in r.clean_text and "margin" not in r.clean_text
+        # entities decoded: & < " ' and the nbsp all surface as text
+        assert 'Tom & Jerry <3 "quoted" it\'s fine' in r.clean_text
+        assert "&amp;" not in r.clean_text and "&#39;" not in r.clean_text
+        assert r.n_chars_clean == len(r.clean_text)
+        assert r.n_chars_raw > r.n_chars_clean
+
+
+def test_paragraph_dedup_keep_first_semantics(spark, sf_dir):
+    """Corpus-wide keep-first: each planted newsletter variant survives
+    in EXACTLY one document; every 10th doc's self-repeated first
+    paragraph is removed; paragraph accounting is exact; whole-doc
+    duplicates survive as EMPTY docs rather than vanishing."""
+    from semantic_query_engine_spark.queries.curation_q import (
+        _NEWSLETTER,
+        paragraph_dedup,
+    )
+
+    rows = paragraph_dedup(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs  # no doc vanishes
+    for v in range(7):
+        survivors = [
+            r for r in rows if f"{_NEWSLETTER}{v}" in r.clean_text.split("\n")
+        ]
+        assert len(survivors) == 1, f"variant {v} kept {len(survivors)} times"
+    for r in rows:
+        paras = [p for p in r.clean_text.split("\n") if p]
+        assert len(paras) == r.n_paras - r.n_removed
+        assert len(paras) == len(set(paras))  # output is dup-free per doc
+        if r.doc_id % 10 == 0:
+            assert r.n_removed >= 1  # at least the self-repeat went
+    # at least one whole-doc duplicate case exists in the fixture pool
+    assert any(r.clean_text == "" for r in rows) or all(
+        r.n_removed < r.n_paras for r in rows
+    )

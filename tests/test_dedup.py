@@ -596,3 +596,18 @@ def test_dup_cluster_stats_planted_histogram(spark, sf_dir):
     assert all(r.cluster_size % 3 == 0 for r in rows)
     dominant = max(rows, key=lambda r: r.n_clusters)
     assert dominant.cluster_size == 3 and dominant.n_clusters >= 90
+
+
+def test_dedup_eval_lsh_confusion_counts(spark, sf_dir):
+    """The sketch-accuracy report is internally consistent and the
+    64-perm/16-band configuration hits the banding-theory range on the
+    planted 80%-prefix pool: recall >= 0.9 (theory ~0.9998 at s~0.8),
+    candidate precision above zero, tp bounded by both margins."""
+    from semantic_query_engine_spark.queries.dedup_q import dedup_eval_lsh
+
+    r = dedup_eval_lsh(spark, sf_dir).collect()[0]
+    assert r.n_truth > 0 and r.n_candidates > 0
+    assert 0 <= r.true_positives <= min(r.n_truth, r.n_candidates)
+    assert r.recall_milli == r.true_positives * 1000 // r.n_truth
+    assert r.precision_milli == r.true_positives * 1000 // r.n_candidates
+    assert r.recall_milli >= 900

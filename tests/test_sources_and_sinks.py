@@ -232,6 +232,47 @@ def test_real_decode_parses_genuine_containers():
         assert meta["format"] == "unknown" and meta["n_bytes"] == len(junk)
 
 
+def test_dhash64_parses_pixels_and_is_brightness_robust():
+    """dhash64 reads the sampled 9x8 grid out of ACTUAL BMP bytes:
+    (a) it equals an independent analytic twin computed from the
+    generation parameters alone (never touching bytes — so padding /
+    row-flip / channel-stride parser bugs diverge); (b) a global
+    brightness shift (+1 to every pixel, mod 256) moves the hash only
+    where a sampled pixel wraps 255 -> 0 — the robustness property
+    perceptual hashing exists for; (c) unrelated images sit near the
+    ~32-bit random baseline, far above the hamming<=3 dedup threshold."""
+    from semantic_query_engine_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+    )
+
+    def analytic(w, h, seed):
+        bits = 0
+        for r in range(8):
+
+            def pix(cc):
+                sr, sc = r * h // 8, cc * w // 9
+                return (((h - 1 - sr) * w + sc) * 31 + seed) % 256
+
+            for c in range(8):
+                if pix(c + 1) > pix(c):
+                    bits |= 1 << (r * 8 + c)
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for (w, h, seed) in [(9, 8, 0), (13, 8, 5), (64, 48, 999), (33, 29, 254)]:
+        assert dhash64(encode_bmp(w, h, seed)) == analytic(w, h, seed)
+        shift = ham(
+            dhash64(encode_bmp(w, h, seed)), dhash64(encode_bmp(w, h, seed + 1))
+        )
+        # expected flips = sampled neighbor pairs straddling a 255 wrap
+        assert shift == ham(analytic(w, h, seed), analytic(w, h, seed + 1))
+        assert shift <= 3  # the planted variants stay under the threshold
+    assert ham(dhash64(encode_bmp(20, 15, 0)), dhash64(encode_bmp(33, 29, 1234))) > 20
+
+
 def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
     """ORC source/sink (SURVEY §2 Part B scans row): the columnar
     alternative to parquet, with the same predicate-pushdown contract —
