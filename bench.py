@@ -157,6 +157,12 @@ HEADLINE = [
     "bloom_prune_join",  # broadcast bloom bit-position join prune
     "tfidf_keywords",    # per-doc top-3 TF-IDF keyword extraction
     "url_canonical_dedup",  # crawl URL canonicalize + keep-min dedup
+    # round-12 session-2 additions
+    "html_extract",      # crawl front door: markup strip, one map stage
+    "paragraph_dedup",   # corpus-wide keep-first paragraph rule (r12)
+    "multimodal_phash_dedup",  # image dHash + banded-Hamming join (r12)
+    "multimodal_audio_dedup",  # PCM frame-energy fingerprint dedup (r12)
+    "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
 ]
 
 

@@ -69,16 +69,27 @@ def encode_bmp(width: int, height: int, seed: int) -> bytes:
     return header + info + data
 
 
-def encode_wav(n_samples: int, seed: int, sample_rate: int = 8000) -> bytes:
+def encode_wav(
+    n_samples: int, seed: int, sample_rate: int = 8000, quad_step: int = 0
+) -> bytes:
     """Spec-conformant RIFF/WAVE file (PCM, mono, 16-bit) with a
-    deterministic sample ramp derived from `seed`."""
+    deterministic sample ramp derived from `seed`.  quad_step adds a
+    quadratic term (i*i*quad_step) to the phase: the default linear
+    ramp wraps at most once over a short clip, which makes frame-energy
+    profiles nearly seed-independent (every clip is one smooth V) —
+    useless as fingerprint content; a small quadratic step wraps every
+    few samples, giving each (seed, n) its own pseudo-random but
+    engine-reproducible waveform (multimodal_audio_dedup measured the
+    difference: 879 accidental near-dup signature pairs in 300 clips at
+    quad_step=0 vs 7 at quad_step=9)."""
     import struct
 
     import numpy as np
 
-    samples = (
-        ((np.arange(n_samples, dtype=np.int64) * 37 + seed) % 65536) - 32768
-    ).astype("<i2")
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = (((i * 37 + i * i * quad_step + seed) % 65536) - 32768).astype(
+        "<i2"
+    )
     data = samples.tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     return (
@@ -164,6 +175,38 @@ def dhash64(payload: bytes) -> int:
         for c in range(8):
             if px[c + 1] > px[c]:
                 bits |= 1 << (r * 8 + c)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprint64(payload: bytes) -> int:
+    """64-bit audio fingerprint from a GENUINELY PARSED RIFF/WAVE file
+    — the audio analog of dhash64, in the spirit of spectral-delta
+    fingerprints (Chromaprint/Shazam-style sign-of-difference coding,
+    public technique): walk the RIFF chunks to the data chunk, decode
+    the int16 PCM samples, bucket them into 65 equal frames
+    (frame(i) = i*65 // n), take each frame's total absolute amplitude
+    as its energy, and set bit f iff frame f+1 is louder than frame f.
+    Depends ONLY on the decoded sample stream — container metadata
+    (sample rate, chunk layout) does not move it, which is exactly what
+    makes it a dedup key for re-encoded copies of the same audio."""
+    import struct
+
+    pos, data_off, data_size = 12, None, 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            data_off, data_size = pos + 8, sz
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    n = data_size // 2
+    samples = struct.unpack_from(f"<{n}h", payload, data_off)
+    energy = [0] * 65
+    for i, s in enumerate(samples):
+        energy[i * 65 // n] += abs(s)
+    bits = 0
+    for f in range(64):
+        if energy[f + 1] > energy[f]:
+            bits |= 1 << f
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 

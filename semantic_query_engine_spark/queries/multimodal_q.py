@@ -161,6 +161,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared SQL fragments for 64-bit-signature banding (4 x 16-bit bands,
+# HUGEINT signatures) — consumed by the image-dHash and audio oracles;
+# same arithmetic as the dedup_simhash oracle twin
+_SIG_SHIFTS = [1, 65536, 4294967296, 281474976710656]
+_SIG_BAND_VAL = (
+    "CAST((sig // CASE band_idx WHEN 0 THEN 1 WHEN 1 THEN 65536 "
+    "WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT)"
+)
+_SIG_HAM = " + ".join(
+    f"bit_count(xor(CAST((sig_a // {s}) % 65536 AS BIGINT), "
+    f"CAST((sig_b // {s}) % 65536 AS BIGINT)))"
+    for s in _SIG_SHIFTS
+)
+_SIG_TAIL = f"""
+    bands AS (
+      SELECT id, sig, band_idx, {_SIG_BAND_VAL} AS band_val
+      FROM (SELECT id, sig, unnest([0, 1, 2, 3]) AS band_idx FROM sigs)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.id < b.id)
+    SELECT id_a, id_b, CAST({_SIG_HAM} AS INT) AS hamming
+    FROM cand WHERE {_SIG_HAM} <= {{max_hamming}}
+    """
+
+
 def _phash_oracle(max_hamming: int = 3, cap: int = 1200) -> str:
     """Generate the DuckDB twin of the image dHash near-dup pipeline:
     the 9x8 sampled grayscale grid recomputed ANALYTICALLY from the BMP
@@ -171,16 +199,6 @@ def _phash_oracle(max_hamming: int = 3, cap: int = 1200) -> str:
     operator's arithmetic, but derived WITHOUT parsing bytes, so a bug
     in either the encoder or the Spark-side pixel parser (padding, row
     flip, channel stride) hash-mismatches."""
-    shifts = [1, 65536, 4294967296, 281474976710656]
-    band_val = (
-        "CAST((sig // CASE band_idx WHEN 0 THEN 1 WHEN 1 THEN 65536 "
-        "WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT)"
-    )
-    ham = " + ".join(
-        f"bit_count(xor(CAST((sig_a // {s}) % 65536 AS BIGINT), "
-        f"CAST((sig_b // {s}) % 65536 AS BIGINT)))"
-        for s in shifts
-    )
     return f"""
     WITH imgs AS (
       SELECT doc_id AS id, doc_id % 56 + 9 AS w, doc_id % 41 + 8 AS h,
@@ -209,18 +227,7 @@ def _phash_oracle(max_hamming: int = 3, cap: int = 1200) -> str:
              SUM(CAST(bit AS HUGEINT)
                  * (CAST(1 AS HUGEINT) << CAST(r * 8 + c AS INT))) AS sig
       FROM bits GROUP BY id),
-    bands AS (
-      SELECT id, sig, band_idx, {band_val} AS band_val
-      FROM (SELECT id, sig, unnest([0, 1, 2, 3]) AS band_idx FROM sigs)),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-             a.sig AS sig_a, b.sig AS sig_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-           AND a.id < b.id)
-    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
-    FROM cand WHERE {ham} <= {max_hamming}
-    """
+    {_SIG_TAIL.format(max_hamming=max_hamming)}"""
 
 
 _PHASH_CAP = 1200
@@ -271,6 +278,118 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sigs.append(dhash64(encode_bmp(w, h, s + 1)))
             import pandas as _pd
 
+            yield _pd.DataFrame({"id": ids, "sig": sigs})
+
+    sigs = docs.select("doc_id", "n_chars").mapInPandas(run, "id long, sig long")
+    return banded_hamming_pairs(sigs, max_hamming=3)
+
+
+def _audio_oracle(max_hamming: int = 3, cap: int = 1200) -> str:
+    """Generate the DuckDB twin of the audio fingerprint dedup: PCM
+    samples recomputed ANALYTICALLY from encode_wav's generation
+    formula at quad_step=9 (sample i = (i*37 + i*i*9 + seed) % 65536
+    - 32768 — the quadratic term is what makes clip content
+    pseudo-random instead of one smooth ramp; see encode_wav), bucketed
+    into
+    65 frames by the shared assignment frame(i) = i*65 // n, absolute
+    amplitudes summed per frame, 64 louder-than-previous bits packed
+    into a HUGEINT, then the shared banding/Hamming tail.  A Spark-side
+    bug in RIFF chunk walking, int16 decoding, or frame assignment
+    hash-mismatches."""
+    return f"""
+    WITH pool AS (
+      SELECT doc_id AS id, doc_id AS seed, n_chars % 1000 + 8 AS n
+      FROM documents WHERE doc_id < {cap}
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, n_chars % 1000 + 8
+      FROM documents WHERE doc_id < {cap} AND doc_id % 8 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id + 1, n_chars % 1000 + 8
+      FROM documents WHERE doc_id < {cap} AND doc_id % 8 = 4),
+    samp AS (
+      SELECT id, CAST(i * 65 // n AS INT) AS f,
+             abs(((i * 37 + i * i * 9 + seed) % 65536) - 32768) AS a
+      FROM (SELECT id, seed, n, unnest(range(n)) AS i FROM pool)),
+    eng0 AS (SELECT id, f, SUM(a) AS e FROM samp GROUP BY id, f),
+    grid AS (SELECT p.id, ff.f
+             FROM pool p, (SELECT unnest(range(65)) AS f) ff),
+    eng AS (SELECT g.id, g.f, COALESCE(e0.e, 0) AS e
+            FROM grid g LEFT JOIN eng0 e0 ON e0.id = g.id AND e0.f = g.f),
+    bits AS (
+      SELECT a.id, a.f, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM eng a JOIN eng b ON b.id = a.id AND b.f = a.f + 1
+      WHERE a.f < 64),
+    sigs AS (
+      SELECT id,
+             SUM(CAST(bit AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << CAST(f AS INT))) AS sig
+      FROM bits GROUP BY id),
+    {_SIG_TAIL.format(max_hamming=max_hamming)}"""
+
+
+@register("multimodal_audio_dedup", oracle=_audio_oracle(cap=_PHASH_CAP))
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection — the dedup family's third modality:
+    every doc (capped like the image demo) gets a spec-conformant PCM
+    RIFF/WAVE built in-plan, `audio_fingerprint64`
+    (operators/multimodal.py) genuinely walks the RIFF chunks, decodes
+    the int16 samples, and codes the sign of adjacent frame-energy
+    deltas into a 64-bit fingerprint (Chromaprint/Shazam-style
+    sign-of-difference coding over 65 frames), and near-dups run
+    through the SAME banded-Hamming join as text SimHash and image
+    dHash.  Planted dups exercise the two real-world cases: every 8th
+    doc is re-emitted with a DIFFERENT SAMPLE RATE header around
+    identical samples (same content re-encoded: fingerprint is
+    bit-identical, hamming 0 — metadata invariance is the point of
+    content fingerprinting), and every (8k+4)th doc gets a +1 DC
+    offset (every sample +1, wrapping at int16 max), which moves frame
+    energies only where positive/negative sample counts differ — the
+    near-but-not-exact case.  Detection behavior is part of the value
+    hash.  Beyond the plants, same-length clips from the same generator
+    are genuine near-dups of one another (their samples differ by a
+    constant offset — a DC shift family), so the pair list also
+    clusters those; everything is hash-checked either way.
+
+    Scale shape: identical to multimodal_phash_dedup — fused
+    encode+parse+fingerprint in one Arrow mapInPandas stage, 8-byte
+    signatures are all that shuffles, banded equality join (exact by
+    pigeonhole at hamming<=3 under 4 bands), no all-pairs anywhere."""
+    from ..operators.multimodal import audio_fingerprint64, encode_wav
+    from ..operators.simhash import banded_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PHASH_CAP
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(d), int(nc) % 1000 + 8
+                ids.append(d)
+                sigs.append(
+                    audio_fingerprint64(encode_wav(n, seed=d, quad_step=9))
+                )
+                if d % 8 == 0:
+                    # same samples, different container sample rate
+                    ids.append(d + 1_000_000)
+                    sigs.append(
+                        audio_fingerprint64(
+                            encode_wav(
+                                n, seed=d, sample_rate=16000, quad_step=9
+                            )
+                        )
+                    )
+                if d % 8 == 4:
+                    # +1 DC offset: seed+1 shifts every sample by one
+                    ids.append(d + 2_000_000)
+                    sigs.append(
+                        audio_fingerprint64(
+                            encode_wav(n, seed=d + 1, quad_step=9)
+                        )
+                    )
             yield _pd.DataFrame({"id": ids, "sig": sigs})
 
     sigs = docs.select("doc_id", "n_chars").mapInPandas(run, "id long, sig long")

@@ -74,6 +74,9 @@ ALLOWED_BNLJ: dict[str, str] = {
     "join_range_bands": "intentional theta/range-join demo, banded sides",
     "source_datacard": "broadcast 1-row corpus-token-total side onto the "
     "per-source aggregate for the share/epoch floor divisions",
+    "dedup_eval_lsh": "two broadcast crosses of 1-row COUNT aggregates "
+    "(n_candidates, true_positives) onto the 1-row n_truth side for the "
+    "recall/precision divisions",
 }
 ALLOWED_ROW_PYTHON: dict[str, str] = {
     "udtf_word_index": "Python UDTF surface demo (BatchEvalPythonUDTF); "

@@ -77,6 +77,11 @@ QUERIES = [
     "retrieval_eval_srp",      # full embeddings gold scan + bucket join
     "weighted_sample_es",      # full corpus: map + TakeOrderedAndProject
     "mixture_token_budget",    # full corpus: per-source running sum
+    # round 12 session 2
+    "html_extract",            # full corpus: pure map, scan-bound
+    "paragraph_dedup",         # full corpus: hash agg + hash join + reassembly
+    "multimodal_phash_dedup",  # bounded (<1200 docs) by construction
+    "multimodal_audio_dedup",  # bounded (<1200 docs) by construction
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
