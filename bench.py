@@ -162,6 +162,8 @@ HEADLINE = [
     "paragraph_dedup",   # corpus-wide keep-first paragraph rule (r12)
     "multimodal_phash_dedup",  # image dHash + banded-Hamming join (r12)
     "multimodal_audio_dedup",  # PCM frame-energy fingerprint dedup (r12)
+    "multimodal_dedup_stats",  # cross-modality pair-volume monitor (r12)
+    "imagetext_alignment",     # CLIP-filter-shaped pair scoring (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
 ]
 

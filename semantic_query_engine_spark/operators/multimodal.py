@@ -178,6 +178,30 @@ def dhash64(payload: bytes) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def bmp_band_profile(payload: bytes, n_bands: int = 16) -> list:
+    """Image feature vector from a GENUINELY PARSED uncompressed 24-bit
+    BMP: total grayscale mass per horizontal band (band(r) = r*n_bands
+    // height), the same parse discipline as dhash64 (header offset,
+    row padding, bottom-up order, blue-channel stride).  Integer-exact:
+    a sum of raw pixel bytes, so both engines agree bit-for-bit.  The
+    16-d profile is the stand-in for a CLIP-style image embedding in
+    the image-text alignment demo — a real encoder slots into the same
+    mapInPandas signature (payload batch in, fixed-dim vector out)."""
+    import struct
+
+    (off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    bands = [0] * n_bands
+    for r_img in range(height):
+        base = off + (height - 1 - r_img) * row_bytes
+        bands[r_img * n_bands // height] += sum(
+            payload[base + c * 3] for c in range(width)
+        )
+    return bands
+
+
 def audio_fingerprint64(payload: bytes) -> int:
     """64-bit audio fingerprint from a GENUINELY PARSED RIFF/WAVE file
     — the audio analog of dhash64, in the spirit of spectral-delta

@@ -394,3 +394,173 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = docs.select("doc_id", "n_chars").mapInPandas(run, "id long, sig long")
     return banded_hamming_pairs(sigs, max_hamming=3)
+
+
+def _mm_stats_leg(modality: str, inner_sql: str) -> str:
+    """One UNION ALL leg of the cross-modality dedup monitor: aggregate
+    a full pair-pipeline twin (nested WITH inside a subquery — DuckDB
+    scopes CTEs per subquery, so the three pipelines' CTE names never
+    collide) down to its occupancy stats."""
+    return f"""
+    SELECT '{modality}' AS modality,
+           COUNT(*)::BIGINT AS n_pairs,
+           COALESCE(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END),
+                    0)::BIGINT AS n_exact,
+           CAST(COALESCE(MAX(hamming), -1) AS INT) AS max_hamming
+    FROM ({inner_sql}) t_{modality}"""
+
+
+def _mm_stats_oracle() -> str:
+    from .dedup_q import _simhash_oracle
+
+    return " UNION ALL ".join(
+        [
+            _mm_stats_leg("audio", _audio_oracle(cap=_PHASH_CAP)),
+            _mm_stats_leg("image", _phash_oracle(cap=_PHASH_CAP)),
+            _mm_stats_leg("text", _simhash_oracle()),
+        ]
+    )
+
+
+@register("multimodal_dedup_stats", oracle=_mm_stats_oracle())
+def multimodal_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup monitor — one row per modality (text SimHash,
+    image dHash, audio energy-delta fingerprint) with pair volume,
+    exact-collision count, and worst Hamming distance: the report a
+    multimodal 100-TB curation run reads BEFORE acting on any modality's
+    pair list (the cross-family analog of dup_cluster_stats for CC
+    clusters and lsh_bucket_stats for LSH bands — a fat n_pairs or an
+    n_exact spike on one modality flags degenerate content, e.g. the
+    linear-ramp false-dup factory documented in SCALE.md r12, before
+    keep-one-per-cluster deletes real data).  All three pair pipelines
+    are the REGISTERED operators' own plans; the oracle aggregates each
+    pipeline's full SQL twin in a scoped subquery, so the stats are
+    value-hash-checked end to end.
+
+    Scale shape: three bounded pair pipelines (banded equality joins,
+    nothing all-pairs) each reduced by one combining aggregate; the
+    union is 3 rows."""
+    from ..operators.simhash import simhash_pairs
+    from .dedup_q import _docs_with_truncated_copies
+
+    def stats(pairs: DataFrame, modality: str) -> DataFrame:
+        agg = pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_exact"),
+            F.coalesce(F.max("hamming"), F.lit(-1))
+            .cast("int")
+            .alias("max_hamming"),
+        )
+        return agg.select(
+            F.lit(modality).alias("modality"), "n_pairs", "n_exact", "max_hamming"
+        )
+
+    text = simhash_pairs(
+        _docs_with_truncated_copies(spark, sf_dir), max_hamming=8, portable=True
+    )
+    return (
+        stats(multimodal_audio_dedup(spark, sf_dir), "audio")
+        .unionByName(stats(multimodal_phash_dedup(spark, sf_dir), "image"))
+        .unionByName(stats(text, "text"))
+    )
+
+
+@register(
+    "imagetext_alignment",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id AS id, doc_id % 56 + 9 AS w, doc_id % 41 + 8 AS h,
+             n_chars AS seed
+      FROM documents WHERE doc_id < {_PHASH_CAP}),
+    rws AS (SELECT id, w, h, seed, unnest(range(h)) AS r FROM imgs),
+    cells AS (SELECT id, w, h, seed, r, unnest(range(w)) AS c FROM rws),
+    bandsum AS (
+      SELECT id, CAST(r * 16 // h AS INT) AS b,
+             SUM((((h - 1 - r) * w + c) * 31 + seed) % 256) AS s
+      FROM cells GROUP BY id, b),
+    grid AS (SELECT i.id, gb.b
+             FROM imgs i, (SELECT unnest(range(16)) AS b) gb),
+    prof AS (
+      SELECT g.id, CAST(g.b AS INT) AS b, COALESCE(bs.s, 0) AS s
+      FROM grid g LEFT JOIN bandsum bs ON bs.id = g.id AND bs.b = g.b),
+    emb AS (
+      SELECT vec_id AS id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
+               AS micro
+      FROM embeddings WHERE vec_id < {_PHASH_CAP}),
+    j AS (
+      SELECT p.id, SUM(p.s * e.micro) AS score
+      FROM prof p JOIN emb e ON e.id = p.id AND e.pos = p.b
+      GROUP BY p.id)
+    SELECT id AS doc_id, CAST(score AS BIGINT) AS score,
+           score >= 0 AS aligned
+    FROM j
+    """,
+)
+def imagetext_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair scoring — the LAION/CLIP-filter shape for
+    multimodal pair curation (Schuhmann et al. 2022 kept image-text
+    pairs with CLIP similarity >= 0.28; DataComp made that filter the
+    whole benchmark): join each document's IMAGE-side feature vector
+    (16-band grayscale-mass profile from genuinely parsed BMP pixels —
+    `bmp_band_profile`, a real encoder slots into the same signature)
+    against its TEXT-side embedding (first 16 dims, micro-quantized),
+    score the pair with an integer dot product, and emit the
+    keep/drop verdict.  Scores here are synthetic-content artifacts;
+    the OPERATOR — modality join on the pair id, map-only scoring,
+    threshold verdict — is the real pipeline stage, and every score
+    is value-hash-checked (pixel sums integer-exact from the analytic
+    formula; embedding micros via the embedding_centroids
+    quantization recipe).
+
+    Scale shape: feature extraction is fused encode+parse mapInPandas
+    (payloads never shuffle); the only shuffle is the 1:1 equi-join of
+    two id-keyed 16-d vector tables; scoring is one zip_with/aggregate
+    expression inside codegen — no explode, no per-dim rows."""
+    from ..operators.multimodal import bmp_band_profile, encode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PHASH_CAP
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, profs = [], []
+            for d, s in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, s = int(d), int(s)
+                ids.append(d)
+                profs.append(bmp_band_profile(encode_bmp(d % 56 + 9, d % 41 + 8, s)))
+            yield _pd.DataFrame({"id": ids, "bands": profs})
+
+    prof = docs.select("doc_id", "n_chars").mapInPandas(
+        run, "id long, bands array<bigint>"
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PHASH_CAP)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.slice("embedding", 1, 16),
+                lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+            ).alias("micro"),
+        )
+    )
+    scored = prof.join(emb, "id").select(
+        F.col("id").alias("doc_id"),
+        F.aggregate(
+            F.zip_with("bands", "micro", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return scored.select(
+        "doc_id", "score", (F.col("score") >= 0).alias("aligned")
+    )

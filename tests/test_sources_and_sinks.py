@@ -447,3 +447,42 @@ def test_audio_fingerprint_parses_samples_and_ignores_container():
     b = audio_fingerprint64(encode_wav(501, seed=900, quad_step=9))
     # different length AND far seed: above the hamming<=3 dedup line
     assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 3
+
+
+def test_bmp_band_profile_parses_pixels(spark, sf_dir):
+    """bmp_band_profile sums genuine pixel bytes per horizontal band:
+    equals the analytic twin, total mass equals the whole-image pixel
+    sum (no band lost, padding excluded), and sparse bands (height <
+    16) read 0."""
+    from semantic_query_engine_spark.operators.multimodal import (
+        bmp_band_profile,
+        encode_bmp,
+    )
+
+    for w, h, seed in [(9, 8, 3), (13, 16, 0), (64, 48, 999)]:
+        prof = bmp_band_profile(encode_bmp(w, h, seed))
+        want = [0] * 16
+        for r in range(h):
+            for c in range(w):
+                want[r * 16 // h] += (((h - 1 - r) * w + c) * 31 + seed) % 256
+        assert prof == want
+        assert sum(prof) == sum(
+            ((k * 31 + seed) % 256) for k in range(w * h)
+        )
+    assert 0 in bmp_band_profile(encode_bmp(9, 8, 3))  # h=8: odd bands empty
+
+
+def test_imagetext_alignment_verdict_split(spark, sf_dir):
+    """The alignment filter produces one row per capped doc with a
+    consistent integer score and a verdict that actually splits the
+    corpus (both aligned and rejected pairs exist — a filter that
+    keeps everything isn't exercising its threshold)."""
+    from semantic_query_engine_spark.queries.multimodal_q import (
+        imagetext_alignment,
+    )
+
+    rows = imagetext_alignment(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.aligned == (r.score >= 0) for r in rows)
+    verdicts = {r.aligned for r in rows}
+    assert verdicts == {True, False}

@@ -82,6 +82,7 @@ QUERIES = [
     "paragraph_dedup",         # full corpus: hash agg + hash join + reassembly
     "multimodal_phash_dedup",  # bounded (<1200 docs) by construction
     "multimodal_audio_dedup",  # bounded (<1200 docs) by construction
+    "imagetext_alignment",     # bounded (<1200 pairs) by construction
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
