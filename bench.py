@@ -164,6 +164,7 @@ HEADLINE = [
     "multimodal_audio_dedup",  # PCM frame-energy fingerprint dedup (r12)
     "multimodal_dedup_stats",  # cross-modality pair-volume monitor (r12)
     "imagetext_alignment",     # CLIP-filter-shaped pair scoring (r12)
+    "video_scene_detect",      # per-clip dHash scene segmentation (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
 ]
 

@@ -48,11 +48,19 @@ def main() -> None:
     show("lsh_bucket_stats", 5)
     show("dedup_exact", 3)
     show("dedup_minhash_lsh", 5)
+    show("dedup_eval_lsh", 1)  # sketch recall/precision vs exact truth
     show("substring_dedup", 5)
 
+    # 2a0. the crawl front door runs before ANY text curation:
+    #      markup removal (script/style blocks, tags, entities)
+    show("html_extract", 3)
+
     # 2a. boilerplate stripping (the C4 line-frequency rule) runs before
-    #     near-dup detection so shared banners can't glue unrelated docs
+    #     near-dup detection so shared banners can't glue unrelated docs;
+    #     paragraph_dedup then removes the 2nd..Nth copy of ANY repeated
+    #     paragraph corpus-wide (the Dolma keep-first rule)
     show("boilerplate_line_removal", 3)
+    show("paragraph_dedup", 3)
 
     # 2c. the recurring shape: tomorrow's batch checks against TODAY's
     #     corpus only — cost keyed by the increment, never corpus^2;
@@ -70,6 +78,17 @@ def main() -> None:
     #     broadcast eval set) — both run before any training split is cut
     show("decontaminate", 3)
     show("decontaminate_semantic", 3)
+
+    # 2e. multimodal columns ride the same corpus: per-modality dedup
+    #     (image dHash, audio fingerprint — one banded-Hamming path
+    #     with text SimHash), the cross-modality pair-volume monitor
+    #     BEFORE acting on any pair list, and the CLIP-shaped
+    #     image-text alignment filter
+    show("multimodal_dedup_stats", 3)
+    show("multimodal_phash_dedup", 3)
+    show("multimodal_audio_dedup", 3)
+    show("imagetext_alignment", 3)
+    show("video_scene_detect", 3)  # scene cuts before frame sampling
 
     # 3. the composed prep plan (quality -> dedup -> neardup CC ->
     #    split -> pack) and its packed output

@@ -564,3 +564,139 @@ def imagetext_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "score", (F.col("score") >= 0).alias("aligned")
     )
+
+
+_N_FRAMES = 12  # frames per synthetic video clip
+_SCENE_JUMP = 128  # seed jump at the planted cut: only the value mod 256
+# matters (pixels are mod-256), and +128 maximizes ordering disruption —
+# each difference bit flips iff exactly ONE of its two sampled pixels
+# wraps, p=0.5 for +128 (expected hamming ~32); the first cut used 3^12,
+# which is ~-15 mod 256 and flipped only ~7 bits — under the threshold
+_SCENE_HAM = 8  # boundary threshold, the simhash near-dup default
+
+
+def _video_oracle(cap: int = 1200) -> str:
+    """DuckDB twin of the scene detector: per-frame dHash recomputed
+    analytically (the phash pixel formula with the per-frame seed),
+    consecutive-frame Hamming via the shared band arithmetic, boundary
+    rule and running scene counter as window functions."""
+    ham = _SIG_HAM.replace("sig_a", "prev_sig").replace("sig_b", "sig")
+    return f"""
+    WITH vids AS (
+      SELECT doc_id AS id, doc_id % 56 + 9 AS w, doc_id % 41 + 8 AS h,
+             n_chars AS s0, doc_id % {_N_FRAMES} AS fc
+      FROM documents WHERE doc_id < {cap}),
+    frames AS (
+      SELECT id, w, h, CAST(f AS INT) AS f,
+             s0 + f + CASE WHEN fc > 0 AND f >= fc
+                           THEN {_SCENE_JUMP} ELSE 0 END AS seed
+      FROM vids, (SELECT unnest(range({_N_FRAMES})) AS f) ff),
+    grid AS (
+      SELECT id, f, w, h, seed, r, c
+      FROM frames,
+           (SELECT unnest(range(8)) AS r) rr,
+           (SELECT unnest(range(9)) AS c) cc),
+    pix AS (
+      SELECT id, f, r, c,
+             (((h - 1 - (r * h // 8)) * w + (c * w // 9)) * 31 + seed)
+               % 256 AS p
+      FROM grid),
+    bits AS (
+      SELECT a.id, a.f, a.r, a.c,
+             CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      FROM pix a JOIN pix b
+        ON b.id = a.id AND b.f = a.f AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 8),
+    sigs AS (
+      SELECT id, f,
+             SUM(CAST(bit AS HUGEINT)
+                 * (CAST(1 AS HUGEINT) << CAST(r * 8 + c AS INT))) AS sig
+      FROM bits GROUP BY id, f),
+    lagged AS (
+      SELECT id, f, sig,
+             LAG(sig) OVER (PARTITION BY id ORDER BY f) AS prev_sig
+      FROM sigs),
+    hams AS (
+      SELECT id, f,
+             CASE WHEN prev_sig IS NULL THEN -1
+                  ELSE CAST({ham} AS INT) END AS ham_prev
+      FROM lagged)
+    SELECT id AS doc_id, f AS frame_idx, ham_prev,
+           (f = 0 OR ham_prev > {_SCENE_HAM}) AS is_boundary,
+           CAST(SUM(CASE WHEN f = 0 OR ham_prev > {_SCENE_HAM}
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY id ORDER BY f) AS INT) AS scene_id
+    FROM hams
+    """
+
+
+@register("video_scene_detect", oracle=_video_oracle(cap=_PHASH_CAP))
+def video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-boundary detection over video frames — the segmentation
+    step a video curation pipeline runs BEFORE frame sampling (sample
+    per scene, not per fixed stride, or 90% of frames come from the
+    longest static shot; shot-boundary detection via frame-signature
+    distance is the classic public technique).  Each doc becomes a
+    {_N_FRAMES}-frame clip built in-plan; every frame is a real BMP and
+    its dHash comes from `dhash64`'s genuine byte parsing.  Frames
+    within a scene drift by +1 brightness per frame (hamming ~0-2);
+    at the planted cut (frame doc_id % {_N_FRAMES}, when nonzero) the
+    seed jumps by 128, shifting every pixel half the value range mod
+    256 — each difference bit flips with p=0.5 (expected hamming
+    ~32), far above the boundary threshold.  Output: per-frame Hamming to the previous
+    frame, the boundary verdict, and a running scene_id — all
+    value-hash-checked against the analytic twin.
+
+    Scale shape: frame synthesis + hashing is one fused mapInPandas
+    stage (frames never shuffle — only (doc, frame, 8-byte sig) rows);
+    the consecutive-frame compare is a LAG window PARTITIONED BY the
+    clip (bounded {_N_FRAMES}-row partitions, no skew possible); the
+    scene counter is a running sum in the same window.  No join at
+    all."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import dhash64, encode_bmp
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PHASH_CAP
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, fs, sigs = [], [], []
+            for d, s0 in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, s0 = int(d), int(s0)
+                w, h, fc = d % 56 + 9, d % 41 + 8, d % _N_FRAMES
+                for f in range(_N_FRAMES):
+                    seed = s0 + f + (_SCENE_JUMP if 0 < fc <= f else 0)
+                    ids.append(d)
+                    fs.append(f)
+                    sigs.append(dhash64(encode_bmp(w, h, seed)))
+            yield _pd.DataFrame({"id": ids, "f": fs, "sig": sigs})
+
+    frames = docs.select("doc_id", "n_chars").mapInPandas(
+        run, "id long, f int, sig long"
+    )
+    w_clip = Window.partitionBy("id").orderBy("f")
+    lagged = frames.withColumn("prev_sig", F.lag("sig").over(w_clip))
+    hams = lagged.select(
+        "id",
+        "f",
+        F.when(F.col("prev_sig").isNull(), F.lit(-1))
+        .otherwise(F.bit_count(F.col("sig").bitwiseXOR(F.col("prev_sig"))))
+        .cast("int")
+        .alias("ham_prev"),
+    )
+    boundary = (F.col("f") == 0) | (F.col("ham_prev") > _SCENE_HAM)
+    return hams.select(
+        F.col("id").alias("doc_id"),
+        F.col("f").alias("frame_idx"),
+        "ham_prev",
+        boundary.alias("is_boundary"),
+        F.sum(boundary.cast("int"))
+        .over(Window.partitionBy("id").orderBy("f"))
+        .cast("int")
+        .alias("scene_id"),
+    )

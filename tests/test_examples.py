@@ -55,6 +55,16 @@ def test_training_data_pipeline_example(tmp_path):
         "bpe_roundtrip",
         "source_datacard",
         "embedding_drift",
+        # r12 session-2 stages: crawl front door, paragraph keep-first,
+        # sketch eval, and the multimodal curation leg
+        "html_extract",
+        "paragraph_dedup",
+        "dedup_eval_lsh",
+        "multimodal_dedup_stats",
+        "multimodal_phash_dedup",
+        "multimodal_audio_dedup",
+        "imagetext_alignment",
+        "video_scene_detect",
     ):
         assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout

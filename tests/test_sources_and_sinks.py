@@ -486,3 +486,41 @@ def test_imagetext_alignment_verdict_split(spark, sf_dir):
     assert all(r.aligned == (r.score >= 0) for r in rows)
     verdicts = {r.aligned for r in rows}
     assert verdicts == {True, False}
+
+
+def test_video_scene_detect_finds_planted_cuts(spark, sf_dir):
+    """Scene segmentation semantics: frame 0 always opens scene 1;
+    within-scene frames (+1 brightness drift) stay under the boundary
+    threshold; the planted seed-jump cut at frame doc_id%12 (when
+    nonzero) is detected for the overwhelming majority of clips
+    (wrap-around flips ~1/3 of difference bits); scene_id is the
+    running boundary count."""
+    from collections import defaultdict
+
+    from semantic_query_engine_spark.queries.multimodal_q import (
+        _N_FRAMES,
+        video_scene_detect,
+    )
+
+    clips = defaultdict(dict)
+    for r in video_scene_detect(spark, sf_dir).collect():
+        clips[r.doc_id][r.frame_idx] = r
+    assert clips
+    planted = detected = 0
+    for did, frames in clips.items():
+        assert len(frames) == _N_FRAMES
+        assert frames[0].is_boundary and frames[0].scene_id == 1
+        assert frames[0].ham_prev == -1
+        running = 0
+        for f in range(_N_FRAMES):
+            running += int(frames[f].is_boundary)
+            assert frames[f].scene_id == running
+        fc = did % _N_FRAMES
+        if fc > 0:
+            planted += 1
+            detected += int(frames[fc].is_boundary)
+            # no spurious boundary inside a scene for this clip beyond
+            # the planted one is NOT asserted per-clip (wraps can in
+            # principle spike) — the aggregate rate below pins behavior
+    assert planted > 0
+    assert detected / planted >= 0.9, (detected, planted)

@@ -83,6 +83,7 @@ QUERIES = [
     "multimodal_phash_dedup",  # bounded (<1200 docs) by construction
     "multimodal_audio_dedup",  # bounded (<1200 docs) by construction
     "imagetext_alignment",     # bounded (<1200 pairs) by construction
+    "video_scene_detect",      # bounded (<1200 clips) by construction
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
