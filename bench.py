@@ -165,6 +165,7 @@ HEADLINE = [
     "multimodal_dedup_stats",  # cross-modality pair-volume monitor (r12)
     "imagetext_alignment",     # CLIP-filter-shaped pair scoring (r12)
     "video_scene_detect",      # per-clip dHash scene segmentation (r12)
+    "video_keyframe_sample",   # one keyframe per detected scene (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
 ]
 

@@ -89,6 +89,7 @@ def main() -> None:
     show("multimodal_audio_dedup", 3)
     show("imagetext_alignment", 3)
     show("video_scene_detect", 3)  # scene cuts before frame sampling
+    show("video_keyframe_sample", 3)  # one keyframe per scene
 
     # 3. the composed prep plan (quality -> dedup -> neardup CC ->
     #    split -> pack) and its packed output

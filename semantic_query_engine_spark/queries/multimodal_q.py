@@ -700,3 +700,31 @@ def video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("scene_id"),
     )
+
+
+@register(
+    "video_keyframe_sample",
+    oracle=f"""
+    SELECT doc_id, scene_id, frame_idx AS keyframe_idx
+    FROM ({_video_oracle(cap=_PHASH_CAP)}) scenes
+    WHERE is_boundary
+    """,
+)
+def video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-aware frame sampling — the consumer video_scene_detect
+    exists for: keep ONE keyframe per scene (the boundary frame that
+    opened it) instead of a fixed stride, so a clip that is 90% one
+    static shot contributes one frame for that shot plus one per real
+    cut — the sampling rule that keeps a frame-level training set
+    diverse instead of redundant (stride sampling of the same clip
+    would emit ~12/stride near-identical frames for the static shot,
+    which the downstream image dHash dedup would then have to pay to
+    remove; sampling at boundaries removes them for free).
+
+    Scale shape: video_scene_detect's window plan plus one filter —
+    boundary rows are ~scenes-per-clip, so output is a bounded
+    fraction of frames and nothing new shuffles."""
+    scenes = video_scene_detect(spark, sf_dir)
+    return scenes.filter(F.col("is_boundary")).select(
+        "doc_id", "scene_id", F.col("frame_idx").alias("keyframe_idx")
+    )

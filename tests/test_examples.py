@@ -65,6 +65,7 @@ def test_training_data_pipeline_example(tmp_path):
         "multimodal_audio_dedup",
         "imagetext_alignment",
         "video_scene_detect",
+        "video_keyframe_sample",
     ):
         assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout

@@ -61,7 +61,9 @@ python tools/check_oracle.py --json "GATE_r${PADDED}_sf0.1.json" /root/testdata/
 # show at bigger groups (the sf0.1 gate caught two 1-ulp flips in r11;
 # sf1 is the next rung).  Family-scoped to keep the round affordable.
 if [[ -d .scale_data/sf1 ]]; then
-    python tools/check_oracle.py --module dedup_q,curation_q \
+    # multimodal_q joined the family in r12: its dedup ops share the
+    # banded-Hamming path and its oracles the same integer disciplines
+    python tools/check_oracle.py --module dedup_q,curation_q,multimodal_q \
         --json "GATE_r${PADDED}_sf1_subset.json" .scale_data/sf1
 else
     echo "verify_round: .scale_data/sf1 missing — skipping sf1 family gate" >&2
