@@ -166,6 +166,7 @@ HEADLINE = [
     "imagetext_alignment",     # CLIP-filter-shaped pair scoring (r12)
     "video_scene_detect",      # per-clip dHash scene segmentation (r12)
     "video_keyframe_sample",   # one keyframe per detected scene (r12)
+    "stream_phash_dedup",      # streaming exact perceptual dedup (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
 ]
 

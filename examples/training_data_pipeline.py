@@ -90,6 +90,7 @@ def main() -> None:
     show("imagetext_alignment", 3)
     show("video_scene_detect", 3)  # scene cuts before frame sampling
     show("video_keyframe_sample", 3)  # one keyframe per scene
+    show("stream_phash_dedup", 3)  # streaming arrivals vs phash index
 
     # 3. the composed prep plan (quality -> dedup -> neardup CC ->
     #    split -> pack) and its packed output

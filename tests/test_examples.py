@@ -66,6 +66,7 @@ def test_training_data_pipeline_example(tmp_path):
         "imagetext_alignment",
         "video_scene_detect",
         "video_keyframe_sample",
+        "stream_phash_dedup",
     ):
         assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout
