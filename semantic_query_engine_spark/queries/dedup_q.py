@@ -1855,10 +1855,11 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = truth.agg(F.count("*").alias("c"))
     nc = cand.agg(F.count("*").alias("c"))
-    # bounded: three 1-row count aggregates
     j = (
         nt.select(F.col("c").alias("n_truth"))
+        # bounded: 1-row candidate-count aggregate
         .crossJoin(F.broadcast(nc.select(F.col("c").alias("n_candidates"))))
+        # bounded: 1-row true-positive-count aggregate
         .crossJoin(F.broadcast(tp.select(F.col("c").alias("true_positives"))))
     )
     return j.select(
