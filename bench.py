@@ -167,6 +167,8 @@ HEADLINE = [
     "video_scene_detect",      # per-clip dHash scene segmentation (r12)
     "video_keyframe_sample",   # one keyframe per detected scene (r12)
     "stream_phash_dedup",      # streaming exact perceptual dedup (r12)
+    "multimodal_quality_filter",  # decode -> rule -> verdict gates (r12)
+    "dataset_manifest",        # per-split release checksum row (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
 ]
 

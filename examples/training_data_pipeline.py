@@ -90,6 +90,7 @@ def main() -> None:
     show("imagetext_alignment", 3)
     show("video_scene_detect", 3)  # scene cuts before frame sampling
     show("video_keyframe_sample", 3)  # one keyframe per scene
+    show("multimodal_quality_filter", 3)  # decode-metadata gates
     show("stream_phash_dedup", 3)  # streaming arrivals vs phash index
 
     # 3. the composed prep plan (quality -> dedup -> neardup CC ->
@@ -126,6 +127,10 @@ def main() -> None:
 
     # 3e. the order the trainer reads: deterministic per-epoch shards
     show("epoch_shuffle", 5)
+
+    # 3f. the release manifest: per-split doc/token counts + the
+    #     order-independent content fingerprint the data release ships
+    show("dataset_manifest", 3)
 
     # 4. write the result partitioned by split — the layout a trainer
     #    reads shard-by-shard

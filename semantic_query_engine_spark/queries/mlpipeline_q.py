@@ -1215,3 +1215,87 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg(u + 1, v - u),
         ).alias("psm_text"),
     )
+
+
+_HEXD = "0123456789abcdef"
+# 40-bit md5 prefix of (doc_id | text) as an integer: small enough that a
+# SUM over any realistic split count stays far inside BIGINT (1.1e12 per
+# doc x 8e6 docs before the 9.2e18 ceiling), big enough that a changed,
+# added, or dropped document moves the sum with collision odds ~2^-40
+_FP_POLY = " + ".join(
+    f"(strpos('{_HEXD}', substr(m, {1 + i}, 1)) - 1) * {16 ** (9 - i)}"
+    for i in range(10)
+)
+
+
+@register(
+    "dataset_manifest",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, {_bucket_expr('doc_id', 'strpos')} AS bucket
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+             CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b),
+    h AS (
+      SELECT split,
+             len(list_filter(regexp_split_to_array(
+               trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+'),
+               x -> x <> '')) AS toks,
+             md5(CAST(doc_id AS VARCHAR) || '|' || text) AS m
+      FROM s)
+    SELECT split,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(SUM({_FP_POLY}) AS BIGINT) AS content_fp
+    FROM h GROUP BY split
+    """,
+)
+def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release manifest for a training dataset — per split: document
+    count, token count, and an ORDER-INDEPENDENT content fingerprint
+    (sum of a 40-bit md5 prefix of each (doc_id, text) pair).  This is
+    the reproducibility record a data release ships (datacard checksum
+    row): any engine, any partitioning, any row order recomputes the
+    identical three numbers, and a single changed/added/dropped
+    document moves content_fp — so 'same manifest' certifies 'same
+    dataset' without comparing bytes.  Commutative+associative by
+    construction (a SUM, not an ordered hash chain), which is exactly
+    what makes it computable as one map-side-combined aggregate over
+    an arbitrarily partitioned 100-TB corpus; a hash CHAIN (md5 of
+    concatenated docs) would force a global sort + single reducer.
+
+    Scale shape: scan-local split assignment + hash, one combining
+    groupBy(split) agg — no join, no window, 3 output rows."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
+    split = (
+        F.when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    fp = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            split.alias("split"),
+            token_count(F.col("text")).alias("toks"),
+            fp.alias("fp"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("fp").cast("long").alias("content_fp"),
+        )
+    )

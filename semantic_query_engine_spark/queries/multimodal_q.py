@@ -820,3 +820,78 @@ def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fresh.select(F.col("id").alias("doc_id"), "sig"), output_mode="append"
     )
     return out.select("doc_id", "sig")
+
+
+@register(
+    "multimodal_quality_filter",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+             CASE WHEN doc_id % 2 = 0 THEN doc_id % 64 + 1 ELSE 1 END AS width,
+             CASE WHEN doc_id % 2 = 0 THEN doc_id % 48 + 1 ELSE 16 END
+               AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 1
+                  ELSE n_chars % 1000 + 8 END AS n_frames
+      FROM documents),
+    verdicts AS (
+      SELECT doc_id, format, width, height, n_frames,
+             CASE WHEN format = 'bmp' THEN
+                    CASE WHEN width * height < 256 THEN 'too_small'
+                         WHEN width > 4 * height OR height > 4 * width
+                           THEN 'extreme_aspect'
+                         ELSE 'keep' END
+                  ELSE
+                    CASE WHEN n_frames < 400 THEN 'too_short'
+                         ELSE 'keep' END
+             END AS verdict
+      FROM meta)
+    SELECT doc_id, format, verdict, verdict = 'keep' AS kept
+    FROM verdicts
+    """,
+)
+def multimodal_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality quality gates over REAL decoded metadata — the
+    LAION-style preprocessing rules that run between decode and any
+    expensive featurization (Schuhmann et al. 2022 dropped images under
+    a minimum pixel count; audio pipelines drop sub-second clips):
+    images must clear a minimum pixel area (w*h >= 256) and an aspect
+    ratio bound (neither side > 4x the other); audio must carry at
+    least 400 PCM frames (50 ms at the 8 kHz fixture rate).  The
+    metadata comes from `real_decode`'s genuine header parsing of
+    in-plan BMP/WAV containers (the multimodal_real_decode path), so
+    the filter exercises decode -> rule -> verdict end to end; the
+    oracle recomputes verdicts from the generation parameters.  Rows
+    are emitted with their verdict rather than silently dropped — the
+    audit table a curation run keeps (curation_verdict's multimodal
+    analog); both keep and every drop reason occur on the fixture.
+
+    Scale shape: one fused encode+parse mapInPandas stage then pure
+    row-local CASE logic — no shuffle, no join; the verdict histogram
+    downstream is one map-side-combined agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = decode_metadata(attach_real_payload(docs), decode_fn=real_decode)
+    is_img = F.col("format") == "bmp"
+    verdict = (
+        F.when(
+            is_img,
+            F.when(F.col("width") * F.col("height") < 256, F.lit("too_small"))
+            .when(
+                (F.col("width") > 4 * F.col("height"))
+                | (F.col("height") > 4 * F.col("width")),
+                F.lit("extreme_aspect"),
+            )
+            .otherwise(F.lit("keep")),
+        )
+        .otherwise(
+            F.when(F.col("n_frames") < 400, F.lit("too_short")).otherwise(
+                F.lit("keep")
+            )
+        )
+    )
+    return meta.select(
+        "doc_id",
+        "format",
+        verdict.alias("verdict"),
+        (verdict == "keep").alias("kept"),
+    )

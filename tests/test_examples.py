@@ -67,6 +67,8 @@ def test_training_data_pipeline_example(tmp_path):
         "video_scene_detect",
         "video_keyframe_sample",
         "stream_phash_dedup",
+        "multimodal_quality_filter",
+        "dataset_manifest",
     ):
         assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout
