@@ -907,17 +907,25 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first exercises cross-doc, within-doc, and keeper-doc cases;
     the oracle plants identically.
 
-    Scale shape: first-occurrence = groupBy(md5(paragraph)) with a
-    combining MIN over the scalar key doc_id*1e5+pos — map-side combine
-    collapses per-partition copies of a viral paragraph BEFORE the
-    shuffle, so the reducer for a paragraph with 1M copies receives one
-    row per map partition, not 1M rows (no skew valve needed, unlike a
-    window-rank plan whose partition would hold all copies).  The keep
-    decision is an equi-join on the hash, co-partitioned with the agg's
-    own shuffle; paragraph text rides only the probe side.  Reassembly
-    is the boilerplate_line_removal struct-sort aggregate — no window.
-    Scalar keys stay exact: pos <= ~1e1 paragraphs/doc << 1e5, and
-    doc_id*1e5 fits a BIGINT at any fixture scale."""
+    Scale shape — PARAGRAPH TEXT NEVER RIDES THE CONTENT-HASH SHUFFLE:
+    the exploded side is immediately slimmed to (doc_id, pos, h=md5(p),
+    k=doc_id*1e5+pos) scalar rows, so the groupBy(h) first-occurrence
+    agg (map-side-combining MIN — a viral paragraph's reducer receives
+    one row per map partition, not one per copy) and the keep-decision
+    equi-join on h move 16-byte digests + two longs only.  The kept
+    POSITIONS are then re-aggregated per doc (still slim) and joined
+    back to the DOCUMENT row, where the paragraph array is rebuilt
+    from `text` in place and filtered by position — so the full text
+    crosses the wire exactly ONCE (the doc-keyed join), not once for
+    the h-join plus once for a reassembly groupBy.  Measured at sf1
+    with auto-broadcast off, identical output: 58.5 MB total shuffle
+    for the naive text-through-h plan vs 36.2 MB here (SCALE.md r12);
+    the gap widens with document length since text rides one exchange
+    instead of two.
+    Reassembly is a row-local array filter — no window, no sort,
+    no collect_list of text.  Scalar keys stay exact: pos <= ~1e1
+    paragraphs/doc << 1e5, and doc_id*1e5 fits a BIGINT at any
+    fixture scale."""
     docs = load_table(spark, sf_dir, "documents")
     w = words_of(F.col("text"))
     n_groups = ((F.size(w) + (_PARA_W - 1)) / _PARA_W).cast("int")
@@ -930,46 +938,57 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             F.concat(F.lit(_NEWSLETTER), (F.col("doc_id") % 7).cast("string"))
         ),
+        # within-doc self-dup for every 10th doc: its first paragraph
+        # again (slice length 0 elsewhere keeps the type and adds nothing)
+        F.slice(
+            groups, 1, F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
+        ),
     )
-    paras0 = docs.select(
+    # the ONLY exploded view is slim: content hash + scalar keep key;
+    # paragraph text stays inside the per-doc array
+    keyed = docs.select(
         "doc_id", F.posexplode(planted).alias("pos0", "p")
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "p")
-    extra = docs.filter(F.col("doc_id") % 10 == 0).select(
+    ).select(
         "doc_id",
-        (n_groups + 2).cast("long").alias("pos"),
-        F.array_join(F.slice(w, 1, _PARA_W), " ").alias("p"),
-    )
-    paras = paras0.unionAll(extra)
-    keyed = paras.select(
-        "doc_id", "pos", "p",
-        F.md5("p").alias("h"),
-        (F.col("doc_id") * 100000 + F.col("pos")).alias("k"),
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        # 16-byte BINARY digest, not the 32-char hex string: h rides
+        # three slim exchanges (agg, join build, join probe), so its
+        # width is the dominant slim-side shuffle cost
+        F.unhex(F.md5("p")).alias("h"),
+        (F.col("doc_id") * 100000 + F.col("pos0") + 1).alias("k"),
     )
     first = keyed.groupBy("h").agg(F.min("k").alias("kk"))
-    kept = (
+    keptpos = (
         keyed.join(first, "h")
         .filter(F.col("k") == F.col("kk"))
-        .select("doc_id", "pos", "p")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.collect_set("pos").alias("keep_pos"),
+        )
     )
-    sizes = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
-    clean = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "p"))),
-                lambda x: x["p"],
-            ),
-            "\n",
-        ).alias("clean_text"),
-    )
+    arr = docs.select("doc_id", planted.alias("arr"))
     # LEFT join: a doc whose EVERY paragraph first occurred elsewhere
     # (a whole-doc duplicate — the sf0.001 fixture has 2) must survive
     # as an EMPTY doc, not silently vanish from the corpus manifest
-    return sizes.join(clean, "doc_id", "left").select(
+    joined = arr.join(keptpos, "doc_id", "left")
+    kept_paras = F.filter(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.struct((i + 1).cast("long").alias("pos"), x.alias("p")),
+        ),
+        lambda s: F.array_contains(
+            F.coalesce(F.col("keep_pos"), F.array().cast("array<long>")),
+            s["pos"],
+        ),
+    )
+    return joined.select(
         "doc_id",
-        "n_paras",
-        (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        F.size("arr").cast("long").alias("n_paras"),
+        (F.size("arr") - F.coalesce(F.col("n_kept"), F.lit(0)))
         .cast("long")
         .alias("n_removed"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.array_join(F.transform(kept_paras, lambda s: s["p"]), "\n").alias(
+            "clean_text"
+        ),
     )
