@@ -4,17 +4,29 @@
 Until round 11 the multimodal plumbing (opaque binary payloads, Arrow
 mapInPandas decode, pandas-UDF feature extraction, JVM frame sampling)
 was pytest-covered only; these registrations put every byte of its
-output behind the DuckDB comparison.  The fixture has no true binary
-column, so the payload is the UTF-8 encoding of `text` (pure ASCII in
-every fixture — asserted cheap in the oracle via ord()); the decode
-step is the documented deterministic fake (a real libjpeg/ffmpeg
-decoder slots into the same interface — operators/multimodal.py
-docstring), so metadata is a pure function of the byte stream that
-DuckDB reproduces with octet_length / codepoint arithmetic.
+output behind the DuckDB comparison.  For the fake-decode rows the
+payload is the UTF-8 encoding of `text` (pure ASCII in every fixture),
+so metadata is a pure function of the byte stream that DuckDB
+reproduces with octet_length / codepoint arithmetic; the round-12 rows
+build SPEC-CONFORMANT BMP/RIFF-WAVE containers in-plan and genuinely
+parse them (real_decode / dhash64 / audio_fingerprint64 /
+bmp_band_profile), with every oracle recomputing the result
+ANALYTICALLY from the generation parameters so parser bugs
+hash-mismatch.
 
-Scale shape (all three): map-only over Arrow batches — binary payloads
-never shuffle; frame sampling is a JVM-side generator over the typed
-metadata, not the bytes."""
+The round-12 curation leg: perceptual dedup for images (dHash) and
+audio (frame-energy deltas) sharing text SimHash's banded-Hamming
+join, the cross-modality pair-volume monitor, CLIP-shaped image-text
+alignment scoring, video scene detection + keyframe sampling,
+metadata quality gates, and streaming dedup against a historical
+signature index.
+
+Scale shape (every query here): encode/parse/fingerprint is fused
+map-only work over Arrow batches — binary payloads are born and
+consumed inside their split and NEVER shuffle; only ids, typed
+metadata, and 8-byte signatures cross the wire; near-dup search is a
+banded equality join (exact by pigeonhole at hamming<=3 under 4
+bands), never all-pairs."""
 
 from __future__ import annotations
 
