@@ -169,6 +169,8 @@ HEADLINE = [
     "stream_phash_dedup",      # streaming exact perceptual dedup (r12)
     "multimodal_quality_filter",  # decode -> rule -> verdict gates (r12)
     "dataset_manifest",        # per-split release checksum row (r12)
+    "join_skew_profile",       # pre-join key-distribution monitor (r12)
+    "shard_skew_report",       # trainer-shard token-balance monitor (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
 ]
 

@@ -125,8 +125,11 @@ def main() -> None:
     show("span_corruption_masks", 5)
     show("fim_transform", 3)
 
-    # 3e. the order the trainer reads: deterministic per-epoch shards
+    # 3e. the order the trainer reads: deterministic per-epoch shards,
+    #     plus the per-shard token-balance check a data-parallel run
+    #     reads before spending GPU time (stragglers tax every step)
     show("epoch_shuffle", 5)
+    show("shard_skew_report", 5)
 
     # 3f. the release manifest: per-split doc/token counts + the
     #     order-independent content fingerprint the data release ships

@@ -1299,3 +1299,74 @@ def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fp").cast("long").alias("content_fp"),
         )
     )
+
+
+@register(
+    "shard_skew_report",
+    oracle=f"""
+    WITH withe AS (
+      SELECT doc_id, text, e.epoch
+      FROM documents, (SELECT unnest([0, 1]) AS epoch) e),
+    assigned AS (
+      SELECT epoch,
+             CAST(({_bucket_expr("doc_id || ':' || epoch", 'strpos')}) % 8
+                  AS INT) AS shard,
+             len(list_filter(regexp_split_to_array(
+               trim(regexp_replace(text, chr(10), ' ', 'g')), '\\s+'),
+               x -> x <> '')) AS toks
+      FROM withe),
+    per AS (
+      SELECT epoch, shard, COUNT(*)::BIGINT AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY epoch, shard)
+    SELECT epoch, shard, n_docs, n_tokens,
+           CAST(n_tokens * 1000 * COUNT(*) OVER (PARTITION BY epoch)
+                // SUM(n_tokens) OVER (PARTITION BY epoch)
+                AS BIGINT) AS load_milli
+    FROM per
+    """,
+)
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-shard balance monitor over epoch_shuffle's assignment:
+    per (epoch, shard) document and token volume, plus each shard's
+    load as milli-multiples of its epoch's mean token load — the check
+    a distributed training run reads before launch, because one
+    overweight shard sets the step time for every data-parallel worker
+    (stragglers are a per-STEP tax, unlike a skewed reduce which is
+    paid once).  The md5 shard hash makes loads uniform by
+    construction; the monitor is what PROVES it per corpus — a
+    load_milli far from 1000 flags a broken hash or pathological
+    length distribution before any GPU time is spent.
+
+    Scale shape: one map-side-combined groupBy over the same scan
+    epoch_shuffle reads; the load normalization is a window over the
+    16-row per-epoch aggregate, not the data.  Integer milli-loads:
+    n_tokens*1000 // mean, identical both engines."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    withe = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("toks"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    )
+    bucket = F.expr(_bucket_expr("doc_id || ':' || epoch", "instr", "STRING"))
+    per = (
+        withe.select("epoch", (bucket % 8).cast("int").alias("shard"), "toks")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("epoch")
+    with_tot = per.withColumn("__cnt", F.count("*").over(w)).withColumn(
+        "__tot", F.sum("n_tokens").over(w)
+    )
+    return with_tot.select(
+        "epoch",
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000 * __cnt DIV __tot").alias("load_milli"),
+    )

@@ -1130,3 +1130,60 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.sum(_cents("l_quantity")) / 100.0).alias("sum_qty"))
     )
+
+
+@register(
+    "join_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*)::BIGINT AS rows_per_key
+      FROM lineitem GROUP BY l_orderkey),
+    hist AS (
+      SELECT rows_per_key, COUNT(*)::BIGINT AS n_keys
+      FROM per_key GROUP BY rows_per_key),
+    tot AS (SELECT SUM(rows_per_key * n_keys) AS total_rows,
+                   MAX(rows_per_key) AS max_rows
+            FROM hist)
+    SELECT h.rows_per_key, h.n_keys,
+           CAST(h.rows_per_key * h.n_keys * 1000000 // t.total_rows
+                AS BIGINT) AS mass_micro,
+           h.rows_per_key = t.max_rows AS is_heaviest
+    FROM hist h, tot t
+    """,
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key-distribution profile — the diagnosis a 100-TB run
+    performs BEFORE a large join to decide whether it needs salting or
+    AQE skew handling: the count-of-counts histogram of rows per join
+    key (here lineitem's l_orderkey, the fact side of the orders join),
+    each bucket's share of total rows in integer micro-units, and a
+    heaviest-bucket marker.  A healthy key (this fixture: 1-7 lineitems
+    per order) shows all mass in single-digit buckets; a power-law key
+    shows a bucket with tiny n_keys carrying outsized mass_micro —
+    exactly the key you salt (join_salted_skew is this repo's
+    treatment; THIS row is the instrument that tells you to use it).
+    Companion to lsh_bucket_stats (band occupancy) and
+    dup_cluster_stats (component sizes): every shuffle-shaped blowup
+    gets a cheap monitor that runs before the cost is paid.
+
+    Scale shape: two map-side-combined aggregations — per-key counts
+    (the shuffle moves (key, partial count), never rows), then the
+    tiny count-of-counts; the totals side is a 1-row broadcast.  No
+    join against the fact table, no window over data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("rows_per_key"))
+    hist = per_key.groupBy("rows_per_key").agg(F.count("*").alias("n_keys"))
+    tot = hist.agg(
+        F.sum(F.col("rows_per_key") * F.col("n_keys")).alias("total_rows"),
+        F.max("rows_per_key").alias("max_rows"),
+    )
+    # bounded: 1-row totals aggregate
+    j = hist.crossJoin(F.broadcast(tot))
+    return j.select(
+        "rows_per_key",
+        "n_keys",
+        F.expr("rows_per_key * n_keys * 1000000 DIV total_rows").alias(
+            "mass_micro"
+        ),
+        (F.col("rows_per_key") == F.col("max_rows")).alias("is_heaviest"),
+    )

@@ -69,6 +69,7 @@ def test_training_data_pipeline_example(tmp_path):
         "stream_phash_dedup",
         "multimodal_quality_filter",
         "dataset_manifest",
+        "shard_skew_report",
     ):
         assert f"== {stage} (" in out, f"stage {stage} missing from pipeline"
     # the sink stage must actually have written the split layout

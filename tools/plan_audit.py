@@ -77,6 +77,8 @@ ALLOWED_BNLJ: dict[str, str] = {
     "dedup_eval_lsh": "two broadcast crosses of 1-row COUNT aggregates "
     "(n_candidates, true_positives) onto the 1-row n_truth side for the "
     "recall/precision divisions",
+    "join_skew_profile": "broadcast 1-row totals aggregate onto the "
+    "count-of-counts histogram for the mass_micro division",
 }
 ALLOWED_ROW_PYTHON: dict[str, str] = {
     "udtf_word_index": "Python UDTF surface demo (BatchEvalPythonUDTF); "
