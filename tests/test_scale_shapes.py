@@ -478,3 +478,38 @@ def test_epoch_shuffle_deterministic_and_partitioned(spark, sf_dir):
     import re
     for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
         assert "epoch" in m.group(1) and "shard" in m.group(1)
+
+
+def test_monitor_invariants_skew_and_shards(spark, sf_dir):
+    """The r12 monitors' defining identities hold on the fixture:
+    join_skew_profile's mass shares cover the corpus (sum within
+    integer-floor slack of 1e6) with exactly one heaviest bucket
+    marked; shard_skew_report's milli-loads average ~1000 per epoch
+    (md5 uniformity) and its token totals reconcile with the corpus."""
+    from semantic_query_engine_spark.queries.mlpipeline_q import (
+        shard_skew_report,
+    )
+    from semantic_query_engine_spark.queries.relational import (
+        join_skew_profile,
+    )
+
+    hist = join_skew_profile(spark, sf_dir).collect()
+    assert hist
+    mass = sum(r.mass_micro for r in hist)
+    assert 1_000_000 - len(hist) <= mass <= 1_000_000  # floor-div slack
+    heaviest = [r for r in hist if r.is_heaviest]
+    assert len(heaviest) == 1
+    assert heaviest[0].rows_per_key == max(r.rows_per_key for r in hist)
+
+    shards = shard_skew_report(spark, sf_dir).collect()
+    by_epoch = {}
+    for r in shards:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for epoch, rows in by_epoch.items():
+        assert len(rows) == 8  # all shards populated
+        loads = [r.load_milli for r in rows]
+        # integer floor of n*1000*cnt/tot averages just under 1000
+        assert 900 <= sum(loads) / len(loads) <= 1000, (epoch, loads)
+        # uniform hash: no shard carries 2x the mean token load
+        assert max(loads) < 2000, (epoch, loads)

@@ -84,6 +84,9 @@ QUERIES = [
     "multimodal_audio_dedup",  # bounded (<1200 docs) by construction
     "imagetext_alignment",     # bounded (<1200 pairs) by construction
     "video_scene_detect",      # bounded (<1200 clips) by construction
+    "dataset_manifest",        # full corpus: split + hash + one agg
+    "join_skew_profile",       # full lineitem: two combining aggs
+    "shard_skew_report",       # full corpus x2 epochs: one agg + tiny window
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
