@@ -309,3 +309,42 @@ def test_stream_dedup_incremental_tail_only_and_stateless(spark, sf_dir):
         .collect()
     }
     assert all(r.fp not in hist for r in rows)
+
+
+def test_stream_phash_dedup_survivors_disjoint_from_history(spark, sf_dir):
+    """The streaming perceptual dedup's contract: every surviving
+    arrival's signature is absent from the historical index, history
+    replays (doc_id < 250) never survive, and survivors carry the
+    genuine dHash of their BMP (spot-checked against the parser)."""
+    from semantic_query_engine_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+    )
+    from semantic_query_engine_spark.queries.multimodal_q import (
+        stream_phash_dedup,
+    )
+
+    rows = stream_phash_dedup(spark, sf_dir).collect()
+    assert rows
+    hist = {
+        dhash64(encode_bmp(d % 56 + 9, d % 41 + 8, s))
+        for d, s in [
+            (r.doc_id, r.n_chars)
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id < 250")
+            .collect()
+        ]
+    }
+    for r in rows:
+        assert r.doc_id >= 250
+        assert r.sig not in hist
+    for r in rows[:5]:
+        nc = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(f"doc_id = {r.doc_id}")
+            .collect()[0]
+            .n_chars
+        )
+        assert r.sig == dhash64(
+            encode_bmp(r.doc_id % 56 + 9, r.doc_id % 41 + 8, nc)
+        )
