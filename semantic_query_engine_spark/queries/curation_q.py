@@ -759,6 +759,9 @@ _HTML_PRE = (
 _HTML_MID = (
     '</title><style type="text/css">p { margin: 0 }</style>'
     "<script type=\"text/javascript\">var ok = 1 < 2 && 3 > 2;</script>"
+    # the comment body contains markup AND text: comment stripping must
+    # run BEFORE tag stripping, or '<b>draft</b> note' leaks 'draft note'
+    "<!-- <b>draft</b> note: do not publish -->"
     '</head><body><div class="main"><p>'
 )
 _HTML_POST = (
@@ -778,7 +781,9 @@ _HTML_POST = (
     s AS (
       SELECT doc_id, html,
              regexp_replace(
-               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
+               regexp_replace(
+                 regexp_replace(html, '<!--.*?-->', ' ', 'gs'),
+                 '<script[^>]*>.*?</script>', ' ', 'gs'),
                '<style[^>]*>.*?</style>', ' ', 'gs') AS x1
       FROM h),
     t AS (SELECT doc_id, html, regexp_replace(x1, '<[^>]+>', ' ', 'g') AS x2
@@ -806,7 +811,11 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     text and fails the value hash), strip remaining tags, decode the
     six ubiquitous HTML entities (&amp; LAST, so '&amp;lt;' decodes to
     the literal '&lt;' and not '<' — the standard double-escape rule),
-    and collapse whitespace.  Page skeleton is planted in-plan
+    and collapse whitespace, with comments stripped FIRST — the
+    planted comment's body contains both markup and text
+    ('<b>draft</b> note'), so a tag-strip-before-comment-strip
+    ordering bug leaks 'draft note' into the output and fails the
+    hash.  Page skeleton is planted in-plan
     (deterministic from doc_id + text); the oracle builds identical
     bytes and runs the identical pipeline in DuckDB's regex engine, so
     every byte of the extraction — block removal order, entity order,
@@ -826,7 +835,8 @@ def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit(_HTML_POST),
     )
-    x = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?s)<script[^>]*>.*?</script>", " ")
     x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", " ")
     x = F.regexp_replace(x, r"<[^>]+>", " ")
     for ent, ch in [

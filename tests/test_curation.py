@@ -252,8 +252,10 @@ def test_html_extract_strips_markup_and_decodes_entities(spark, sf_dir):
     for did, r in rows.items():
         assert r.clean_text.startswith(f"Doc {did} ")
         assert docs[did].split()[0] in r.clean_text
-        # script body never leaks
+        # script/style/comment bodies never leak (the comment contains
+        # markup + text, so strip-order bugs surface as 'draft note')
         assert "var ok" not in r.clean_text and "margin" not in r.clean_text
+        assert "draft" not in r.clean_text
         # entities decoded: & < " ' and the nbsp all surface as text
         assert 'Tom & Jerry <3 "quoted" it\'s fine' in r.clean_text
         assert "&amp;" not in r.clean_text and "&#39;" not in r.clean_text
