@@ -291,3 +291,31 @@ def test_paragraph_dedup_keep_first_semantics(spark, sf_dir):
     assert any(r.clean_text == "" for r in rows) or all(
         r.n_removed < r.n_paras for r in rows
     )
+
+
+def test_html_extract_adversarial_corpus(spark, tmp_path):
+    """The registered extractor on a scratch corpus of adversarial
+    documents: a double-escaped entity decodes ONE level
+    ('&amp;lt;' -> '&lt;', never '<' — the &amp;-last ordering rule the
+    docstring claims), document text that LOOKS like markup is treated
+    as content by the tag stripper (angle-bracket words vanish as tags
+    — the documented naive-stripper limitation), and plain text passes
+    through unchanged."""
+    from semantic_query_engine_spark.queries.curation_q import html_extract
+
+    rows = [
+        (0, "plain words only", "en", "s", 16),
+        (1, "double escape &amp;lt; stays encoded", "en", "s", 36),
+        (2, "self closing <br/> inline", "en", "s", 25),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.clean_text for r in html_extract(spark, str(tmp_path)).collect()}
+    assert "plain words only" in got[0]
+    # one-level decode: the planted '&amp;lt;' surfaces as literal '&lt;'
+    assert "&lt;" in got[1] and "double escape" in got[1]
+    assert "< stays" not in got[1]
+    # markup-like content is stripped as a tag (documented limitation)
+    assert "<br/>" not in got[2] and "self closing" in got[2]
