@@ -860,13 +860,21 @@ _PARA_W = 12  # words per synthetic paragraph
 @register(
     "paragraph_dedup",
     oracle=f"""
-    WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    WITH base AS (
+      -- empty-token filter matches the engine's words_of (Spark's
+      -- split('') returns [''], Python's ''.split() returns []) so
+      -- empty/whitespace-only docs tokenize identically (ADVICE r12)
+      SELECT doc_id, list_filter({_WORDS}, w -> w <> '') AS ws
+      FROM documents),
     g AS (
       SELECT doc_id, ws,
-             list_transform(range(CAST((len(ws) + {_PARA_W - 1}) // {_PARA_W}
-                                       AS BIGINT)),
-               i -> array_to_string(
-                      ws[i * {_PARA_W} + 1 : i * {_PARA_W} + {_PARA_W}], ' '))
+             list_transform(range(CAST(greatest(
+                   1, (len(ws) + {_PARA_W - 1}) // {_PARA_W}) AS BIGINT)),
+               -- coalesce: DuckDB's array_to_string is NULL (not '')
+               -- on an empty slice, unlike Spark's array_join
+               i -> coalesce(array_to_string(
+                      ws[i * {_PARA_W} + 1 : i * {_PARA_W} + {_PARA_W}], ' '),
+                      ''))
                AS gs
       FROM base),
     pl AS (
@@ -881,8 +889,9 @@ _PARA_W = 12  # words per synthetic paragraph
             FROM pl)),
     extra AS (
       SELECT doc_id,
-             CAST((len(ws) + {_PARA_W - 1}) // {_PARA_W} + 2 AS BIGINT) AS pos,
-             array_to_string(ws[1:{_PARA_W}], ' ') AS p
+             CAST(greatest(1, (len(ws) + {_PARA_W - 1}) // {_PARA_W}) + 2
+                  AS BIGINT) AS pos,
+             coalesce(array_to_string(ws[1:{_PARA_W}], ' '), '') AS p
       FROM base WHERE doc_id % 10 = 0),
     paras AS (SELECT * FROM paras0 UNION ALL SELECT * FROM extra),
     keyed AS (
@@ -938,7 +947,15 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale."""
     docs = load_table(spark, sf_dir, "documents")
     w = words_of(F.col("text"))
-    n_groups = ((F.size(w) + (_PARA_W - 1)) / _PARA_W).cast("int")
+    # greatest(1, ...): an empty/whitespace-only doc has size(w)=0, and
+    # an unguarded F.sequence(0, -1) yields the DESCENDING array [0,-1]
+    # — fabricating two empty paragraphs where the oracle (whose
+    # regexp_split keeps [''] on empty text) makes one.  Clamping both
+    # engines to >=1 group makes empty docs produce exactly one empty
+    # paragraph identically (the word_shingles guard pattern; ADVICE r12).
+    n_groups = F.greatest(
+        F.lit(1), ((F.size(w) + (_PARA_W - 1)) / _PARA_W).cast("int")
+    )
     groups = F.transform(
         F.sequence(F.lit(0), n_groups - 1),
         lambda i: F.array_join(F.slice(w, i * _PARA_W + 1, _PARA_W), " "),

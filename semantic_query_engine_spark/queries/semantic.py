@@ -360,29 +360,48 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     double accumulation anywhere, so shuffle order cannot move a bit;
     consumers divide by n downstream.
 
-    Scale shape: two narrow (vec_id, dim, micro) streams equi-joined on
-    their natural key and reduced by a dim-keyed combining agg —
-    map-side partials shrink each side to |dims| rows per partition
-    before the shuffle.  At 100 TB both snapshots are parquet scans and
-    the join co-partitions on the same key the tables are laid out by;
-    no vector payload survives past the projection."""
+    Scale shape (round-13 rework; the pre-rework dim-exploded-join
+    plan is kept verbatim in tools/drift_shuffle_ab.py as the A/B
+    baseline): the two snapshots join on vec_id at ARRAY level — one
+    4-8 KB vector payload per side per vector rides the exchange —
+    then zip_with pairs the components row-locally and posexplode
+    feeds the dim-keyed combining agg, whose map-side partials shrink
+    to |dims| rows per partition before its (tiny) shuffle.  The
+    pre-rework plan posexploded FIRST and joined on (vec_id, dim):
+    ~|dims| narrow rows per vector per side through the join exchange
+    (~57 KB/vector at dim 1024 vs ~8-16 KB here) and |dims|x the join
+    rows, for the identical answer.  At 100 TB both snapshots are
+    parquet scans co-partitioned on vec_id; no per-dimension row
+    exists before the post-join, row-local explode."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cur = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
-    prev = cur.select(
+    cur = emb
+    prev = emb.select(
         "vec_id",
-        "dim",
         F.when(
-            (F.col("vec_id") % 10 == 0) & (F.col("dim") < 4),
-            F.col("x") + F.lit(0.25),
+            F.col("vec_id") % 10 == 0,
+            F.transform(
+                "v",
+                lambda x, i: F.when(i < 4, x + F.lit(0.25)).otherwise(x),
+            ),
         )
-        .otherwise(F.col("x"))
-        .alias("y"),
+        .otherwise(F.col("v"))
+        .alias("w"),
     )
     micro = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
-    j = cur.join(prev, ["vec_id", "dim"])
-    return j.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+    pair = (
+        cur.join(prev, "vec_id")
+        .select(
+            F.posexplode(
+                F.zip_with(
+                    "v", "w", lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+                )
+            ).alias("dim", "p")
+        )
+        .select("dim", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    )
+    return pair.groupBy(F.col("dim").cast("int").alias("dim")).agg(
         F.count("*").alias("n"),
         F.sum(micro(F.col("x"))).alias("cur_sum_micro"),
         F.sum(micro(F.col("y"))).alias("prev_sum_micro"),

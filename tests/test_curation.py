@@ -287,10 +287,12 @@ def test_paragraph_dedup_keep_first_semantics(spark, sf_dir):
         assert len(paras) == len(set(paras))  # output is dup-free per doc
         if r.doc_id % 10 == 0:
             assert r.n_removed >= 1  # at least the self-repeat went
-    # at least one whole-doc duplicate case exists in the fixture pool
-    assert any(r.clean_text == "" for r in rows) or all(
-        r.n_removed < r.n_paras for r in rows
-    )
+    # the sf0.001 fixture plants whole-doc duplicates (the operator
+    # docstring documents 2 empty survivors) — assert the survive-as-
+    # empty-doc case DIRECTLY, so a fixture change that stops
+    # exercising it fails here instead of sliding into a fallback
+    # branch (ADVICE r12)
+    assert sum(r.clean_text == "" for r in rows) >= 1
 
 
 def test_html_extract_adversarial_corpus(spark, tmp_path):
@@ -319,3 +321,46 @@ def test_html_extract_adversarial_corpus(spark, tmp_path):
     assert "< stays" not in got[1]
     # markup-like content is stripped as a tag (documented limitation)
     assert "<br/>" not in got[2] and "self closing" in got[2]
+
+
+def test_paragraph_dedup_empty_docs_match_oracle(spark, tmp_path):
+    """Empty / whitespace-only documents must not hit the descending
+    F.sequence(0, -1) path (ADVICE r12): both engines clamp to ONE
+    empty paragraph per empty doc, verified by running the registered
+    DuckDB oracle SQL over the same scratch corpus and comparing every
+    output cell.  Doc 10 is whitespace-only AND doc_id%10==0, so the
+    degenerate doc also exercises the self-dup branch; its empty
+    paragraph first occurred in doc 0 (cross-doc dedup of the empty
+    paragraph itself)."""
+    import duckdb
+
+    from semantic_query_engine_spark.queries import REGISTRY
+
+    rows = [
+        (0, "", "en", "s", 0),
+        (10, "   \t  ", "en", "s", 6),
+        (2, " ".join(f"w{i}" for i in range(13)), "en", "s", 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spec = REGISTRY["paragraph_dedup"]
+    got = {
+        r.doc_id: (r.n_paras, r.n_removed, r.clean_text)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        int(d): (int(n_p), int(n_r), ct)
+        for d, n_p, n_r, ct in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want
+    # empty doc 0: one clamped empty paragraph + newsletter + self-dup
+    assert got[0][0] == 3 and got[0][1] == 1
+    # doc 10's empty paragraph deduped against doc 0's (cross-doc)
+    assert got[10][1] == 2 and got[10][2].startswith("subscribe")
