@@ -147,7 +147,7 @@ def real_decode(payload: bytes) -> dict:
     return {"n_bytes": n, "width": 0, "height": 0, "format": "unknown", "n_frames": 0}
 
 
-def dhash64(payload: bytes) -> int:
+def dhash64(payload: bytes) -> Optional[int]:
     """64-bit difference hash (dHash — Krawetz 2013, "Kind of Like
     That"; public algorithm) from a GENUINELY PARSED uncompressed
     24-bit BMP: the pixel-array offset comes from the file header,
@@ -158,13 +158,26 @@ def dhash64(payload: bytes) -> int:
     brighter.  Same stdlib-struct parsing discipline as real_decode —
     a bug in padding, row order, or channel layout changes the hash
     and fails the value gate.  Returns the signed 64-bit integer with
-    the same bit pattern (Java long semantics, like simhash packing)."""
+    the same bit pattern (Java long semantics, like simhash packing).
+
+    Quarantine contract (same as real_decode, ADVICE r12): a payload
+    that is not a complete uncompressed 24-bit BMP returns None instead
+    of raising, so one malformed byte string can't fail a whole
+    mapInPandas task — callers filter the None sentinel into a
+    quarantine count exactly like corrupt-record handling in ingest."""
     import struct
 
+    if len(payload) < 30 or payload[:2] != b"BM":
+        return None
     (off,) = struct.unpack_from("<I", payload, 10)
     width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
     height = abs(height)
     row_bytes = (width * 3 + 3) // 4 * 4
+    if bpp != 24 or width <= 0 or height <= 0 or (
+        off + height * row_bytes > len(payload)
+    ):
+        return None
     bits = 0
     for r in range(8):
         j = height - 1 - (r * height // 8)  # bottom-up row storage
@@ -178,7 +191,7 @@ def dhash64(payload: bytes) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
-def bmp_band_profile(payload: bytes, n_bands: int = 16) -> list:
+def bmp_band_profile(payload: bytes, n_bands: int = 16) -> Optional[list]:
     """Image feature vector from a GENUINELY PARSED uncompressed 24-bit
     BMP: total grayscale mass per horizontal band (band(r) = r*n_bands
     // height), the same parse discipline as dhash64 (header offset,
@@ -186,13 +199,22 @@ def bmp_band_profile(payload: bytes, n_bands: int = 16) -> list:
     a sum of raw pixel bytes, so both engines agree bit-for-bit.  The
     16-d profile is the stand-in for a CLIP-style image embedding in
     the image-text alignment demo — a real encoder slots into the same
-    mapInPandas signature (payload batch in, fixed-dim vector out)."""
+    mapInPandas signature (payload batch in, fixed-dim vector out).
+    Quarantine contract: None for anything but a complete uncompressed
+    24-bit BMP (see dhash64), never an exception."""
     import struct
 
+    if len(payload) < 30 or payload[:2] != b"BM":
+        return None
     (off,) = struct.unpack_from("<I", payload, 10)
     width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
     height = abs(height)
     row_bytes = (width * 3 + 3) // 4 * 4
+    if bpp != 24 or width <= 0 or height <= 0 or (
+        off + height * row_bytes > len(payload)
+    ):
+        return None
     bands = [0] * n_bands
     for r_img in range(height):
         base = off + (height - 1 - r_img) * row_bytes
@@ -202,7 +224,7 @@ def bmp_band_profile(payload: bytes, n_bands: int = 16) -> list:
     return bands
 
 
-def audio_fingerprint64(payload: bytes) -> int:
+def audio_fingerprint64(payload: bytes) -> Optional[int]:
     """64-bit audio fingerprint from a GENUINELY PARSED RIFF/WAVE file
     — the audio analog of dhash64, in the spirit of spectral-delta
     fingerprints (Chromaprint/Shazam-style sign-of-difference coding,
@@ -212,9 +234,15 @@ def audio_fingerprint64(payload: bytes) -> int:
     as its energy, and set bit f iff frame f+1 is louder than frame f.
     Depends ONLY on the decoded sample stream — container metadata
     (sample rate, chunk layout) does not move it, which is exactly what
-    makes it a dedup key for re-encoded copies of the same audio."""
+    makes it a dedup key for re-encoded copies of the same audio.
+    Quarantine contract (same as real_decode, ADVICE r12): a payload
+    that is not RIFF/WAVE, lacks a data chunk, or whose data chunk is
+    truncated or empty returns None instead of raising — one malformed
+    byte string must not fail the whole mapInPandas task."""
     import struct
 
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
     pos, data_off, data_size = 12, None, 0
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -223,6 +251,8 @@ def audio_fingerprint64(payload: bytes) -> int:
             data_off, data_size = pos + 8, sz
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     n = data_size // 2
+    if data_off is None or n == 0 or data_off + n * 2 > len(payload):
+        return None
     samples = struct.unpack_from(f"<{n}h", payload, data_off)
     energy = [0] * 65
     for i, s in enumerate(samples):

@@ -509,7 +509,12 @@ def multimodal_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT)
                AS micro
-      FROM embeddings WHERE vec_id < {_PHASH_CAP}),
+      -- loud dim guard, mirrored on the Spark side (ADVICE r12): a
+      -- short embedding must FAIL, not silently sum fewer dims
+      FROM embeddings WHERE vec_id < {_PHASH_CAP}
+        AND CASE WHEN len(embedding) >= 16 THEN TRUE
+                 ELSE error('imagetext_alignment: embedding dim < 16')
+            END),
     j AS (
       SELECT p.id, SUM(p.s * e.micro) AS score
       FROM prof p JOIN emb e ON e.id = p.id AND e.pos = p.b
@@ -562,6 +567,18 @@ def imagetext_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < _PHASH_CAP)
+        # loud dim guard (ADVICE r12): with dim < 16 the zip_with below
+        # would pad with nulls and silently NULL the score while the
+        # oracle's pos-join summed fewer dims — a silent divergence.
+        # assert_true fails the job instead, identically to the
+        # oracle's error() branch; on dim >= 16 rows it is NULL and the
+        # filter keeps every row, adding no shuffle.
+        .filter(
+            F.assert_true(
+                F.size("embedding") >= 16,
+                F.lit("imagetext_alignment: embedding dim < 16"),
+            ).isNull()
+        )
         .select(
             F.col("vec_id").alias("id"),
             F.transform(

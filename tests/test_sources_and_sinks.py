@@ -472,6 +472,64 @@ def test_bmp_band_profile_parses_pixels(spark, sf_dir):
     assert 0 in bmp_band_profile(encode_bmp(9, 8, 3))  # h=8: odd bands empty
 
 
+def test_fingerprint_parsers_quarantine_malformed_payloads():
+    """The fingerprint parsers honor real_decode's quarantine-don't-
+    crash contract (ADVICE r12): not-a-container, truncated-container,
+    wrong-bpp, and empty-data payloads all return the None sentinel —
+    one malformed byte string must never fail a whole mapInPandas
+    task — while well-formed containers parse exactly as before."""
+    import struct
+
+    from semantic_query_engine_spark.operators.multimodal import (
+        audio_fingerprint64,
+        bmp_band_profile,
+        dhash64,
+        encode_bmp,
+        encode_wav,
+    )
+
+    bmp, wav = encode_bmp(12, 10, 5), encode_wav(200, seed=5, quad_step=9)
+    for fn in (dhash64, bmp_band_profile):
+        assert fn(b"") is None
+        assert fn(b"not a bitmap at all, just text " * 4) is None
+        assert fn(bmp[:40]) is None  # truncated mid-header
+        assert fn(bmp[:-10]) is None  # truncated pixel array
+        assert fn(wav) is None  # wrong container entirely
+        # 8-bpp header: parseable header, unsupported pixel layout
+        eight = bytearray(bmp)
+        struct.pack_into("<H", eight, 28, 8)
+        assert fn(bytes(eight)) is None
+        assert fn(bmp) is not None  # well-formed still parses
+    assert audio_fingerprint64(b"") is None
+    assert audio_fingerprint64(bmp) is None  # wrong container
+    assert audio_fingerprint64(b"RIFF\x00\x00\x00\x00WAVE") is None  # no data
+    assert audio_fingerprint64(wav[:-7]) is None  # truncated data chunk
+    assert audio_fingerprint64(wav) == audio_fingerprint64(bytes(wav))
+
+
+def test_imagetext_alignment_short_embedding_fails_loudly(spark, tmp_path):
+    """A fixture whose embeddings carry fewer than the 16 dims the
+    image profile joins against must FAIL (assert_true on the Spark
+    side, error() in the oracle) — not silently NULL the score
+    (ADVICE r12)."""
+    import pytest
+
+    from semantic_query_engine_spark.queries.multimodal_q import (
+        imagetext_alignment,
+    )
+
+    spark.createDataFrame(
+        [(0, "some document text here", "en", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [(0, [0.1] * 8, 0)],
+        "vec_id long, embedding array<float>, cluster long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(Exception, match="dim < 16"):
+        imagetext_alignment(spark, str(tmp_path)).collect()
+
+
 def test_imagetext_alignment_verdict_split(spark, sf_dir):
     """The alignment filter produces one row per capped doc with a
     consistent integer score and a verdict that actually splits the
