@@ -71,7 +71,9 @@ def get_spark(app_name: str = "semantic-query-engine-spark") -> SparkSession:
         # whole-stage-codegen classes (the 1024-dim vector plans compile
         # in seconds, not millis) on every eviction round-trip
         .config("spark.sql.codegen.cache.maxEntries", "2000")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench noise); SPARK_GRAFT_UI=true for
+        # tools that read shuffle metrics from the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     # Streaming state-store provider: RocksDB (off-heap, incremental
     # snapshots) by default on non-local masters, heap-backed default

@@ -155,26 +155,147 @@ def cluster_full(spark, sf_dir):
     return connected_components(pairs, driver_cc_threshold=0, fuse_large_star=fuse)
 
 
+def phash_full(spark, sf_dir):
+    """multimodal_phash_dedup's operator with the demo cap LIFTED
+    (VERDICT r12 #2): fused encode+parse+dHash mapInPandas over EVERY
+    document, then the banded-Hamming join.  Same plant as the
+    registered demo (every 8th doc emits a brightness-shifted variant)
+    but at +1e9 ids — the registered +1e6 offset COLLIDES with the
+    scale fixture's replica-k id range (k*1e6).  True plant density is
+    constant (~1 pair per 8 docs); beyond plants, birthday collisions
+    of the (w ~ id mod 56, h ~ id mod 41, seed = n_chars) triple add a
+    small quadratic exact-dup term (the pair count printed makes it
+    visible); the banded join's CANDIDATE volume stays ~linear because
+    signatures spread over 4x65k band buckets."""
+    from semantic_query_engine_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+    )
+    from semantic_query_engine_spark.operators.simhash import (
+        banded_hamming_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(32)  # same input conditioning as _docs
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for d, s in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, s = int(d), int(s)
+                w, h = d % 56 + 9, d % 41 + 8
+                ids.append(d)
+                sigs.append(dhash64(encode_bmp(w, h, s)))
+                if d % 8 == 0:
+                    ids.append(d + PLANT_OFFSET)
+                    sigs.append(dhash64(encode_bmp(w, h, s + 1)))
+            yield _pd.DataFrame({"id": ids, "sig": sigs})
+
+    sigs = docs.mapInPandas(run, "id long, sig long")
+    return banded_hamming_pairs(sigs, max_hamming=3)
+
+
+def audio_full(spark, sf_dir):
+    """multimodal_audio_dedup's operator with the demo cap LIFTED —
+    fused encode+RIFF-walk+fingerprint over every document, banded
+    Hamming join.  Plants as in the registered demo (re-encoded copy
+    per 8th doc, +1 DC offset per (8k+4)th) at replica-safe +1e9/+2e9
+    ids.  Audio seeds are the doc_id itself, so unlike phash_full there
+    is no birthday-collision term — pair growth beyond plants comes
+    only from genuine same-length DC-shift families."""
+    from semantic_query_engine_spark.operators.multimodal import (
+        audio_fingerprint64,
+        encode_wav,
+    )
+    from semantic_query_engine_spark.operators.simhash import (
+        banded_hamming_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .repartition(32)
+    )
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(d), int(nc) % 1000 + 8
+                ids.append(d)
+                sigs.append(
+                    audio_fingerprint64(encode_wav(n, seed=d, quad_step=9))
+                )
+                if d % 8 == 0:
+                    ids.append(d + PLANT_OFFSET)
+                    sigs.append(
+                        audio_fingerprint64(
+                            encode_wav(
+                                n, seed=d, sample_rate=16000, quad_step=9
+                            )
+                        )
+                    )
+                if d % 8 == 4:
+                    ids.append(d + 2 * PLANT_OFFSET)
+                    sigs.append(
+                        audio_fingerprint64(
+                            encode_wav(n, seed=d + 1, quad_step=9)
+                        )
+                    )
+            yield _pd.DataFrame({"id": ids, "sig": sigs})
+
+    sigs = docs.mapInPandas(run, "id long, sig long")
+    return banded_hamming_pairs(sigs, max_hamming=3)
+
+
 WORKLOADS = {
     "minhash_full": minhash_full,
     "semantic_full": semantic_full,
     "cluster_full": cluster_full,
+    "phash_full": phash_full,
+    "audio_full": audio_full,
 }
+
+
+def _shuffle_bytes(spark):
+    """Total shuffle-write bytes so far, or None when the UI/REST API
+    is off (the sweep still reports wall + rows)."""
+    try:
+        from tools.longdoc_stress import shuffle_write_bytes
+
+        return shuffle_write_bytes(spark)
+    except Exception:
+        return None
 
 
 def _median_time(spark, fn, sf_dir):
     rows = fn(spark, sf_dir).count()  # untimed warmup (codegen javac)
     release_persistent_rdds(spark)
     samples = []
+    shuffle_mb = None
     for _ in range(RUNS):
+        sh0 = _shuffle_bytes(spark)
         t0 = time.time()
         fn(spark, sf_dir).count()
         samples.append(time.time() - t0)
+        sh1 = _shuffle_bytes(spark)
+        if sh0 is not None and sh1 is not None:
+            shuffle_mb = round((sh1 - sh0) / 1e6, 2)
         release_persistent_rdds(spark)
-    return round(sorted(samples)[len(samples) // 2], 3), rows
+    return round(sorted(samples)[len(samples) // 2], 3), rows, shuffle_mb
 
 
 def main() -> None:
+    # shuffle metrics come from the UI REST API; on by default here
+    # (get_spark leaves it off for tests/bench)
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         REPO, ".scale_data/sf1"
@@ -192,8 +313,8 @@ def main() -> None:
     out = {}
     for name, fn in chosen.items():
         spark = get_spark("scale-fullcorpus")
-        s, sr = _median_time(spark, fn, small)
-        b, br = _median_time(spark, fn, big)
+        s, sr, ssh = _median_time(spark, fn, small)
+        b, br, bsh = _median_time(spark, fn, big)
         spark.stop()
         out[name] = {
             "small": s,
@@ -201,8 +322,11 @@ def main() -> None:
             "ratio": round(b / s, 2) if s else None,
             "small_rows": sr,
             "big_rows": br,
+            "small_shuffle_mb": ssh,
+            "big_shuffle_mb": bsh,
         }
-        print(f"# {name}: {s}s ({sr} rows) -> {b}s ({br} rows) "
+        print(f"# {name}: {s}s ({sr} rows, {ssh} MB) -> "
+              f"{b}s ({br} rows, {bsh} MB) "
               f"({out[name]['ratio']}x)", file=sys.stderr)
     print(json.dumps(out))
 
