@@ -1869,3 +1869,231 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("true_positives * 1000 DIV n_truth").alias("recall_milli"),
         F.expr("true_positives * 1000 DIV n_candidates").alias("precision_milli"),
     )
+
+
+def _banding_theory_milli(r: int, b: int, s: float = 0.8) -> int:
+    """floor(1000 * P(detect)) under classic LSH banding theory
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3):
+    P(candidate | Jaccard s) = 1 - (1 - s^r)^b for b bands of r rows.
+    Evaluated at the plant's DESIGN similarity s=0.8 (an 80%-prefix
+    copy), in Python at registration time and inlined as a literal in
+    BOTH engines — so no cross-engine pow() ulp can move the hash."""
+    return int(1000 * (1 - (1 - s**r) ** b))
+
+
+_SWEEP_BANDS = (8, 16, 32)  # r = 8 / 4 / 2 rows per band over 64 perms
+
+
+def _eval_sweep_oracle(num_perm: int = 64) -> str:
+    """Generate the DuckDB twin of dedup_eval_sweep: ONE materialized
+    signature table (the 64 per-doc minhash slots) and ONE materialized
+    exact-Jaccard truth set, then per banding config a band table,
+    candidate join, and confusion-count row.  AS MATERIALIZED is
+    load-bearing: sig is referenced by 8+16+32 band-table legs and
+    inlining would recompute the shingle/hash pipeline 56x (the same
+    re-expansion class the generated BPE oracle documents)."""
+    mins = ",\n           ".join(
+        f"MIN(CASE WHEN i = {i} THEN s END) AS mh_{i}" for i in range(num_perm)
+    )
+    parts = [
+        f"""
+    WITH base AS (
+      SELECT doc_id AS id, {_WORDS} AS ws FROM documents WHERE doc_id < 100),
+    alldocs AS (
+      SELECT id, ws FROM base
+      UNION ALL
+      SELECT id + 10000, ws[1:CAST(ceil(0.8 * len(ws)) AS BIGINT)] FROM base),
+    sh0 AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(CAST(greatest(len(ws) - 1, 1) AS BIGINT)),
+               i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS shingle
+      FROM alldocs),
+    hm AS (
+      SELECT id, i, md5(CAST(i AS VARCHAR) || '|' || shingle) AS m
+      FROM (SELECT id, shingle, unnest(range({num_perm})) AS i FROM sh0)),
+    hv AS (SELECT id, i,
+                  CAST({_md5_poly(1)} AS HUGEINT) * 4294967296
+                    + ({_md5_poly(9)}) AS h
+           FROM hm),
+    hs AS (SELECT id, i, {_SIGNED64} AS s FROM hv),
+    sig AS MATERIALIZED (SELECT id, {mins}
+                         FROM hs GROUP BY id),
+    shm AS (SELECT id, md5(shingle) AS m FROM sh0),
+    shv AS (SELECT id,
+                   CAST({_md5_poly(1)} AS HUGEINT) * 4294967296
+                     + ({_md5_poly(9)}) AS h
+            FROM shm),
+    shh AS (SELECT id, {_SIGNED64} AS sh FROM shv),
+    sizes AS (SELECT id, COUNT(*) AS ns FROM shh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM shh a JOIN shh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2),
+    truth AS MATERIALIZED (
+      SELECT inter.id_a, inter.id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = inter.id_a
+      JOIN sizes sb ON sb.id = inter.id_b
+      WHERE 2 * i >= sa.ns + sb.ns - i)"""
+    ]
+    legs = []
+    for nb in _SWEEP_BANDS:
+        r = num_perm // nb
+        band_rows = "\n      UNION ALL ".join(
+            "SELECT id, {b} AS band, {key} AS key FROM sig".format(
+                b=b,
+                key=" || ',' || ".join(
+                    f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for b in range(nb)
+        )
+        parts.append(
+            f""",
+    bands{nb} AS MATERIALIZED (
+      {band_rows}),
+    cand{nb} AS MATERIALIZED (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands{nb} a JOIN bands{nb} b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id)"""
+        )
+        legs.append(
+            f"""
+    SELECT CAST({nb} AS INT) AS n_bands, CAST({r} AS INT) AS rows_per_band,
+           n_truth, n_candidates, true_positives,
+           true_positives * 1000 // n_truth AS recall_milli,
+           true_positives * 1000 // n_candidates AS precision_milli,
+           CAST({_banding_theory_milli(r, nb)} AS INT) AS theory_recall_milli
+    FROM (
+      SELECT (SELECT COUNT(*)::BIGINT FROM truth) AS n_truth,
+             (SELECT COUNT(*)::BIGINT FROM cand{nb}) AS n_candidates,
+             (SELECT COUNT(*)::BIGINT
+              FROM truth t JOIN cand{nb} c USING (id_a, id_b))
+               AS true_positives) s{nb}"""
+        )
+    return "".join(parts) + "\n" + "\n    UNION ALL".join(legs)
+
+
+@register("dedup_eval_sweep", oracle=_eval_sweep_oracle())
+def dedup_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-config SWEEP for the MinHash sketch (VERDICT r12 #5):
+    dedup_eval_lsh certifies ONE (num_perm=64, n_bands=16) point; the
+    operator a 100-TB dedup run needs compares candidate recall AND
+    precision across configs in one pass before committing — banding
+    theory trades them monotonically (more bands of fewer rows = higher
+    recall, fatter candidate list for the confirm join to pay for).
+    This sweep shares ONE signature table (the 64 portable-hash minhash
+    slots, computed once and checkpointed) and ONE exact-Jaccard truth
+    set across n_bands in {8, 16, 32} (r = 8/4/2), and emits one
+    confusion-count row per config plus the closed-form
+    `theory_recall_milli` = floor(1000*(1-(1-s^r)^b)) at the plant's
+    design similarity s=0.8 — so the measured-vs-theory gap is itself
+    value-hash-checked (measured recall runs ABOVE the s=0.8 theory
+    row when the truth set's similarity mass sits above 0.8, below it
+    when banding luck misses borderline pairs).  The theory constants
+    are computed in Python at registration time and inlined as
+    literals in BOTH engines, so no cross-engine pow() ulp can move
+    the hash.
+
+    Scale shape: signatures are ONE map-side-combined agg over the
+    shingle table, shared by all configs (the checkpoint is the
+    operator's honest cost statement: a production sweep persists the
+    signature table once — num_perm longs per doc — and each config
+    re-bands it with zero re-hashing; band tables and candidate joins
+    are the same bounded equality joins the production path runs).
+    The exact-truth self-join is the eval-only quadratic-risk stage,
+    pool-capped at 100 docs exactly like dedup_eval_lsh."""
+    from functools import reduce
+
+    from ..operators.dedup import _p64, shingle_table
+
+    num_perm = 64
+    pool = _docs_with_truncated_copies(spark, sf_dir)
+    sh = shingle_table(pool, n=2)
+    perm = [
+        F.min(_p64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    # tiny (200 rows x 65 cols); checkpointing makes the sharing real —
+    # three band tables derive from ONE computed signature relation
+    sig = sh.groupBy("id").agg(*perm).localCheckpoint(eager=True)
+
+    shp = sh.select("id", _p64(F.col("shingle")).alias("sh"))
+    sizes = shp.groupBy("id").agg(F.count("*").alias("ns"))
+    ea = shp.select(F.col("id").alias("id_a"), "sh")
+    eb = shp.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        ea.join(eb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("nb")),
+            "id_b",
+        )
+        .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # shared by every config's tp join
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+
+    legs = []
+    for nb in _SWEEP_BANDS:
+        r = num_perm // nb
+        key_of = lambda b: F.concat_ws(  # noqa: E731
+            ",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
+        )
+        bands = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), key_of(b).alias("key"))
+                for b in range(nb)
+            ]
+        )
+        bt = sig.select("id", F.explode(bands).alias("bb")).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+        )
+        a, b = bt.alias("a"), bt.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        nc = cand.agg(F.count("*").alias("n_candidates"))
+        tp = truth.join(cand, ["id_a", "id_b"]).agg(
+            F.count("*").alias("true_positives")
+        )
+        legs.append(
+            nt
+            # bounded: 1-row candidate-count aggregate
+            .crossJoin(F.broadcast(nc))
+            # bounded: 1-row true-positive-count aggregate
+            .crossJoin(F.broadcast(tp))
+            .select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_truth",
+                "n_candidates",
+                "true_positives",
+                F.expr("true_positives * 1000 DIV n_truth").alias(
+                    "recall_milli"
+                ),
+                F.expr("true_positives * 1000 DIV n_candidates").alias(
+                    "precision_milli"
+                ),
+                F.lit(_banding_theory_milli(num_perm // nb, nb))
+                .cast("int")
+                .alias("theory_recall_milli"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), legs)

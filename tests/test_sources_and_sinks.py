@@ -582,3 +582,35 @@ def test_video_scene_detect_finds_planted_cuts(spark, sf_dir):
             # principle spike) — the aggregate rate below pins behavior
     assert planted > 0
     assert detected / planted >= 0.9, (detected, planted)
+
+
+def test_video_scene_threshold_sits_in_measured_gap(spark, sf_dir):
+    """The round-13 threshold calibration (VERDICT r12 #8, measured in
+    tools/video_fade_analysis.py): _SCENE_HAM = 11 sits inside the
+    fixture-wide separation gap — steady steps reach hamming 9, cuts
+    never fall below 14 — so on this fixture the detector is EXACT:
+    every planted cut detected, zero false boundaries (the original
+    threshold 8 fired a false boundary at sf0.01).  Asserted from the
+    registered query's own output, per frame."""
+    from collections import defaultdict
+
+    from semantic_query_engine_spark.queries.multimodal_q import (
+        _N_FRAMES,
+        _SCENE_HAM,
+        video_scene_detect,
+    )
+
+    assert 9 <= _SCENE_HAM < 14  # the measured steady-max / cut-min gap
+    clips = defaultdict(dict)
+    for r in video_scene_detect(spark, sf_dir).collect():
+        clips[r.doc_id][r.frame_idx] = r
+    assert clips
+    for did, frames in clips.items():
+        fc = did % _N_FRAMES
+        for f in range(1, _N_FRAMES):
+            if fc > 0 and f == fc:
+                assert frames[f].is_boundary, (did, f, frames[f].ham_prev)
+                assert frames[f].ham_prev >= 14
+            else:
+                assert not frames[f].is_boundary, (did, f, frames[f].ham_prev)
+                assert frames[f].ham_prev <= 9

@@ -92,7 +92,7 @@ QUERIES = [
     "dedup_eval_lsh",          # banded candidates vs capped exact truth
     "stream_phash_dedup",      # stream-static anti join, availableNow
     "video_keyframe_sample",   # bounded (<1200 clips) by construction
-    "multimodal_quality_filter",  # bounded (<1200) decode + gates
+    "multimodal_quality_filter",  # full corpus: fused encode+parse, map-only
     "multimodal_real_decode",  # bounded (<500) container parse
     "embedding_drift",         # full embeddings x2 snapshots, array join
     "source_datacard",         # full corpus: per-source mixture plan
