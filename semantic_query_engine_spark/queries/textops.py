@@ -809,6 +809,7 @@ def _bpe_learn(
     sf_dir: str,
     n_rounds: int = 3,
     vocab_target: int | None = None,
+    checkpoint_every: int = 16,
 ):
     """Run up to `n_rounds` driver-coordinated BPE merge steps, stopping
     early when the best pair occurs < 2 times (a once-seen pair cannot
@@ -818,7 +819,18 @@ def _bpe_learn(
     bounded vocab-sized distinct-count.  Returns (persisted base symbol
     table, fully-merged (w, s, freq) frame, merge rows).  Caller must
     unpersist the base.  Per-step driver state: one (pair, count)
-    row."""
+    row.
+
+    checkpoint_every truncates the merge lineage: without it, round r's
+    symbol table is r chained replace() selects over the persisted
+    base, so every pair count re-evaluates ALL prior merges and the
+    analyzer re-walks an r-deep plan — per-round cost grows ~linearly
+    in depth and training is O(n^2) overall (measured:
+    tools/bpe_depth_probe.py, SCALE.md r13).  A localCheckpoint every
+    K rounds materializes the vocab-sized table (cheap by
+    construction) and resets the chain, making per-round cost flat at
+    production depth.  0 disables (the probe's baseline mode); values
+    are identical either way, so the generated oracle is untouched."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.words_of(F.col("text"))).alias("w0")
@@ -880,6 +892,8 @@ def _bpe_learn(
             ).alias("s"),
             "freq",
         )
+        if checkpoint_every and step % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
     return base, cur, rows
 
 

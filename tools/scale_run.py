@@ -133,10 +133,17 @@ def _q_fn(name):
 
 
 def _materialize(name: str, df) -> None:
+    """Force FULL computation of the plan.  .count() is NOT that: on a
+    small-group Aggregate, Catalyst prunes the aggregate expressions
+    (count needs only grouping columns), and upstream of a join it can
+    prune payload columns — the SCALE.md r12 instrument trap, found to
+    have biased several rounds-6-9 rows (VERDICT r12 #4).  Small-output
+    queries collect(); everything else writes to the noop sink, which
+    consumes every column of every row with no driver transfer."""
     if name in MATERIALIZE:
         df.collect()
     else:
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
 
 
 def _median_time(spark, name: str, sf_dir: str) -> float:
