@@ -2097,3 +2097,147 @@ def dedup_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionByName(y), legs)
+
+
+_SEMDEDUP_CAP = 500  # demo pool bound (oracle tractability; the block
+# join itself is uncapped and its cost is sum of per-cluster sizes^2)
+
+
+@register(
+    "dedup_semdedup_clustered",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT vec_id AS id, CAST(label AS INT) AS label,
+             embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_SEMDEDUP_CAP}),
+    alle AS (
+      SELECT id, label, v FROM base
+      UNION ALL
+      SELECT id + 10000, label, list_concat([v[1] + 0.1], v[2:]) FROM base),
+    expl AS (
+      SELECT label, generate_subscripts(v, 1) AS dim,
+             CAST(round(unnest(v) * 1000000) AS BIGINT) AS m
+      FROM alle),
+    cent0 AS (SELECT label, dim, SUM(m) AS s FROM expl GROUP BY label, dim),
+    cent AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS c
+             FROM cent0 GROUP BY label),
+    edges AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM alle a JOIN alle b ON a.label = b.label AND a.id < b.id)
+      WHERE sim >= 0.98),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT id AS node, id AS r FROM alle
+      UNION
+      SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT alle.id AS vec_id, alle.label, comp.component,
+             ROUND(list_cosine_similarity(alle.v, cent.c), 6) AS cent_sim
+      FROM alle
+      JOIN comp ON comp.node = alle.id
+      JOIN cent ON cent.label = alle.label)
+    SELECT vec_id, label, component, cent_sim,
+           (ROW_NUMBER() OVER (PARTITION BY component
+                               ORDER BY cent_sim ASC, vec_id ASC) = 1) AS keep
+    FROM scored
+    """,
+)
+def dedup_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-confined semantic dedup with the centroid keep-rule —
+    the full SemDeDup recipe (Abbas et al. 2023 §3): k-means first,
+    pairwise cosine ONLY within each cluster (here the fixture's
+    precomputed `label` plays the cluster id, so the whole pipeline is
+    value-hash-checked end to end — the kmeans-built variant of the
+    same confinement is the accuracy-gated IVF path), near-dup groups
+    by connected components, and per group KEEP THE EXAMPLE LEAST
+    SIMILAR TO ITS CLUSTER CENTROID (SemDeDup keeps low-centroid-
+    similarity representatives to preserve diversity; ties break by
+    id).  dedup_semantic is the LSH-banded sibling with keep-min-id;
+    this one registers the operator's `block_col` mode, which existed
+    unexercised.  Centroids are component-wise SUMS of micro-quantized
+    coordinates (exact BIGINTs — cosine is scale-invariant, so the
+    sum IS the centroid direction and no float division enters);
+    per-vector centroid similarity is emitted, so the keep-rule's
+    input is itself hash-checked.
+
+    Scale shape: the pair join is an equality join on the cluster id —
+    candidate volume is sum of per-cluster sizes squared, the quantity
+    SemDeDup's clustering exists to bound (nlist ~ n/target at 100 TB;
+    the demo caps the pool at {_SEMDEDUP_CAP} for oracle tractability
+    but the block join itself is uncapped).  Centroids are one
+    map-side-combined agg over (label, dim) micro rows; the broadcast
+    is bounded by the cluster count, not the corpus."""
+    from ..functions.vectors import cosine
+    from ..operators.dedup import embedding_near_dups
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_CAP
+    )
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        as_double.alias("embedding"),
+    )
+    variants = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 10_000_000),
+        ).alias("embedding"),
+    )
+    pool = base.unionByName(variants)
+    pairs = embedding_near_dups(pool, threshold=0.98, block_col="label")
+    # eager checkpoint: connected_components consumes its edge input
+    # more than once (same rationale as dedup_semantic)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(pairs, nodes=pool.select("vec_id"))
+    cent = (
+        pool.select(
+            "label",
+            F.posexplode(
+                F.transform(
+                    "embedding", lambda x: F.round(x * 1000000).cast("long")
+                )
+            ).alias("dim", "m"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("m").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t["s"].cast("double"),
+            ).alias("c")
+        )
+    )
+    scored = (
+        pool.join(cc.select(F.col("node").alias("vec_id"), "component"), "vec_id")
+        # bounded: one row per cluster label (10 in the fixture; nlist
+        # at production scale — never corpus-sized)
+        .join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            "component",
+            F.round(cosine("embedding", "c"), 6).alias("cent_sim"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cent_sim"), F.asc("vec_id")
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        "component",
+        "cent_sim",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -611,3 +611,65 @@ def test_dedup_eval_lsh_confusion_counts(spark, sf_dir):
     assert r.recall_milli == r.true_positives * 1000 // r.n_truth
     assert r.precision_milli == r.true_positives * 1000 // r.n_candidates
     assert r.recall_milli >= 900
+
+
+def test_dedup_eval_sweep_tradeoff_is_monotone(spark, sf_dir):
+    """The banding sweep's defining property: recall is non-increasing
+    and candidate count non-decreasing as bands get wider (more bands
+    of fewer rows = higher detect probability = fatter candidate
+    list), the theory column matches the closed form, and every row's
+    counts are internally consistent."""
+    from semantic_query_engine_spark.queries.dedup_q import (
+        _banding_theory_milli,
+        dedup_eval_sweep,
+    )
+
+    rows = sorted(dedup_eval_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r.n_bands)
+    assert [r.n_bands for r in rows] == [8, 16, 32]
+    assert [r.rows_per_band for r in rows] == [8, 4, 2]
+    assert len({r.n_truth for r in rows}) == 1  # shared truth set
+    for r in rows:
+        assert 0 <= r.true_positives <= min(r.n_truth, r.n_candidates)
+        assert r.recall_milli == r.true_positives * 1000 // r.n_truth
+        assert r.precision_milli == (
+            r.true_positives * 1000 // r.n_candidates
+        )
+        assert r.theory_recall_milli == _banding_theory_milli(
+            r.rows_per_band, r.n_bands
+        )
+    # more bands -> recall and candidates both rise (or hold)
+    assert rows[0].recall_milli <= rows[1].recall_milli <= rows[2].recall_milli
+    assert rows[0].n_candidates <= rows[1].n_candidates <= rows[2].n_candidates
+    # theory at the design point is monotone the same way
+    ths = [r.theory_recall_milli for r in rows]
+    assert ths == sorted(ths)
+
+
+def test_dedup_semdedup_clustered_keep_rule(spark, sf_dir):
+    """Cluster-confined SemDeDup: every planted (base, +0.1-perturbed
+    copy) pair lands in one component; exactly one keep per component;
+    the kept member is the component's (cent_sim, vec_id) minimum —
+    the least-centroid-similar representative; and no component spans
+    two cluster labels (pairs are confined by construction)."""
+    from collections import defaultdict
+
+    from semantic_query_engine_spark.queries.dedup_q import (
+        dedup_semdedup_clustered,
+    )
+
+    rows = dedup_semdedup_clustered(spark, sf_dir).collect()
+    assert rows
+    by_comp = defaultdict(list)
+    by_id = {}
+    for r in rows:
+        by_comp[r.component].append(r)
+        by_id[r.vec_id] = r
+    for base_id in [r.vec_id for r in rows if r.vec_id < 10000]:
+        assert by_id[base_id].component == by_id[base_id + 10000].component
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1, (comp, members)
+        best = min(members, key=lambda r: (r.cent_sim, r.vec_id))
+        assert keeps[0].vec_id == best.vec_id
+        assert len({r.label for r in members}) == 1

@@ -170,6 +170,33 @@ def main() -> None:
     if only:
         wanted = {w.strip() for w in only.split(",") if w.strip()}
         names = [n for n in names if n in wanted]
+    if os.environ.get("SPARK_GRAFT_SUBPROCESS") == "1" and len(names) > 1:
+        # TRUE JVM isolation (round 13): the context-reset note below is
+        # not enough across a 54-query sweep — the shared JVM develops
+        # multi-second pauses that inflated late rows up to 11x (measured:
+        # dedup_semantic 30.1 s in-sweep vs 2.7 s in a fresh process, on
+        # a quiet machine).  One subprocess per query costs ~8 s of JVM
+        # startup each, outside the timed region.
+        import json as _json
+        import subprocess
+
+        merged = {}
+        for name in names:
+            env = dict(os.environ)
+            env["SPARK_GRAFT_SCALE_QUERIES"] = name
+            env.pop("SPARK_GRAFT_SUBPROCESS")
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), small, big],
+                capture_output=True, text=True, env=env,
+            )
+            line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else "{}"
+            row = _json.loads(line)
+            merged.update(row)
+            for n, v in row.items():
+                print(f"# {n}: {v['small']}s -> {v['big']}s ({v['ratio']}x)",
+                      file=sys.stderr)
+        print(json.dumps(merged))
+        return
     out = {}
     for name in names:
         # fresh SparkContext per query: a long-lived 48g local session
