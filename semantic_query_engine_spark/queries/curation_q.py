@@ -505,15 +505,29 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure window algebra in both engines; the density and detection
     guarantees are unchanged (a superset of the paper's selection).
 
-    Plan shape: one window (partitionBy doc, W-row trailing min) over
-    the span table, a W-way positional explode of the anchors, and
-    one (doc, pos) equi-join back to spans — all volumes linear in
-    corpus tokens, keyed by (doc, pos) (uniform, no skew).  At 100 TB
-    every stage is a map or a co-partitionable equi-join; nothing is
-    quadratic and no driver state exists.  The fingerprint table it
-    emits is exactly what a banded substring-dedup or plagiarism join
-    consumes downstream (group by fp, same shape as substring_dedup's
-    digest join)."""
+    Plan shape (round-13 rework; the join plan is kept verbatim in
+    tools/winnow_plan_ab.py as the A/B baseline): TWO chained windows
+    over ONE doc-keyed exchange+sort and nothing else — the trailing
+    W-row min computes each window's anchor value mh, and a position p
+    is selected iff some FULL window covering it has mh equal to p's
+    own hash, i.e. iff max(mh) over the leading W rows (full windows
+    only) equals h_p — because mh_j <= h_p whenever window j covers p,
+    that max equals h_p exactly when some covering window selects p.
+    The pre-rework plan exploded anchors W-ways and equi-joined back
+    to spans on (doc, pos): correct, but Catalyst's size estimate
+    (derived from the 20 MB parquet file) judged the CORPUS-TOKEN-SIZED
+    spans side broadcastable and built a ~150 MB hashed relation at
+    sf1, rebuilt EVERY run — clean-session medians 2.2 s -> 9.6 s at
+    10x data with runs degrading to 27 s as the driver heap churns
+    (the 13.4x super-linear row of the r13 re-measurement was this),
+    for a plan a 1000-executor run would never pick but a
+    mis-estimated local one did.  The rework (1.1 s -> 5.0 s, flat
+    across runs) has no join to mis-plan: volumes are linear in corpus
+    tokens, keyed by doc (uniform, no skew), and no driver state
+    exists.  The
+    fingerprint table it emits is exactly what a banded substring-dedup
+    or plagiarism join consumes downstream (group by fp, same shape as
+    substring_dedup's digest join)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", words_of(F.col("text")).alias("w")
     )
@@ -535,26 +549,18 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(-(_WINNOW_W - 1), 0)
     )
-    anchors = (
-        spans.withColumn("mh", F.min("h").over(win))
-        .filter(F.col("pos") >= _WINNOW_W)
-        .select("doc_id", F.col("pos").alias("a"), "mh")
+    lead = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, _WINNOW_W - 1
     )
-    cand = anchors.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_WINNOW_W - 1)),
-                lambda o: F.col("a") - o.cast("long"),
-            )
-        ).alias("pos"),
-        "mh",
-    )
+    # mh of rows before pos W is a partial window's min — not a valid
+    # anchor (the join plan filtered those anchors); mask them out of
+    # the leading max so partial windows can't select
+    mh_full = F.when(F.col("pos") >= _WINNOW_W, F.col("mh"))
     return (
-        cand.join(spans, ["doc_id", "pos"])
-        .filter(F.col("h") == F.col("mh"))
+        spans.withColumn("mh", F.min("h").over(win))
+        .withColumn("sel", F.max(mh_full).over(lead))
+        .filter(F.col("sel") == F.col("h"))
         .select("doc_id", "pos", F.col("h").alias("fp"))
-        .distinct()
     )
 
 
