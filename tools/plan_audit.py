@@ -77,6 +77,9 @@ ALLOWED_BNLJ: dict[str, str] = {
     "dedup_eval_lsh": "two broadcast crosses of 1-row COUNT aggregates "
     "(n_candidates, true_positives) onto the 1-row n_truth side for the "
     "recall/precision divisions",
+    "dedup_eval_sweep": "same shape as dedup_eval_lsh per banding "
+    "config: broadcast crosses of 1-row COUNT aggregates onto the "
+    "shared 1-row n_truth side (3 configs x 2 crosses)",
     "join_skew_profile": "broadcast 1-row totals aggregate onto the "
     "count-of-counts histogram for the mass_micro division",
 }
