@@ -990,7 +990,18 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.md5("p")).alias("h"),
         (F.col("doc_id") * 100000 + F.col("pos0") + 1).alias("k"),
     )
-    first = keyed.groupBy("h").agg(F.min("k").alias("kk"))
+    # shuffle_hash (round 13): both build sides below are
+    # DATA-DEPENDENT-sized (first = one row per distinct paragraph,
+    # keptpos = one row per doc), but Catalyst's file-size estimate
+    # judged them broadcastable at sf1 and rebuilt a ~20 MB hashed
+    # relation on the driver every run — measured 33-35 s/run
+    # (degrading) vs 12-15 s (improving) with the shuffled build; at
+    # 100 TB the stats exceed the threshold and AQE picks the shuffled
+    # form anyway, so the hint only removes the mis-estimated local
+    # regime (the same class as winnow_fingerprints' r13 finding, and
+    # what paragraph_shuffle_ab.py's broadcast-off config always
+    # measured)
+    first = keyed.groupBy("h").agg(F.min("k").alias("kk")).hint("shuffle_hash")
     keptpos = (
         keyed.join(first, "h")
         .filter(F.col("k") == F.col("kk"))
@@ -999,6 +1010,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_kept"),
             F.collect_set("pos").alias("keep_pos"),
         )
+        .hint("shuffle_hash")
     )
     arr = docs.select("doc_id", planted.alias("arr"))
     # LEFT join: a doc whose EVERY paragraph first occurred elsewhere

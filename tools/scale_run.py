@@ -98,6 +98,9 @@ QUERIES = [
     "source_datacard",         # full corpus: per-source mixture plan
     "bpe_roundtrip",           # full corpus collapse + 3 merge rounds
     "dedup_incremental_indexed",  # bucketed index write + probe
+    # round 13 additions
+    "dedup_eval_sweep",        # 3 banding configs over shared sigs/truth
+    "dedup_semdedup_clustered",  # cluster-confined pairs + centroid rule
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -122,6 +125,8 @@ MATERIALIZE = {
     "dataset_manifest",
     "join_skew_profile",
     "shard_skew_report",
+    "dedup_eval_sweep",
+    "dedup_semdedup_clustered",
 }
 
 # timing-only rows with no registry entry (see QUERIES comments)
