@@ -1037,3 +1037,183 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_text"
         ),
     )
+
+
+_ATTR_TOK_FLOOR = 20  # stage-1 gate: minimum tokens per document
+_ATTR_BUDGET = 300  # stage-4 gate: token budget per source (greedy fill)
+_ATTR_DUP_OFFSET = 500_000  # planted exact-dup ids (every 9th doc)
+
+
+@register(
+    "curation_attrition",
+    oracle=f"""
+    WITH pool0 AS (
+      SELECT doc_id, lang, source, {_WORDS} AS ws FROM documents
+      UNION ALL
+      SELECT doc_id + {_ATTR_DUP_OFFSET}, lang, source, {_WORDS}
+      FROM documents WHERE doc_id % 9 = 0),
+    base AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_filter(ws, w -> w <> '')) AS BIGINT) AS n_tok,
+             md5(lower(array_to_string(list_filter(ws, w -> w <> ''), ' ')))
+               AS dg
+      FROM pool0),
+    flagged AS (
+      SELECT *,
+             (n_tok < {_ATTR_TOK_FLOOR}) AS f1,
+             (lang <> 'en') AS f2
+      FROM base),
+    surv12 AS (SELECT * FROM flagged WHERE NOT f1 AND NOT f2),
+    keeper AS (SELECT dg, MIN(doc_id) AS kid FROM surv12 GROUP BY dg),
+    surv123 AS (
+      SELECT s.* FROM surv12 s JOIN keeper k ON k.dg = s.dg
+      WHERE s.doc_id = k.kid),
+    s3fail AS (
+      SELECT s.doc_id FROM surv12 s JOIN keeper k ON k.dg = s.dg
+      WHERE s.doc_id <> k.kid),
+    s4 AS (
+      SELECT doc_id,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+               > {_ATTR_BUDGET} AS f4
+      FROM surv123),
+    tagged AS (
+      SELECT CASE WHEN f.f1 THEN 1
+                  WHEN f.f2 THEN 2
+                  WHEN s3.doc_id IS NOT NULL THEN 3
+                  WHEN COALESCE(s4.f4, FALSE) THEN 4
+                  ELSE 0 END AS ff
+      FROM flagged f
+      LEFT JOIN s3fail s3 ON s3.doc_id = f.doc_id
+      LEFT JOIN s4 ON s4.doc_id = f.doc_id),
+    agg AS (
+      SELECT COUNT(*)::BIGINT AS n0,
+             SUM(CASE WHEN ff = 1 THEN 1 ELSE 0 END)::BIGINT AS r1,
+             SUM(CASE WHEN ff = 2 THEN 1 ELSE 0 END)::BIGINT AS r2,
+             SUM(CASE WHEN ff = 3 THEN 1 ELSE 0 END)::BIGINT AS r3,
+             SUM(CASE WHEN ff = 4 THEN 1 ELSE 0 END)::BIGINT AS r4
+      FROM tagged)
+    SELECT CAST(1 AS INT) AS stage, 'token_floor' AS stage_name,
+           n0 AS n_in, r1 AS n_removed, n0 - r1 AS n_out,
+           r1 * 1000 // n0 AS removed_permille FROM agg
+    UNION ALL
+    SELECT 2, 'lang_en', n0 - r1, r2, n0 - r1 - r2,
+           r2 * 1000 // (n0 - r1) FROM agg
+    UNION ALL
+    SELECT 3, 'exact_dedup', n0 - r1 - r2, r3, n0 - r1 - r2 - r3,
+           r3 * 1000 // (n0 - r1 - r2) FROM agg
+    UNION ALL
+    SELECT 4, 'token_budget', n0 - r1 - r2 - r3, r4,
+           n0 - r1 - r2 - r3 - r4,
+           r4 * 1000 // (n0 - r1 - r2 - r3) FROM agg
+    """,
+)
+def curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage ATTRITION report for a 4-stage curation funnel — the
+    table every large-scale data-curation run publishes before anyone
+    trusts the output corpus (Dolma's and FineWeb's reports lead with
+    exactly this: docs in, docs removed, docs out, per stage, in
+    pipeline order): 1. token-count floor, 2. language gate, 3.
+    corpus-wide exact dedup (keep-first; an exact-dup plant — every
+    9th doc re-emitted verbatim at id+{_ATTR_DUP_OFFSET} — makes the
+    stage's removal count deterministic and nonzero), 4. per-source
+    token budget (greedy fill in doc_id order — the mixture cap
+    applied as a funnel stage).  Stage semantics are SEQUENTIAL: each
+    stage's counts are over the previous stage's survivors (dedup's
+    keep-first group runs among stage-2 survivors only; the budget's
+    running sum over stage-3 survivors), and n_out(s) == n_in(s+1) by
+    construction, so the whole funnel reconciles — the property that
+    catches double-counted or silently-dropped documents in real
+    pipelines.
+
+    Scale shape: one corpus scan computes all per-doc flags (map-only
+    except the keep-first digest agg and two doc_id-keyed equi-joins,
+    all linear); the budget window partitions by source (bounded
+    per-source rows); the report itself is ONE map-side-combined
+    aggregate reshaped row-locally with inline() — no unpartitioned
+    window, no cross join, 4 rows out.  The monitor is strictly
+    cheaper than any stage it measures."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    pool = docs.unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + _ATTR_DUP_OFFSET).alias("doc_id"),
+            "lang",
+            "source",
+            "text",
+        )
+    )
+    ws = words_of(F.col("text"))
+    base = pool.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(ws).cast("long").alias("n_tok"),
+        F.md5(F.lower(F.array_join(ws, " "))).alias("dg"),
+    )
+    flagged = base.select(
+        "*",
+        (F.col("n_tok") < _ATTR_TOK_FLOOR).alias("f1"),
+        (F.col("lang") != "en").alias("f2"),
+    )
+    surv12 = flagged.filter(~F.col("f1") & ~F.col("f2"))
+    keeper = surv12.groupBy("dg").agg(F.min("doc_id").alias("kid"))
+    s3fail = (
+        surv12.join(keeper, "dg")
+        .filter(F.col("doc_id") != F.col("kid"))
+        .select("doc_id", F.lit(True).alias("f3"))
+    )
+    surv123 = (
+        surv12.join(keeper, "dg")
+        .filter(F.col("doc_id") == F.col("kid"))
+        .select("doc_id", "source", "n_tok")
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s4 = surv123.select(
+        "doc_id",
+        (F.sum("n_tok").over(wsrc) > _ATTR_BUDGET).alias("f4"),
+    )
+    ff = (
+        F.when(F.col("f1"), 1)
+        .when(F.col("f2"), 2)
+        .when(F.coalesce(F.col("f3"), F.lit(False)), 3)
+        .when(F.coalesce(F.col("f4"), F.lit(False)), 4)
+        .otherwise(0)
+    )
+    tagged = (
+        flagged.join(s3fail, "doc_id", "left")
+        .join(s4, "doc_id", "left")
+        .select(ff.alias("ff"))
+    )
+    agg = tagged.agg(
+        F.count("*").alias("n0"),
+        *[
+            F.sum((F.col("ff") == s).cast("long")).alias(f"r{s}")
+            for s in (1, 2, 3, 4)
+        ],
+    )
+    n0, r1, r2, r3, r4 = (F.col(c) for c in ("n0", "r1", "r2", "r3", "r4"))
+    ins = [n0, n0 - r1, n0 - r1 - r2, n0 - r1 - r2 - r3]
+    rems = [r1, r2, r3, r4]
+    names = ["token_floor", "lang_en", "exact_dedup", "token_budget"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s + 1).cast("int").alias("stage"),
+                F.lit(names[s]).alias("stage_name"),
+                ins[s].alias("n_in"),
+                rems[s].alias("n_removed"),
+                (ins[s] - rems[s]).alias("n_out"),
+                # integer permille: floor(x*1000/y) — DuckDB's // twin
+                F.floor(rems[s] * 1000 / ins[s])
+                .cast("long")
+                .alias("removed_permille"),
+            )
+            for s in range(4)
+        ]
+    )
+    return agg.select(F.inline(rows))

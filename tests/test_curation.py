@@ -364,3 +364,42 @@ def test_paragraph_dedup_empty_docs_match_oracle(spark, tmp_path):
     assert got[0][0] == 3 and got[0][1] == 1
     # doc 10's empty paragraph deduped against doc 0's (cross-doc)
     assert got[10][1] == 2 and got[10][2].startswith("subscribe")
+
+
+def test_curation_attrition_funnel_reconciles(spark, sf_dir):
+    """The attrition table's defining invariants: stages in pipeline
+    order, n_out(s) == n_in(s+1), counts internally consistent, every
+    stage removes something on this fixture (the exact-dup plant
+    guarantees stage 3), and stage 3's removals equal the planted
+    duplicate count that survives stages 1-2 (each planted copy is
+    byte-identical to a doc that is its group's keeper)."""
+    from semantic_query_engine_spark.queries.curation_q import (
+        _ATTR_TOK_FLOOR,
+        curation_attrition,
+    )
+
+    rows = sorted(
+        curation_attrition(spark, sf_dir).collect(), key=lambda r: r.stage
+    )
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    assert [r.stage_name for r in rows] == [
+        "token_floor", "lang_en", "exact_dedup", "token_budget",
+    ]
+    for r in rows:
+        assert r.n_out == r.n_in - r.n_removed
+        assert 0 <= r.removed_permille <= 1000
+        assert r.n_removed > 0  # every stage bites on this fixture
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_out == b.n_in
+    # stage-3 removals == planted dups surviving stages 1-2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+    from semantic_query_engine_spark.functions.text import words_of
+
+    planted_surviving = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .filter(F.col("lang") == "en")
+        .filter(F.size(words_of(F.col("text"))) >= _ATTR_TOK_FLOOR)
+        .count()
+    )
+    assert rows[2].n_removed == planted_surviving
