@@ -101,6 +101,7 @@ QUERIES = [
     # round 13 additions
     "dedup_eval_sweep",        # 3 banding configs over shared sigs/truth
     "dedup_semdedup_clustered",  # cluster-confined pairs + centroid rule
+    "curation_attrition",      # full corpus: funnel flags + one agg
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -127,6 +128,7 @@ MATERIALIZE = {
     "shard_skew_report",
     "dedup_eval_sweep",
     "dedup_semdedup_clustered",
+    "curation_attrition",
 }
 
 # timing-only rows with no registry entry (see QUERIES comments)
