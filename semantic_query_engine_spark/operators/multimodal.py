@@ -163,8 +163,9 @@ def dhash64(payload: bytes) -> Optional[int]:
     Quarantine contract (same as real_decode, ADVICE r12): a payload
     that is not a complete uncompressed 24-bit BMP returns None instead
     of raising, so one malformed byte string can't fail a whole
-    mapInPandas task — callers filter the None sentinel into a
-    quarantine count exactly like corrupt-record handling in ingest."""
+    mapInPandas task — callers filter out the None sentinel (see the
+    multimodal_phash_dedup signature loop) exactly like corrupt-record
+    handling in ingest."""
     import struct
 
     if len(payload) < 30 or payload[:2] != b"BM":

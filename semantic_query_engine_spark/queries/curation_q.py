@@ -1061,7 +1061,7 @@ _ATTR_DUP_OFFSET = 500_000  # planted exact-dup ids (every 9th doc)
     flagged AS (
       SELECT *,
              (n_tok < {_ATTR_TOK_FLOOR}) AS f1,
-             (lang <> 'en') AS f2
+             (lang IS DISTINCT FROM 'en') AS f2
       FROM base),
     surv12 AS (SELECT * FROM flagged WHERE NOT f1 AND NOT f2),
     keeper AS (SELECT dg, MIN(doc_id) AS kid FROM surv12 GROUP BY dg),
@@ -1154,7 +1154,11 @@ def curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = base.select(
         "*",
         (F.col("n_tok") < _ATTR_TOK_FLOOR).alias("f1"),
-        (F.col("lang") != "en").alias("f2"),
+        # null-safe: a NULL lang is REMOVED at the language gate rather
+        # than falling through with f2=NULL, which would exclude the row
+        # from surv12 yet tag it ff=0 (survivor) and silently break the
+        # funnel's n_out(s)==n_in(s+1) reconciliation (ADVICE r13)
+        (~F.col("lang").eqNullSafe("en")).alias("f2"),
     )
     surv12 = flagged.filter(~F.col("f1") & ~F.col("f2"))
     keeper = surv12.groupBy("dg").agg(F.min("doc_id").alias("kid"))

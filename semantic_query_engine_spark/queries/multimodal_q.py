@@ -288,11 +288,22 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, s in zip(pdf["doc_id"], pdf["n_chars"]):
                 d, s = int(d), int(s)
                 w, h = d % 56 + 9, d % 41 + 8
-                ids.append(d)
-                sigs.append(dhash64(encode_bmp(w, h, s)))
+                # quarantine contract (ADVICE r13): dhash64 returns the
+                # None sentinel for a malformed container; filter it here
+                # instead of appending, exactly like corrupt-record
+                # handling in ingest.  Encoder-built payloads never trip
+                # it, but this is the call site that exercises the
+                # documented contract (tests feed a corrupt payload
+                # through the same filter shape).
+                sig = dhash64(encode_bmp(w, h, s))
+                if sig is not None:
+                    ids.append(d)
+                    sigs.append(sig)
                 if d % 8 == 0:
-                    ids.append(d + 1_000_000)
-                    sigs.append(dhash64(encode_bmp(w, h, s + 1)))
+                    sig = dhash64(encode_bmp(w, h, s + 1))
+                    if sig is not None:
+                        ids.append(d + 1_000_000)
+                        sigs.append(sig)
             import pandas as _pd
 
             yield _pd.DataFrame({"id": ids, "sig": sigs})

@@ -403,3 +403,45 @@ def test_curation_attrition_funnel_reconciles(spark, sf_dir):
         .count()
     )
     assert rows[2].n_removed == planted_surviving
+
+
+def test_curation_attrition_null_lang_removed_at_lang_gate(spark, tmp_path):
+    """A NULL lang must be REMOVED at stage 2, not silently excluded
+    from survivors while still tagged a survivor (ADVICE r13): with a
+    non-null-safe `lang <> 'en'`, the NULL row fails the surv12 filter
+    (NOT NULL is NULL) yet lands in ff=0, breaking the funnel's
+    n_out(s)==n_in(s+1) reconciliation IN BOTH ENGINES AT ONCE — the
+    value gate can't catch it.  Verified against the registered DuckDB
+    oracle cell-for-cell on a scratch corpus that contains the NULL."""
+    import duckdb
+
+    from semantic_query_engine_spark.queries import REGISTRY
+
+    long_text = " ".join(f"w{i}" for i in range(25))
+    rows = [
+        (1, long_text, "en", "s", 50),
+        (2, long_text + " x", None, "s", 52),  # NULL lang, enough tokens
+        (3, "short", "en", "s", 5),  # stage-1 removal
+        (4, long_text + " y", "de", "s", 52),  # ordinary stage-2 removal
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spec = REGISTRY["curation_attrition"]
+    got = sorted(
+        [tuple(r) for r in spec.fn(spark, str(tmp_path)).collect()]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = sorted([tuple(r) for r in con.execute(spec.oracle).fetchall()])
+    assert got == want
+    by_stage = {r[0]: r for r in got}
+    # funnel reconciles: n_out(s) == n_in(s+1) through all 4 stages
+    for s in (1, 2, 3):
+        assert by_stage[s][4] == by_stage[s + 1][2]
+    # stage 2 removed exactly the NULL-lang and 'de' docs
+    assert by_stage[2][3] == 2

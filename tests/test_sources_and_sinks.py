@@ -614,3 +614,33 @@ def test_video_scene_threshold_sits_in_measured_gap(spark, sf_dir):
             else:
                 assert not frames[f].is_boundary, (did, f, frames[f].ham_prev)
                 assert frames[f].ham_prev <= 9
+
+
+def test_dhash64_none_sentinel_is_quarantined_by_filter():
+    """dhash64's quarantine contract (ADVICE r12/r13): malformed
+    containers return the None sentinel instead of raising, and the
+    caller-side filter shape used in multimodal_phash_dedup's
+    signature loop drops them, so one corrupt byte string can't fail a
+    whole mapInPandas task or leak a NULL signature into the banded
+    join."""
+    from semantic_query_engine_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+    )
+
+    corrupt = [
+        b"",  # empty
+        b"BM" + b"\x00" * 10,  # truncated header
+        b"JUNK" * 100,  # wrong magic
+        encode_bmp(9, 8, 0)[:40],  # valid header, truncated pixels
+    ]
+    for payload in corrupt:
+        assert dhash64(payload) is None
+    # the production filter shape: Nones never reach the sig column
+    payloads = corrupt + [encode_bmp(9, 8, 0), encode_bmp(13, 8, 5)]
+    sigs = []
+    for p in payloads:
+        sig = dhash64(p)
+        if sig is not None:
+            sigs.append(sig)
+    assert len(sigs) == 2 and all(isinstance(s, int) for s in sigs)

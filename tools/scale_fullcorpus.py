@@ -279,7 +279,7 @@ def _median_time(spark, fn, sf_dir):
     rows = fn(spark, sf_dir).count()  # untimed warmup (codegen javac)
     release_persistent_rdds(spark)
     samples = []
-    shuffle_mb = None
+    shuffle_deltas = []
     for _ in range(RUNS):
         sh0 = _shuffle_bytes(spark)
         t0 = time.time()
@@ -287,8 +287,17 @@ def _median_time(spark, fn, sf_dir):
         samples.append(time.time() - t0)
         sh1 = _shuffle_bytes(spark)
         if sh0 is not None and sh1 is not None:
-            shuffle_mb = round((sh1 - sh0) / 1e6, 2)
+            shuffle_deltas.append(sh1 - sh0)
         release_persistent_rdds(spark)
+    # median ACROSS runs, matching the wall-time statistic: keeping only
+    # the last run's delta paired a median wall with a possibly-outlier
+    # shuffle figure when AQE replans or cache effects vary per run
+    # (ADVICE r13)
+    shuffle_mb = (
+        round(sorted(shuffle_deltas)[len(shuffle_deltas) // 2] / 1e6, 2)
+        if shuffle_deltas
+        else None
+    )
     return round(sorted(samples)[len(samples) // 2], 3), rows, shuffle_mb
 
 

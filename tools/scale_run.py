@@ -196,7 +196,19 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), small, big],
                 capture_output=True, text=True, env=env,
             )
-            line = res.stdout.strip().splitlines()[-1] if res.stdout.strip() else "{}"
+            # a crashed child must FAIL LOUDLY, not silently vanish from
+            # the published sweep (ADVICE r13): surface its stderr and
+            # emit an explicit error row so the JSON's key set always
+            # equals the requested query set
+            if res.returncode != 0 or not res.stdout.strip():
+                sys.stderr.write(res.stderr or "")
+                print(
+                    f"# {name}: CHILD FAILED rc={res.returncode}",
+                    file=sys.stderr,
+                )
+                merged[name] = {"error": f"child rc={res.returncode}"}
+                continue
+            line = res.stdout.strip().splitlines()[-1]
             row = _json.loads(line)
             merged.update(row)
             for n, v in row.items():
