@@ -8,11 +8,31 @@ generation), the direct analog of the reference's published "< 3.5 s
 end-to-end query latency" (BASELINE.md).  Per-query timings for the
 wider operator surface ride along in "queries".
 
-Each query is fully materialized (count) so timings cover
-scan -> shuffle -> result, not plan construction.  Each query runs
-$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN:
-single-run timings showed ±25% noise on sub-second queries across
-rounds 1-2 — bigger than the regressions the bench exists to catch.
+Instrument (round 14, VERDICT r13 #1): the default is the pair of
+instruments tools/scale_run.py proved honest in round 13 —
+  * FULL materialization: small-output queries .collect(); everything
+    else writes to the noop sink, which consumes every column of every
+    row.  .count() is NOT full materialization: on a small-group
+    Aggregate, Catalyst prunes the aggregate expressions, and upstream
+    of a join it prunes payload columns, so count() timings measure a
+    gutted plan (moved ann_ivfpq_topk 3.6 -> 14.2 s at sf1 once
+    honestly materialized — SCALE.md).
+  * PER-QUERY SUBPROCESS isolation: a shared JVM develops multi-second
+    pauses across a ~80-query sweep that inflated LATE rows up to 11x
+    (measured: dedup_semantic 30.1 s in-sweep vs 2.7 s fresh), which is
+    why BENCH_r13's tail looked like a regression while same-HEAD
+    isolated runs were flat.  One JVM per query costs ~8 s of startup
+    each, all OUTSIDE the timed region.
+SPARK_GRAFT_BENCH_INSTRUMENT=legacy reproduces the rounds-1-13
+shared-JVM .count() harness so the old and new series can be compared
+(BENCH_COMPARE_r14.md); SPARK_GRAFT_BENCH_BATCH=N shares one JVM across
+N consecutive queries to trade isolation for wall-clock.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+the MEDIAN after $SPARK_GRAFT_BENCH_WARMUP (default 1) untimed
+warmups: single-run timings showed ±25% noise on sub-second queries
+across rounds 1-2, and a plan's first execution pays whole-stage-
+codegen javac for that plan.
 """
 
 from __future__ import annotations
@@ -172,19 +192,16 @@ HEADLINE = [
     "join_skew_profile",       # pre-join key-distribution monitor (r12)
     "shard_skew_report",       # trainer-shard token-balance monitor (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
+    # round-14 additions
+    "ann_ivfpq_topk_indexed",  # probe over the PERSISTED IVF-PQ index:
+    #                      times the serving path (no in-plan build)
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # The console progress bar writes \r-separated frames that interleave
-    # with stdout when the caller captures both streams, corrupting the
-    # one-JSON-line contract (BENCH_r04's tail carried raw progress
-    # frames).  Must be set before the JVM starts.
-    os.environ.setdefault(
-        "PYSPARK_SUBMIT_ARGS",
-        "--conf spark.ui.showConsoleProgress=false pyspark-shell",
-    )
+def _bench_fns():
+    """Registry + bench-only callables (import deferred: the parent
+    process resolves names without paying package import at CLI parse
+    time)."""
     from semantic_query_engine_spark.queries import REGISTRY
     from semantic_query_engine_spark.queries.dedup_q import (
         ivf_knn_join_bench,
@@ -192,68 +209,94 @@ def main() -> None:
         ivfpq_topk_bench,
         minhash_lsh_pairs_bench,
     )
-    from semantic_query_engine_spark.session import get_spark
-    from tools.harness_util import release_persistent_rdds
 
-    # Quiet-machine wait (VERDICT r11 #6): when a foreign JVM is still
-    # running (e.g. a gate run winding down) or the pre-JVM loadavg has
-    # not decayed, WAIT — bounded — instead of stamping a loaded run.
-    # The budget is env-tunable; on timeout we proceed and the loaded
-    # flag below still tells the truth.
-    cpus = os.cpu_count() or 1
-    quiet_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "360"))
-    waited = 0.0
-    while waited < quiet_budget and (
-        _foreign_jvms() > 0 or os.getloadavg()[0] > 0.25 * cpus
-    ):
-        if waited == 0.0:
-            sys.stderr.write(
-                "bench: machine not quiet (foreign JVM or loadavg); "
-                f"waiting up to {quiet_budget:.0f}s\n"
-            )
-        time.sleep(15)
-        waited += 15
-
-    # Machine-load evidence, sampled BEFORE our JVM exists so a quiet
-    # machine reads near-zero load and zero JVMs (VERDICT r9 #1).
-    load_before = list(os.getloadavg())
-    jvms_before = _foreign_jvms()
-
-    # timing-only rows with no registry entry (see HEADLINE comments)
     bench_only = {
         "minhash_lsh_pairs": minhash_lsh_pairs_bench,
         "ivf_knn_join_op": ivf_knn_join_bench,
         "ivf_topk_partitioned": ivf_topk_partitioned_bench,
         "ivfpq_topk_op": ivfpq_topk_bench,
     }
+    return REGISTRY, bench_only
+
+
+def _time_queries(names: list[str], sf_dir: str) -> dict[str, float]:
+    """Time a list of queries in THIS process's Spark session with the
+    honest instrument (full materialization via tools/harness_util).
+    Under the default per-query isolation the list has one element and
+    the JVM is fresh; under SPARK_GRAFT_BENCH_BATCH=N it has up to N."""
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--conf spark.ui.showConsoleProgress=false pyspark-shell",
+    )
+    from semantic_query_engine_spark.session import get_spark
+    from semantic_query_engine_spark.streaming.jobs import drop_live_sinks
+    from tools.harness_util import materialize, release_persistent_rdds
+
+    registry, bench_only = _bench_fns()
 
     def q_fn(name):
-        return REGISTRY[name].fn if name in REGISTRY else bench_only[name]
+        return registry[name].fn if name in registry else bench_only[name]
 
     spark = get_spark("bench")
-    # ERROR-only logging for the bench run: release_persistent_rdds
-    # emits one WARN per unpersisted localCheckpoint RDD ("lineage has
-    # been truncated...") and those frames landed in BENCH_r04/r05's
-    # recorded tail, making the artifact un-diffable across rounds
-    # (VERDICT r5 #4).  The warning is expected here — the harness
-    # releases checkpoints only after each result is consumed.
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n in HEADLINE if n in REGISTRY or n in bench_only]
-    # warm the JVM + parquet footers once so timings measure the engine,
-    # not first-touch class loading
-    q_fn(names[0])(spark, sf_dir).limit(1).collect()
-    from semantic_query_engine_spark.streaming.jobs import drop_live_sinks
-
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
     warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+    timings: dict[str, float] = {}
     for name in names:
-        # untimed warmup: a query's first execution in a session pays
-        # whole-stage-codegen javac compilation for its own plan (and,
-        # under AQE, sometimes for a re-planned variant on the second
-        # run too) — measured 6.8s -> 2.5s on training_data_prep.  One
-        # throwaway run makes the timed samples measure the engine, not
-        # the compiler; median-of-3 then guards the residual noise.
+        # untimed warmup: first execution pays whole-stage-codegen javac
+        # for this plan (and JVM/class/parquet-footer first-touch in the
+        # fresh-process default) — measured 6.8s -> 2.5s on
+        # training_data_prep
+        for _ in range(warmup):
+            materialize(name, q_fn(name)(spark, sf_dir))
+            drop_live_sinks(spark)
+            release_persistent_rdds(spark)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            materialize(name, q_fn(name)(spark, sf_dir))
+            samples.append(time.time() - t0)
+            # a streaming query's memory sink / checkpointed CC
+            # intermediates would otherwise pin blocks across samples
+            drop_live_sinks(spark)
+            release_persistent_rdds(spark)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+    return timings
+
+
+def _legacy_main() -> None:
+    """The rounds-1-13 instrument, VERBATIM semantics: one shared JVM
+    for the whole sweep, .count() materialization.  Kept so the old and
+    new series stay comparable (BENCH_COMPARE_r14.md); known to measure
+    partially-pruned plans through an aging JVM (VERDICT r13 #1)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS",
+        "--conf spark.ui.showConsoleProgress=false pyspark-shell",
+    )
+    from semantic_query_engine_spark.session import get_spark
+    from semantic_query_engine_spark.streaming.jobs import drop_live_sinks
+    from tools.harness_util import release_persistent_rdds
+
+    registry, bench_only = _bench_fns()
+
+    def q_fn(name):
+        return registry[name].fn if name in registry else bench_only[name]
+
+    load_before = list(os.getloadavg())
+    jvms_before = _foreign_jvms()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [n for n in HEADLINE if n in registry or n in bench_only]
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in names if n in wanted]
+    q_fn(names[0])(spark, sf_dir).limit(1).collect()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    warmup = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")))
+    timings: dict[str, float] = {}
+    for name in names:
         for _ in range(warmup):
             q_fn(name)(spark, sf_dir).count()
             drop_live_sinks(spark)
@@ -263,20 +306,27 @@ def main() -> None:
             q_fn(name)(spark, sf_dir).count()
             samples.append(time.time() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
-        # a streaming query's last memory sink would otherwise pin its
-        # result in memory for every subsequent query's timing
         drop_live_sinks(spark)
-        # ... and checkpointed intermediates (CC/PageRank/prep plans)
-        # would otherwise accumulate in the block manager for the whole
-        # session, degrading later queries' timings
         release_persistent_rdds(spark)
+    _emit(timings, sf_dir, load_before, jvms_before, "legacy-count-sharedjvm")
+
+
+def _emit(
+    timings: dict[str, float],
+    sf_dir: str,
+    load_before: list[float],
+    jvms_before: int,
+    instrument: str,
+) -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cpus = os.cpu_count() or 1
     load_after = list(os.getloadavg())
     jvms_after = _foreign_jvms()
     # "loaded": another JVM was present, or the 1-min load BEFORE our
-    # JVM started was already a nontrivial fraction of the machine.  A
-    # True here means the timings are inflated and must not be read as
-    # a regression signal (the r9 driver run would have flagged True).
+    # first JVM started was already a nontrivial fraction of the
+    # machine.  A True here means the timings are inflated and must not
+    # be read as a regression signal (the r9 driver run would have
+    # flagged True).
     loaded = (
         jvms_before > 0
         or jvms_after > 0
@@ -285,11 +335,12 @@ def main() -> None:
     line = json.dumps(
         {
             "metric": "flagship_rag_e2e_latency",
-            "value": timings[FLAGSHIP],
+            "value": timings.get(FLAGSHIP),
             "unit": "sec",
             "queries": timings,
             "total_sec": round(sum(timings.values()), 4),
             "sf": float(sf) if sf else None,
+            "instrument": instrument,
             "load": {
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
@@ -306,26 +357,119 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def _reexec_with_clean_stderr() -> int:
-    """Run bench.py as a child with stderr captured to a file.
+def _quiet_wait() -> None:
+    """Quiet-machine wait (VERDICT r11 #6): when a foreign JVM is still
+    running (e.g. a gate run winding down) or the pre-JVM loadavg has
+    not decayed, WAIT — bounded — instead of stamping a loaded run.
+    Parent-only: between isolated children our own just-exited JVMs
+    keep loadavg high, so children never wait."""
+    cpus = os.cpu_count() or 1
+    quiet_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "360")
+    )
+    waited = 0.0
+    while waited < quiet_budget and (
+        _foreign_jvms() > 0 or os.getloadavg()[0] > 0.25 * cpus
+    ):
+        if waited == 0.0:
+            sys.stderr.write(
+                "bench: machine not quiet (foreign JVM or loadavg); "
+                f"waiting up to {quiet_budget:.0f}s\n"
+            )
+        time.sleep(15)
+        waited += 15
 
-    The JVM writes unavoidable startup noise to stderr before any
-    log4j/setLogLevel control exists ("WARNING: Using incubator
-    modules", "Using Spark's default log4j profile", the
-    NativeCodeLoader warning) and callers that capture combined
-    output record those frames in the BENCH tail (VERDICT r6 #2).
-    No in-process config can suppress them, so the parent re-execs
-    itself with stderr redirected; the child prints only the JSON
-    line to stdout.  On failure the captured stderr is replayed so
-    diagnostics are not lost.
-    """
+
+def _child_main() -> None:
+    """Isolated child: time the queries named in
+    SPARK_GRAFT_BENCH_QUERIES and print one partial-JSON line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = [
+        n.strip()
+        for n in os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
+        if n.strip()
+    ]
+    timings = _time_queries(names, sf_dir)
+    sys.stdout.write("\n" + json.dumps({"timings": timings}) + "\n")
+    sys.stdout.flush()
+
+
+def _parent_main() -> int:
+    """Default instrument: per-query subprocess isolation.  Spawns one
+    child (fresh JVM) per batch of SPARK_GRAFT_BENCH_BATCH queries
+    (default 1), merges timings, prints the single JSON line.  A failed
+    child FAILS THE RUN loudly (its stderr replayed) — a silently
+    missing row is how sweeps lie (ADVICE r13)."""
+    import subprocess
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry, bench_only = _bench_fns()
+    names = [n for n in HEADLINE if n in registry or n in bench_only]
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in names if n in wanted]
+    batch = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "1")))
+
+    _quiet_wait()
+    load_before = list(os.getloadavg())
+    jvms_before = _foreign_jvms()
+
+    timings: dict[str, float] = {}
+    for i in range(0, len(names), batch):
+        group = names[i : i + batch]
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_CHILD"] = "isolated"
+        env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(group)
+        with tempfile.NamedTemporaryFile(
+            mode="w+", prefix="bench_stderr_", suffix=".log", delete=False
+        ) as errf:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE,
+                stderr=errf,
+                env=env,
+                text=True,
+            )
+            if res.returncode != 0 or not res.stdout.strip():
+                errf.seek(0)
+                sys.stderr.write(errf.read())
+                sys.stderr.write(
+                    f"\n[bench] child for {group} failed "
+                    f"rc={res.returncode}; stderr at {errf.name}\n"
+                )
+                return 1
+        os.unlink(errf.name)
+        row = json.loads(res.stdout.strip().splitlines()[-1])
+        timings.update(row["timings"])
+        for n in group:
+            sys.stderr.write(f"# {n}: {timings[n]}s\n")
+    instrument = (
+        "isolated-noop" if batch == 1 else f"isolated-noop-batch{batch}"
+    )
+    # grace wait: a just-exited child's JVM reparents to init while it
+    # shuts down and would read as "foreign" in the after-sample,
+    # spuriously flagging loaded_machine on every isolated run
+    deadline = time.time() + 30
+    while _foreign_jvms() > 0 and time.time() < deadline:
+        time.sleep(2)
+    _emit(timings, sf_dir, load_before, jvms_before, instrument)
+    return 0
+
+
+def _legacy_parent() -> int:
+    """Legacy mode keeps the old clean-stderr re-exec: the JVM writes
+    unavoidable startup noise to stderr before any log4j control
+    exists, and callers that capture combined output record those
+    frames in the BENCH tail (VERDICT r6 #2)."""
     import subprocess
     import tempfile
 
     with tempfile.NamedTemporaryFile(
         mode="w+", prefix="bench_stderr_", suffix=".log", delete=False
     ) as errf:
-        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="legacy")
         rc = subprocess.call(
             [sys.executable, os.path.abspath(__file__)],
             stderr=errf,
@@ -341,7 +485,15 @@ def _reexec_with_clean_stderr() -> int:
 
 
 if __name__ == "__main__":
-    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
-        main()
+    child = os.environ.get("SPARK_GRAFT_BENCH_CHILD")
+    if child == "isolated":
+        _child_main()
+    elif child == "legacy":
+        _legacy_main()
+    elif (
+        os.environ.get("SPARK_GRAFT_BENCH_INSTRUMENT", "isolated")
+        == "legacy"
+    ):
+        raise SystemExit(_legacy_parent())
     else:
-        raise SystemExit(_reexec_with_clean_stderr())
+        raise SystemExit(_parent_main())

@@ -106,30 +106,10 @@ QUERIES = [
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-# Queries timed with .collect() instead of .count(): counting a
-# small-group Aggregate lets Catalyst PRUNE the aggregate expressions
-# (count needs only grouping columns), so a .count() timing measures a
-# gutted plan — the SCALE.md r12 instrument trap.  Everything here has
-# a small (<= a few thousand rows) output, so collect cost is
-# negligible against the work being measured.
-MATERIALIZE = {
-    "multimodal_dedup_stats",
-    "dedup_eval_lsh",
-    "stream_phash_dedup",
-    "video_keyframe_sample",
-    "multimodal_quality_filter",
-    "multimodal_real_decode",
-    "embedding_drift",
-    "source_datacard",
-    "bpe_roundtrip",
-    "dedup_incremental_indexed",
-    "dataset_manifest",
-    "join_skew_profile",
-    "shard_skew_report",
-    "dedup_eval_sweep",
-    "dedup_semdedup_clustered",
-    "curation_attrition",
-}
+# Materialization instrument (collect-vs-noop split + the .count()
+# pruning rationale) now lives in tools/harness_util.py, shared with
+# bench.py since r14 adopted the honest instrument there too.
+from tools.harness_util import materialize as _materialize_shared  # noqa: E402
 
 # timing-only rows with no registry entry (see QUERIES comments)
 BENCH_ONLY = {"minhash_lsh_pairs": minhash_lsh_pairs_bench}
@@ -140,17 +120,7 @@ def _q_fn(name):
 
 
 def _materialize(name: str, df) -> None:
-    """Force FULL computation of the plan.  .count() is NOT that: on a
-    small-group Aggregate, Catalyst prunes the aggregate expressions
-    (count needs only grouping columns), and upstream of a join it can
-    prune payload columns — the SCALE.md r12 instrument trap, found to
-    have biased several rounds-6-9 rows (VERDICT r12 #4).  Small-output
-    queries collect(); everything else writes to the noop sink, which
-    consumes every column of every row with no driver transfer."""
-    if name in MATERIALIZE:
-        df.collect()
-    else:
-        df.write.format("noop").mode("overwrite").save()
+    _materialize_shared(name, df)
 
 
 def _median_time(spark, name: str, sf_dir: str) -> float:
