@@ -193,8 +193,11 @@ HEADLINE = [
     "shard_skew_report",       # trainer-shard token-balance monitor (r12)
     "dedup_eval_lsh",    # sketch recall/precision confusion report (r12)
     # round-14 additions
-    "ann_ivfpq_topk_indexed",  # probe over the PERSISTED IVF-PQ index:
-    #                      times the serving path (no in-plan build)
+    "ann_ivfpq_topk_indexed",  # gate row: probe over the PERSISTED
+    #                      IVF-PQ index + accuracy gate (exact side)
+    "ivfpq_indexed_probe",     # serving latency alone: statically-
+    #                      pruned probe of the persisted layout, no
+    #                      gate — THE per-query serving number
 ]
 
 
@@ -206,6 +209,7 @@ def _bench_fns():
     from semantic_query_engine_spark.queries.dedup_q import (
         ivf_knn_join_bench,
         ivf_topk_partitioned_bench,
+        ivfpq_indexed_probe_bench,
         ivfpq_topk_bench,
         minhash_lsh_pairs_bench,
     )
@@ -215,6 +219,7 @@ def _bench_fns():
         "ivf_knn_join_op": ivf_knn_join_bench,
         "ivf_topk_partitioned": ivf_topk_partitioned_bench,
         "ivfpq_topk_op": ivfpq_topk_bench,
+        "ivfpq_indexed_probe": ivfpq_indexed_probe_bench,
     }
     return REGISTRY, bench_only
 

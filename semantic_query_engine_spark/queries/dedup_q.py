@@ -1175,6 +1175,86 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _checked_ann_topk(index, qvec, approx)
 
 
+# sf_dir -> persisted IVF-PQ serving-layout path; the build (k-means +
+# PQ training + encode + partitionBy(cluster_id) write) happens ONCE
+# per process — a gate/bench warmup pays it — and every subsequent call
+# is probe-only, the build-once/serve-many cost model of the
+# reference's HNSW index (/root/reference/app/main.py:262-283).
+_IVFPQ_SERVING_CACHE: dict[str, str] = {}
+
+
+def _ensure_ivfpq_serving_index(spark: SparkSession, sf_dir: str):
+    """Build-and-persist (first call) or read back (every other call)
+    the IVF-PQ serving layout over the planted index — SAME build
+    parameters as ann_ivfpq_topk (n_clusters=8, m=8, k=16, one shared
+    sample pull), so the two rows differ ONLY in where the build cost
+    lives."""
+    import os
+
+    from ..operators.ann import build_ivf, sample_vectors
+    from ..operators.pq import build_pq, pq_encode, read_ivfpq_index, write_ivfpq_index
+    from ..scratch import scratch_path
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVFPQ_SERVING_CACHE:
+        index, _ = _planted_query_index(spark, sf_dir)
+        X = sample_vectors(index)
+        assigned, centroids = build_ivf(index, n_clusters=8, sample_X=X)
+        books = build_pq(index, m=8, k=16, sample_X=X)
+        enc = pq_encode(index, books)
+        path = scratch_path("ivfpq_serving_" + key.replace("/", "_"))
+        write_ivfpq_index(assigned, enc, centroids, books, path)
+        _IVFPQ_SERVING_CACHE[key] = path
+    return read_ivfpq_index(spark, _IVFPQ_SERVING_CACHE[key])
+
+
+@register("ann_ivfpq_topk_indexed", oracle=_ANN_TOPK_ORACLE)
+def ann_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_topk through the PERSISTED serving index (VERDICT r13
+    #2): codebooks + cluster-partitioned code table are built ONCE into
+    a parquet layout (operators/pq.py write_ivfpq_index — the
+    write_ivf_index physical contract at ~8 bytes/vector) and the
+    registered query PROBES it — centroid rank driver-side, literal
+    isin() cluster filter pruning the partitioned scan at plan time,
+    ADC over probed codes only, exact re-rank of the refine window.
+    Same accuracy gate and oracle as ann_ivfpq_topk (the exact top-3
+    payload is hash-checked and `recall_ok` guards the probe chain);
+    the partition-pruning physical claim is pinned by
+    tests/test_ivf_partition_pruning.py::test_ivfpq_serving_layout_*.
+    At 100 TB this is the difference between re-training k-means per
+    query and reading nprobe/n_clusters of an 8-byte-per-vector
+    table."""
+    from ..operators.pq import ivfpq_probe
+
+    index, qvec = _planted_query_index(spark, sf_dir)
+    codes, centroids, books = _ensure_ivfpq_serving_index(spark, sf_dir)
+    approx = ivfpq_probe(
+        codes, centroids, index, books, qvec, k=3, nprobe=4, refine=100
+    ).select("vec_id")
+    return _checked_ann_topk(index, qvec, approx)
+
+
+def ivfpq_indexed_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT registered — the serving-latency twin of
+    ann_ivfpq_topk_indexed, WITHOUT the recall gate's exact brute-force
+    side (which scans the full raw-vector table and would mask the
+    probe cost the row exists to track).  Times exactly what a
+    deployment pays per query: centroid rank (kilobytes, driver-side)
+    -> statically-pruned partitioned scan of ~nprobe/n_clusters of the
+    8-byte code table -> ADC -> exact re-rank of refine=100 vectors.
+    bench.py reports this as `ivfpq_indexed_probe`; compare with
+    `ivfpq_topk_op` (process-cached unpartitioned codes) to see the
+    file-pruning delta and with the registered `ann_ivfpq_topk` to see
+    build-vs-probe decoupling."""
+    from ..operators.pq import ivfpq_probe
+
+    index, qvec = _planted_query_index(spark, sf_dir)
+    codes, centroids, books = _ensure_ivfpq_serving_index(spark, sf_dir)
+    return ivfpq_probe(
+        codes, centroids, index, books, qvec, k=3, nprobe=4, refine=100
+    )
+
+
 def _srp_key_duck(vexpr: str) -> str:
     """DuckDB 16-bit SRP bucket key of a DOUBLE[] expression: sign bits
     of the literal ±1 projection (semantic.py's _SRP_MAT) over the

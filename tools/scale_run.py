@@ -26,6 +26,7 @@ sys.path.insert(0, REPO)
 
 from semantic_query_engine_spark.queries import REGISTRY  # noqa: E402
 from semantic_query_engine_spark.queries.dedup_q import (  # noqa: E402
+    ivfpq_indexed_probe_bench,
     minhash_lsh_pairs_bench,
 )
 from semantic_query_engine_spark.session import get_spark  # noqa: E402
@@ -102,6 +103,10 @@ QUERIES = [
     "dedup_eval_sweep",        # 3 banding configs over shared sigs/truth
     "dedup_semdedup_clustered",  # cluster-confined pairs + centroid rule
     "curation_attrition",      # full corpus: funnel flags + one agg
+    # round 14: the persisted IVF-PQ serving index — the probe row's
+    # scaling vs ann_ivfpq_topk's is the build/probe decoupling evidence
+    "ann_ivfpq_topk_indexed",  # gate row over the persisted layout
+    "ivfpq_indexed_probe",     # probe-only serving latency (no gate)
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -112,7 +117,10 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 from tools.harness_util import materialize as _materialize_shared  # noqa: E402
 
 # timing-only rows with no registry entry (see QUERIES comments)
-BENCH_ONLY = {"minhash_lsh_pairs": minhash_lsh_pairs_bench}
+BENCH_ONLY = {
+    "minhash_lsh_pairs": minhash_lsh_pairs_bench,
+    "ivfpq_indexed_probe": ivfpq_indexed_probe_bench,
+}
 
 
 def _q_fn(name):
