@@ -2321,3 +2321,131 @@ def dedup_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_sim",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+@register(
+    "dedup_semdedup_built",
+    oracle=f"""
+    WITH base AS (SELECT vec_id FROM embeddings WHERE vec_id < {_SEMDEDUP_CAP})
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_pool,
+           CAST(COUNT(*) AS BIGINT) AS n_planted_pairs,
+           TRUE AS planted_recall_ok,
+           TRUE AS one_keep_per_component_ok
+    FROM base
+    """,
+)
+def dedup_semdedup_built(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with BUILT clusters (VERDICT r13 #3) — closes the gap
+    between dedup_semdedup_clustered (which borrows the fixture `label`
+    as cluster id for oracle tractability) and the paper's actual
+    recipe (Abbas et al. 2023 §3): seeded k-means over the pool
+    (operators/ann.py build_ivf — the ann_ivf_topk machinery), pairwise
+    cosine confined to each BUILT cluster, connected components, and
+    per component KEEP THE EXAMPLE LEAST SIMILAR TO ITS BUILT K-MEANS
+    CENTROID (the clustered variant scores against exact label-sum
+    centroids; here the centroid is the trained one, as in the paper).
+
+    The clustering itself is not SQL-twinnable, so the row is
+    accuracy-gated like the ANN ladder (recall_ok pattern): the oracle
+    pins the pool arithmetic and hardcodes the gates TRUE, and the
+    Spark side EARNS them in-plan —
+    - `planted_recall_ok`: every base vector has a planted near-copy
+      (+0.1 on dim 1, cosine ~0.9997); >= 90% of those (base, copy)
+      pairs must be detected, i.e. k-means must co-assign them and the
+      confined join + exact cosine confirm must surface them.  A
+      clustering that splits near-identical vectors, a broken
+      assignment UDF, or a confinement bug flips the gate and
+      hash-fails the row.
+    - `one_keep_per_component_ok`: the keep-rule emits exactly one
+      keeper per duplicate group.
+    Deeper recall/keep-rule semantics on clustered synthetic data are
+    pinned in tests/test_dedup.py::test_semdedup_built_*.
+
+    Scale shape: identical to dedup_semdedup_clustered — candidate
+    volume is sum of per-cluster sizes squared (the quantity the
+    clustering exists to bound), centroids broadcast at nlist rows,
+    assignment is a map-only Arrow-batched matmul; no all-pairs stage
+    anywhere."""
+    from ..functions.vectors import cosine
+    from ..operators.ann import build_ivf
+    from ..operators.dedup import embedding_near_dups
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_CAP
+    )
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    variants = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 10_000_000),
+        ).alias("embedding"),
+    )
+    pool = base.unionByName(variants)
+    assigned, centroids = build_ivf(pool, n_clusters=10)
+    # assignment feeds the confined join AND the planted-pair gate;
+    # without the checkpoint the seeded-but-stateful pandas-UDF
+    # assignment recomputes per consumer (3 full passes)
+    assigned = assigned.localCheckpoint(eager=True)
+    pairs = embedding_near_dups(assigned, threshold=0.98, block_col="cluster_id")
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(pairs, nodes=pool.select("vec_id"))
+    scored = (
+        assigned.join(
+            cc.select(F.col("node").alias("vec_id"), "component"), "vec_id"
+        )
+        # bounded: nlist rows (10 here) — never corpus-sized
+        .join(F.broadcast(centroids), "cluster_id")
+        .select(
+            "vec_id",
+            "component",
+            F.round(cosine("embedding", "centroid"), 6).alias("cent_sim"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("cent_sim"), F.asc("vec_id")
+    )
+    kept = scored.select(
+        "component", (F.row_number().over(w) == 1).cast("int").alias("k")
+    )
+    keep_ok = (
+        kept.groupBy("component")
+        .agg(F.sum("k").alias("nk"))
+        .agg(
+            (F.min("nk") == 1).cast("boolean").alias("kmin"),
+            (F.max("nk") == 1).cast("boolean").alias("kmax"),
+        )
+        .select((F.col("kmin") & F.col("kmax")).alias("one_keep_per_component_ok"))
+    )
+    planted = base.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 10000).alias("id_b"),
+    )
+    recall = (
+        planted.agg(F.count("*").alias("n_planted_pairs"))
+        # bounded: 1-row detected-pair-count aggregate
+        .crossJoin(
+            F.broadcast(
+                planted.join(pairs, ["id_a", "id_b"]).agg(
+                    F.count("*").alias("nd")
+                )
+            )
+        )
+    )
+    return (
+        pool.agg(F.count("*").alias("n_pool"))
+        # bounded: 1-row planted/detected aggregate
+        .crossJoin(F.broadcast(recall))
+        # bounded: 1-row keep-rule gate
+        .crossJoin(F.broadcast(keep_ok))
+        .select(
+            "n_pool",
+            "n_planted_pairs",
+            (F.col("nd") * 10 >= F.col("n_planted_pairs") * 9).alias(
+                "planted_recall_ok"
+            ),
+            "one_keep_per_component_ok",
+        )
+    )

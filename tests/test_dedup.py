@@ -673,3 +673,53 @@ def test_dedup_semdedup_clustered_keep_rule(spark, sf_dir):
         best = min(members, key=lambda r: (r.cent_sim, r.vec_id))
         assert keeps[0].vec_id == best.vec_id
         assert len({r.label for r in members}) == 1
+
+
+def test_semdedup_built_gates_on_synthetic_clusters(spark, tmp_path):
+    """The BUILT-centroid SemDeDup (registered dedup_semdedup_built)
+    on well-separated synthetic geometry: write a scratch embeddings
+    table of 240 clustered unit vectors, run the registered callable,
+    and require the in-plan gates to be EARNED — every gate column
+    True, pool arithmetic exact.  On separated clusters the planted
+    (base, +0.1-copy) pairs must be co-assigned by the seeded k-means
+    without exception, so planted_recall_ok here certifies 100%
+    detection, not just the >= 90% registry gate."""
+    from tools.ann_recall import clustered_vectors
+
+    from semantic_query_engine_spark.queries import REGISTRY
+
+    allv = clustered_vectors(
+        spark, 240, dim=64, n_centers=6, sigma=0.25, seed=11
+    )
+    allv.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    row = REGISTRY["dedup_semdedup_built"].fn(spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_pool == 480 and r.n_planted_pairs == 240
+    assert r.planted_recall_ok and r.one_keep_per_component_ok
+
+
+def test_semdedup_built_coassigns_planted_copies(spark):
+    """The gate's load-bearing assumption, isolated: build_ivf's seeded
+    k-means co-assigns a vector and its +0.1-on-dim-1 near-copy (cosine
+    ~0.995+) on clustered geometry — 100%, not probabilistically.  A
+    normalization bug in the assignment UDF or a non-deterministic
+    centroid fit would break this before it broke the registry gate."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.operators.ann import build_ivf
+    from tools.ann_recall import clustered_vectors
+
+    base = clustered_vectors(spark, 180, dim=64, n_centers=6, sigma=0.25, seed=3)
+    variants = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, 10_000_000),
+        ).alias("embedding"),
+    )
+    pool = base.unionByName(variants)
+    assigned, _ = build_ivf(pool, n_clusters=6)
+    a = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    split = [i for i in range(180) if a[i] != a[i + 10000]]
+    assert split == [], f"planted copies split across clusters: {split}"

@@ -59,6 +59,7 @@ MATERIALIZE_COLLECT = {
     "shard_skew_report",
     "dedup_eval_sweep",
     "dedup_semdedup_clustered",
+    "dedup_semdedup_built",
     "curation_attrition",
 }
 

@@ -102,6 +102,7 @@ QUERIES = [
     # round 13 additions
     "dedup_eval_sweep",        # 3 banding configs over shared sigs/truth
     "dedup_semdedup_clustered",  # cluster-confined pairs + centroid rule
+    "dedup_semdedup_built",    # same recipe, k-means-built clusters (r14)
     "curation_attrition",      # full corpus: funnel flags + one agg
     # round 14: the persisted IVF-PQ serving index — the probe row's
     # scaling vs ann_ivfpq_topk's is the build/probe decoupling evidence
