@@ -804,33 +804,112 @@ def _bpe_merges_oracle(n_rounds: int = 3, guarded: bool = False) -> str:
     )
 
 
+def _disjoint_prefix(tops, complete: bool = True) -> list:
+    """The longest PREFIX of the ranked (cnt desc, pair asc) candidate
+    list that can be applied in one pass while reproducing sequential
+    greedy BIT-FOR-BIT (VERDICT r13 #6).  Why each rule is
+    load-bearing:
+
+    - PREFIX, never skip-and-continue: a skipped conflicting pair is
+      still live with a possibly-still-winning count, so sequential
+      greedy could pick IT next instead of our later batch member.
+    - disjoint on x, y AND the merged string x+y: applying (a, b)
+      can only DESTROY occurrences of old pairs (no old pair gains),
+      so a batch member's count is exactly what sequential greedy
+      would see at its step; and every pair a merge CREATES contains
+      the merged symbol, so symbol-tracking sees it.
+    - created-pair DONOR guards (the subtle one — found by the
+      bpe_merges_n10 value gate, not by review): applying (a, b)
+      creates pairs like (x, ab) with cnt <= cnt(x, a), the "donor".
+      A donor with cnt STRICTLY above a later member m_j ranks before
+      m_j, shares a symbol with (a, b), and therefore stops the
+      prefix — fine.  But a donor TYING cnt(m_j) can rank after m_j
+      (strings reorder: donor "o lu" ranks after "lu m" while its
+      created pair "co lu" ranks before), and the created pair then
+      outranks m_j in sequential order.  Hence two extra stops before
+      admitting any member after the first:
+        * any later window entry with EQUAL count sharing a symbol
+          with the batch-so-far (donor visible in the window), and
+        * cnt(m_j) <= the window's last count when the window is
+          incomplete (a tying donor may hide below the cut; with
+          `complete`, every live pair is visible so nothing hides).
+    - stop below cnt 2 (the guarded stopping rule): the next round's
+      full recount decides termination; a batch must never apply a
+      merge sequential greedy would have refused.
+
+    tests/test_text_properties.py pins batch==sequential at depth 50
+    and the rule table; the registered bpe_merges_n10 row re-proves
+    equivalence against the generated sequential SQL oracle every
+    gate run.  Driver state: at most `len(tops)` (pair, cnt) rows."""
+    used: set[str] = set()
+    batch = []
+    tail_min = int(tops[-1]["cnt"]) if tops else 0
+    for idx, r in enumerate(tops):
+        cnt = int(r["cnt"])
+        if cnt < 2:
+            break
+        x, _, y = r["pair"].partition(" ")
+        m = x + y
+        if x in used or y in used or m in used:
+            break
+        if batch:
+            if not complete and cnt <= tail_min:
+                break
+            trial = used | {x, y, m}
+            hazard = False
+            for e in tops[idx + 1:]:
+                if int(e["cnt"]) != cnt:
+                    break  # sorted desc: past the tie run
+                ex, _, ey = e["pair"].partition(" ")
+                if ex in trial or ey in trial or (ex + ey) in trial:
+                    hazard = True
+                    break
+            if hazard:
+                break
+        used.update((x, y, m))
+        batch.append(r)
+    return batch
+
+
 def _bpe_learn(
     spark: SparkSession,
     sf_dir: str,
     n_rounds: int = 3,
     vocab_target: int | None = None,
     checkpoint_every: int = 16,
+    batch: int = 1,
 ):
-    """Run up to `n_rounds` driver-coordinated BPE merge steps, stopping
+    """Run up to `n_rounds` driver-coordinated BPE merges, stopping
     early when the best pair occurs < 2 times (a once-seen pair cannot
     compress) or when `vocab_target` total symbols are reached — each
     merge adds exactly one symbol, so the target reduces to
     (vocab_target - base charset size) merges, with the base size one
     bounded vocab-sized distinct-count.  Returns (persisted base symbol
     table, fully-merged (w, s, freq) frame, merge rows).  Caller must
-    unpersist the base.  Per-step driver state: one (pair, count)
-    row.
+    unpersist the base.
 
-    checkpoint_every truncates the merge lineage: without it, round r's
+    batch > 1 enables BATCHED NON-OVERLAPPING MERGES (VERDICT r13 #6,
+    the classic trainer optimization): each count job collects the
+    top-`batch` candidates and applies the longest symbol-disjoint
+    PREFIX in one map pass — see _disjoint_prefix for why that exact
+    rule (and only it) preserves greedy semantics bit-for-bit, which is
+    what lets bpe_merges_n10 keep its generated sequential SQL oracle
+    while running fewer jobs than merges.  Driver state per job: at
+    most `batch` (pair, count) rows.  Measured effect: the 50k-merge
+    production floor (~2.4 h at 0.17 s/round, SCALE.md r13) divides by
+    the realized merges-per-job ratio (~4-6x on this fixture's English
+    text at batch=8, where top candidates share letters often).
+
+    checkpoint_every truncates the merge lineage: without it, job r's
     symbol table is r chained replace() selects over the persisted
     base, so every pair count re-evaluates ALL prior merges and the
     analyzer re-walks an r-deep plan — per-round cost grows ~linearly
     in depth and training is O(n^2) overall (measured:
     tools/bpe_depth_probe.py, SCALE.md r13).  A localCheckpoint every
-    K rounds materializes the vocab-sized table (cheap by
-    construction) and resets the chain, making per-round cost flat at
-    production depth.  0 disables (the probe's baseline mode); values
-    are identical either way, so the generated oracle is untouched."""
+    K jobs materializes the vocab-sized table (cheap by construction)
+    and resets the chain, making per-round cost flat at production
+    depth.  0 disables (the probe's baseline mode); values are
+    identical either way, so the generated oracle is untouched."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.words_of(F.col("text"))).alias("w0")
@@ -855,7 +934,8 @@ def _bpe_learn(
         n_rounds = min(n_rounds, max(0, vocab_target - base_syms))
     cur = base
     rows = []
-    for step in range(1, n_rounds + 1):
+    jobs = 0
+    while len(rows) < n_rounds:
         sym = F.split(F.trim(F.col("s")), " ")
         pairs = (
             cur.filter(F.size(sym) >= 2)
@@ -871,28 +951,32 @@ def _bpe_learn(
                 ).alias("pair"),
             )
         )
+        want = min(max(1, batch), n_rounds - len(rows))
         tops = (
             pairs.groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
+            .limit(want)
             .collect()
         )
+        jobs += 1
         if not tops or int(tops[0]["cnt"]) < 2:
             break
-        top = tops[0]
-        merged = top["pair"].replace(" ", "")
-        rows.append((step, top["pair"], merged, int(top["cnt"])))
-        cur = cur.select(
-            "w",
-            F.replace(
-                F.col("s"),
-                F.lit(f" {top['pair']} "),
-                F.lit(f" {merged} "),
-            ).alias("s"),
-            "freq",
-        )
-        if checkpoint_every and step % checkpoint_every == 0:
+        # a short result means the window saw EVERY live pair, so the
+        # hidden-donor tail guard in _disjoint_prefix can relax
+        applied = _disjoint_prefix(tops, complete=len(tops) < want)
+        scol = F.col("s")
+        for top in applied:
+            merged = top["pair"].replace(" ", "")
+            rows.append((len(rows) + 1, top["pair"], merged, int(top["cnt"])))
+            # chained non-overlapping replaces in ONE projection: the
+            # batch is symbol-disjoint, so application order can't
+            # matter; rank order is kept for readability
+            scol = F.replace(
+                scol, F.lit(f" {top['pair']} "), F.lit(f" {merged} ")
+            )
+        cur = cur.select("w", scol.alias("s"), "freq")
+        if checkpoint_every and jobs % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
     return base, cur, rows
 
@@ -943,8 +1027,17 @@ def bpe_merges_n10(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted distinct-word symbol table once, and EVERY round
     thereafter touches only that vocab-sized table, so training depth
     multiplies a vocab-sized cost, never a corpus-sized one (measured:
-    SCALE.md r12 — 10x the corpus moves per-round cost by ~1x)."""
-    base, _, rows = _bpe_learn(spark, sf_dir, n_rounds=10)
+    SCALE.md r12 — 10x the corpus moves per-round cost by ~1x).
+
+    Since r14 this row trains in BATCHED mode (batch=8, VERDICT r13
+    #6): each count job applies the longest symbol-disjoint prefix of
+    the top-8 candidates in one pass (_disjoint_prefix proves why that
+    rule preserves greedy semantics exactly), so the SEQUENTIAL
+    generated oracle staying green here IS the equivalence evidence —
+    any batch that diverged from greedy order would hash-fail.
+    tests/test_text_properties.py additionally pins batch=1 ==
+    batch=8 at depth 50."""
+    base, _, rows = _bpe_learn(spark, sf_dir, n_rounds=10, batch=8)
     base.unpersist()
     return spark.createDataFrame(
         rows, "step int, pair string, merged string, cnt long"

@@ -318,3 +318,61 @@ def test_bpe_vocab_target_stop(spark, sf_dir):
     base3, _, rows3 = _bpe_learn(spark, sf_dir, n_rounds=50, vocab_target=1)
     base3.unpersist()
     assert rows3 == []
+
+
+def test_bpe_batched_merges_equal_sequential(spark, sf_dir):
+    """Batched non-overlapping merges (VERDICT r13 #6) are EXACTLY the
+    sequential greedy trainer, not an approximation: batch=8 at depth
+    50 must reproduce batch=1's merge table row-for-row — same pairs,
+    same order, same counts (the counts certify each batched merge was
+    applied against the state sequential greedy would have seen) — and
+    the final symbol tables must agree cell-for-cell.  The registered
+    bpe_merges_n10 row gates the same equivalence against the
+    generated sequential SQL oracle every round; this pins it at 5x
+    the registry depth, where interactions are likelier."""
+    from semantic_query_engine_spark.queries.textops import _bpe_learn
+
+    base1, cur1, seq = _bpe_learn(spark, sf_dir, n_rounds=50, batch=1)
+    table1 = {r["w"]: r["s"] for r in cur1.collect()}
+    base1.unpersist()
+    base8, cur8, bat = _bpe_learn(spark, sf_dir, n_rounds=50, batch=8)
+    table8 = {r["w"]: r["s"] for r in cur8.collect()}
+    base8.unpersist()
+    assert bat == seq
+    assert table8 == table1
+    assert len(seq) == 50  # depth actually reached — not a trivial pass
+
+
+def test_bpe_disjoint_prefix_rules(spark):
+    """_disjoint_prefix unit semantics: stops (never skips) at the
+    first symbol collision, counts merged-string collisions as
+    conflicts, and cuts below the cnt>=2 stopping rule."""
+    from semantic_query_engine_spark.queries.textops import _disjoint_prefix
+
+    def rows(*pcs):
+        return [{"pair": p, "cnt": c} for p, c in pcs]
+
+    # disjoint prefix: all three admitted
+    got = _disjoint_prefix(rows(("a b", 9), ("c d", 8), ("e f", 7)))
+    assert [r["pair"] for r in got] == ["a b", "c d", "e f"]
+    # shared symbol stops the batch INCLUDING later disjoint pairs
+    got = _disjoint_prefix(rows(("a b", 9), ("b c", 8), ("e f", 7)))
+    assert [r["pair"] for r in got] == ["a b"]
+    # merged-string collision: "a b" creates symbol "ab"
+    got = _disjoint_prefix(rows(("a b", 9), ("ab c", 8)))
+    assert [r["pair"] for r in got] == ["a b"]
+    # stopping rule: cnt < 2 never applies
+    got = _disjoint_prefix(rows(("a b", 9), ("c d", 1)))
+    assert [r["pair"] for r in got] == ["a b"]
+    assert _disjoint_prefix(rows(("a b", 1))) == []
+    # the tie-donor hazard the n10 value gate caught: "o lu" ties
+    # "lu m" and shares a symbol with the batch, so its created pair
+    # "co lu" would outrank "lu m" in sequential order -> stop
+    got = _disjoint_prefix(rows(("c o", 978), ("lu m", 978), ("o lu", 978)))
+    assert [r["pair"] for r in got] == ["c o"]
+    # hidden-donor tail guard: in an INCOMPLETE window a member tying
+    # the window's last count may have an unseen tying donor below
+    got = _disjoint_prefix(rows(("a b", 9), ("c d", 9)), complete=False)
+    assert [r["pair"] for r in got] == ["a b"]
+    got = _disjoint_prefix(rows(("a b", 9), ("c d", 9)), complete=True)
+    assert [r["pair"] for r in got] == ["a b", "c d"]
