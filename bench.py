@@ -198,6 +198,8 @@ HEADLINE = [
     "ivfpq_indexed_probe",     # serving latency alone: statically-
     #                      pruned probe of the persisted layout, no
     #                      gate — THE per-query serving number
+    "ann_ivfpq_knn_join_indexed",  # batch kNN through the persisted
+    #                      index: the bulk-pipeline serving shape
 ]
 
 

@@ -251,6 +251,117 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_knn_join(
+    probes: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    index: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+    refine: int = 50,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Batch IVF-PQ kNN join — the set-based form of ivfpq_probe for
+    MANY probes at once, the shape a bulk pipeline job uses against a
+    persisted serving index (write_ivfpq_index).  Fully declarative;
+    unlike the single-query path there is NO driver-side centroid
+    collect — everything is a plan:
+
+    1. every probe ranks the broadcast centroid table and keeps its
+       nprobe nearest clusters (|probes| x nlist rows, tiny window);
+    2. every probe computes its m x k ADC DISTANCE TABLE ONCE as a
+       nested-array expression over the codebook literal (O(dim * k)
+       per probe — this is the PQ asymmetry: per-candidate scoring
+       must never touch dim-width math);
+    3. candidates come from the cluster_id equality join against the
+       ~m-bytes-per-vector code table (partition-pruned layout at
+       rest), scored by m table lookups:
+       aggregate(zip_with(codes, dtab, (c, t) -> t[c+1]), +);
+    4. the top `refine` per probe by ADC are re-ranked with the exact
+       cosine (a join that touches refine rows per probe, never the
+       corpus), exact top-k out.
+
+    Scale shape: shuffle is keyed by cluster_id then probe_id and
+    bounded by candidate rows; the dim-width vectors appear only in
+    step 4's refine-sized join.  Returns (probe_id, vec_id, score,
+    knn_rank) like ivf_knn_join."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = F.lit(codebooks)  # m x k x sub nested literal (plan constant)
+    p = probes.select(
+        F.col(probe_id).alias("__pid"),
+        F.col(probe_vec).alias("__pvec"),
+        l2_normalize(probe_vec).alias("__pnv"),
+    )
+    # step 1: nprobe nearest clusters per probe (centroids = nlist rows)
+    pc = p.crossJoin(F.broadcast(centroids)).select(
+        "__pid",
+        "__pvec",
+        "__pnv",
+        "cluster_id",
+        cosine("centroid", "__pvec").alias("__csim"),
+    )
+    wc = Window.partitionBy("__pid").orderBy(F.desc("__csim"), F.asc("cluster_id"))
+    probe_clusters = (
+        pc.withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= nprobe)
+        .select("__pid", "__pvec", "__pnv", "cluster_id")
+    )
+    # step 2: per-probe ADC table, one nested transform over the
+    # codebook literal (same expression discipline as _sub_dists)
+    dtab = F.transform(
+        books,
+        lambda book, j: F.transform(
+            book,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("__pnv"), j * F.lit(sub) + 1, F.lit(sub)),
+                    cw,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    with_tab = probe_clusters.select("__pid", "__pvec", "cluster_id", dtab.alias("__dtab"))
+    # step 3: cluster-keyed candidates, m-lookup ADC score
+    adc = F.aggregate(
+        F.zip_with(
+            "codes", F.col("__dtab"), lambda c, t: F.element_at(t, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = with_tab.join(codes, "cluster_id").select(
+        "__pid", "__pvec", F.col(index_id), adc.alias("__adc")
+    )
+    wr = Window.partitionBy("__pid").orderBy(F.asc("__adc"), F.asc(index_id))
+    shortlist = (
+        cands.withColumn("__ar", F.row_number().over(wr))
+        .filter(F.col("__ar") <= refine)
+        .select("__pid", "__pvec", index_id)
+    )
+    # step 4: exact re-rank of refine rows per probe
+    rescored = shortlist.join(
+        index.select(index_id, F.col(index_vec).alias("__ivec")), index_id
+    ).select(
+        F.col("__pid").alias(probe_id),
+        F.col(index_id),
+        F.round(cosine("__ivec", "__pvec"), 6).alias("score"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("score"), F.asc(index_id))
+    return rescored.withColumn("knn_rank", F.row_number().over(w)).filter(
+        F.col("knn_rank") <= k
+    )
+
+
 def write_ivfpq_index(
     assigned: DataFrame,
     encoded: DataFrame,

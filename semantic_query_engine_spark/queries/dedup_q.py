@@ -876,20 +876,10 @@ _ANN_KNN_ORACLE = f"""
     """
 
 
-@register("ann_ivf_knn_join", oracle=_ANN_KNN_ORACLE)
-def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch IVF kNN join: many probes at once through the
-    centroid-rank -> cluster-keyed candidate join -> per-probe top-k
-    pipeline (operators/ann.py:ivf_knn_join), accuracy-gated: each of
-    the 8 probes gets 3 planted near-copies in the index (ids
-    _PLANT_BASE + probe_id*10 + k), the payload is the exact kNN join
-    (hash-checked per-probe top-3) and `recall_ok` asserts the IVF path
-    recovered >= 90% of the 24 true pairs.  Each probe's planted twins
-    share its cluster assignment, so nprobe=2 finds them structurally;
-    tests additionally prove nprobe=all equals exact kNN bit-for-bit."""
-    from ..operators.ann import build_ivf, ivf_knn_join
-    from ..operators.retrieval import knn_join
-
+def _planted_knn_pool(spark: SparkSession, sf_dir: str):
+    """(probes, index) for the batch-kNN gates: probes = vecs 0..7,
+    index = everything else plus 3 planted near-copies PER probe at
+    ids _PLANT_BASE + probe_id*10 + k."""
     emb = _emb_double(spark, sf_dir)
     probes_raw = emb.filter(F.col("vec_id") < 8)
     probes = probes_raw.select(
@@ -905,6 +895,24 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("embedding", _shift_by(k)).alias("embedding"),
             )
         )
+    return probes, index
+
+
+@register("ann_ivf_knn_join", oracle=_ANN_KNN_ORACLE)
+def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF kNN join: many probes at once through the
+    centroid-rank -> cluster-keyed candidate join -> per-probe top-k
+    pipeline (operators/ann.py:ivf_knn_join), accuracy-gated: each of
+    the 8 probes gets 3 planted near-copies in the index (ids
+    _PLANT_BASE + probe_id*10 + k), the payload is the exact kNN join
+    (hash-checked per-probe top-3) and `recall_ok` asserts the IVF path
+    recovered >= 90% of the 24 true pairs.  Each probe's planted twins
+    share its cluster assignment, so nprobe=2 finds them structurally;
+    tests additionally prove nprobe=all equals exact kNN bit-for-bit."""
+    from ..operators.ann import build_ivf, ivf_knn_join
+    from ..operators.retrieval import knn_join
+
+    probes, index = _planted_knn_pool(spark, sf_dir)
     exact = knn_join(probes, index, k=3).select(
         "probe_id", "vec_id", F.round("score", 6).alias("score"), "knn_rank"
     )
@@ -912,6 +920,65 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_knn_join(probes, assigned, centroids, k=3, nprobe=2).select(
         "probe_id", "vec_id"
     )
+    return _attach_recall(exact, approx, ("probe_id", "vec_id")).select(
+        "probe_id", "vec_id", "score", "knn_rank", "recall_ok"
+    )
+
+
+# sf_dir -> persisted IVF-PQ layout over the batch-kNN planted pool
+# (distinct from _IVFPQ_SERVING_CACHE: different plant scheme)
+_IVFPQ_KNN_IDX_CACHE: dict[str, str] = {}
+
+
+def _ensure_ivfpq_knn_index(spark: SparkSession, sf_dir: str):
+    """Build-once/probe-many layout over the batch-kNN pool — same
+    parameters as the single-query serving index (n_clusters=8, m=8,
+    k=16, shared sample pull)."""
+    import os
+
+    from ..operators.ann import build_ivf, sample_vectors
+    from ..operators.pq import build_pq, pq_encode, read_ivfpq_index, write_ivfpq_index
+    from ..scratch import scratch_path
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVFPQ_KNN_IDX_CACHE:
+        _, index = _planted_knn_pool(spark, sf_dir)
+        X = sample_vectors(index)
+        assigned, centroids = build_ivf(index, n_clusters=8, sample_X=X)
+        books = build_pq(index, m=8, k=16, sample_X=X)
+        enc = pq_encode(index, books)
+        path = scratch_path("ivfpq_knn_" + key.replace("/", "_"))
+        write_ivfpq_index(assigned, enc, centroids, books, path)
+        _IVFPQ_KNN_IDX_CACHE[key] = path
+    return read_ivfpq_index(spark, _IVFPQ_KNN_IDX_CACHE[key])
+
+
+@register("ann_ivfpq_knn_join_indexed", oracle=_ANN_KNN_ORACLE)
+def ann_ivfpq_knn_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join through the PERSISTED IVF-PQ serving index — the
+    bulk-pipeline shape (a dedup or enrichment job probing a built
+    index with millions of vectors at once), completing the serving
+    ladder: ann_ivfpq_topk (in-plan build) -> ann_ivfpq_topk_indexed
+    (persisted, single query) -> this row (persisted, batch).  Unlike
+    the single-query probe there is NO driver-side centroid collect:
+    operators/pq.py ivfpq_knn_join ranks the broadcast centroid table
+    per probe, computes each probe's m x k ADC table once as a
+    codebook-literal expression, scores candidates with m array
+    lookups over the ~8-byte codes, and exact-cosine re-ranks only the
+    refine window.  Same oracle and >= 90%-of-24-planted-pairs
+    `recall_ok` gate as ann_ivf_knn_join; nprobe=4/refine=100 absorb
+    the quantization error exactly as in ann_ivfpq_topk."""
+    from ..operators.pq import ivfpq_knn_join
+    from ..operators.retrieval import knn_join
+
+    probes, index = _planted_knn_pool(spark, sf_dir)
+    codes, centroids, books = _ensure_ivfpq_knn_index(spark, sf_dir)
+    exact = knn_join(probes, index, k=3).select(
+        "probe_id", "vec_id", F.round("score", 6).alias("score"), "knn_rank"
+    )
+    approx = ivfpq_knn_join(
+        probes, codes, centroids, index, books, k=3, nprobe=4, refine=100
+    ).select("probe_id", "vec_id")
     return _attach_recall(exact, approx, ("probe_id", "vec_id")).select(
         "probe_id", "vec_id", "score", "knn_rank", "recall_ok"
     )

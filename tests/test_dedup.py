@@ -723,3 +723,47 @@ def test_semdedup_built_coassigns_planted_copies(spark):
     a = {r.vec_id: r.cluster_id for r in assigned.collect()}
     split = [i for i in range(180) if a[i] != a[i + 10000]]
     assert split == [], f"planted copies split across clusters: {split}"
+
+
+def test_ivfpq_knn_join_exact_at_full_breadth(spark):
+    """Batch IVF-PQ kNN join collapses to EXACT kNN when approximation
+    is disabled structurally: nprobe = n_clusters (no cluster pruning)
+    and refine >= |index| (every candidate exact-re-ranked) must equal
+    knn_join bit-for-bit on clustered geometry — the same
+    nprobe=all/refine=all exactness contract the single-query ladder
+    pins, now for the declarative batch path (per-probe in-plan ADC
+    tables, no driver collect)."""
+    from pyspark.sql import functions as F
+
+    from semantic_query_engine_spark.operators.ann import (
+        build_ivf,
+        sample_vectors,
+    )
+    from semantic_query_engine_spark.operators.pq import (
+        build_pq,
+        ivfpq_knn_join,
+        pq_encode,
+    )
+    from semantic_query_engine_spark.operators.retrieval import knn_join
+    from tools.ann_recall import clustered_vectors
+
+    allv = clustered_vectors(spark, 160, dim=64, n_centers=5, sigma=0.3, seed=9)
+    probes = allv.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    index = allv.filter(F.col("vec_id") >= 6)
+    X = sample_vectors(index)
+    assigned, centroids = build_ivf(index, n_clusters=5, sample_X=X)
+    books = build_pq(index, m=8, k=16, sample_X=X)
+    codes = assigned.select("vec_id", "cluster_id").join(
+        pq_encode(index, books), "vec_id"
+    )
+    got = ivfpq_knn_join(
+        probes, codes, centroids, index, books, k=3, nprobe=5, refine=1000
+    ).collect()
+    want = knn_join(probes, index, k=3).collect()
+    assert sorted(
+        [(r["probe_id"], r["knn_rank"], r["vec_id"], round(r["score"], 6)) for r in got]
+    ) == sorted(
+        [(r["probe_id"], r["knn_rank"], r["vec_id"], round(r["score"], 6)) for r in want]
+    )

@@ -108,6 +108,7 @@ QUERIES = [
     # scaling vs ann_ivfpq_topk's is the build/probe decoupling evidence
     "ann_ivfpq_topk_indexed",  # gate row over the persisted layout
     "ivfpq_indexed_probe",     # probe-only serving latency (no gate)
+    "ann_ivfpq_knn_join_indexed",  # batch kNN over the persisted layout
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -61,14 +61,13 @@ python tools/check_oracle.py --json "GATE_r${PADDED}_sf0.1.json" /root/testdata/
 # show at bigger groups (the sf0.1 gate caught two 1-ulp flips in r11;
 # sf1 is the next rung).  Family-scoped to keep the round affordable.
 if [[ -d .scale_data/sf1 ]]; then
-    # multimodal_q joined the family in r12; r13 (VERDICT r12 #7)
-    # widens the rung to ~100 names: mlpipeline/textops/textmining
-    # (grouping + summation-order classes live there too) plus the
-    # small graph/search/encoding families ride along — everything
-    # except the relational/scalar/streaming suites whose sf0.1 run
-    # already exercises their boundary classes at full width
+    # r14 (VERDICT r13 #4): the sf1 rung now runs the FULL registry —
+    # the module scoping (r12: dedup/curation/multimodal; r13: ~104
+    # names) existed to keep rounds affordable, but summation-order /
+    # grouping-boundary classes in the relational/events/scalars/
+    # streaming suites only show at bigger groups too, and the full
+    # run measured ~25 min — affordable once per round
     python tools/check_oracle.py \
-        --module dedup_q,curation_q,multimodal_q,mlpipeline_q,textops,textmining_q,graph_q,search_q,encoding_q \
         --json "GATE_r${PADDED}_sf1_subset.json" .scale_data/sf1
 else
     echo "verify_round: .scale_data/sf1 missing — skipping sf1 family gate" >&2
