@@ -299,7 +299,8 @@ def ivfpq_knn_join(
         F.col(probe_vec).alias("__pvec"),
         l2_normalize(probe_vec).alias("__pnv"),
     )
-    # step 1: nprobe nearest clusters per probe (centroids = nlist rows)
+    # step 1: nprobe nearest clusters per probe
+    # bounded: centroids is nlist rows (kilobytes), never corpus-sized
     pc = p.crossJoin(F.broadcast(centroids)).select(
         "__pid",
         "__pvec",

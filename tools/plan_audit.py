@@ -82,6 +82,15 @@ ALLOWED_BNLJ: dict[str, str] = {
     "shared 1-row n_truth side (3 configs x 2 crosses)",
     "join_skew_profile": "broadcast 1-row totals aggregate onto the "
     "count-of-counts histogram for the mass_micro division",
+    "ann_ivfpq_topk_indexed": "broadcast 1-row query + limit(refine) "
+    "re-rank candidates + 1-row recall_ok flag (same gate shape as "
+    "ann_ivfpq_topk, probed via the persisted layout)",
+    "ann_ivfpq_knn_join_indexed": "broadcast probes x #clusters "
+    "centroid table + limit(refine)-per-probe re-rank + 1-row "
+    "recall_ok flag (same shape as ann_ivf_knn_join)",
+    "dedup_semdedup_built": "broadcast crosses of 1-row aggregates "
+    "(pool count, planted/detected counts, keep-rule gate) plus the "
+    "nlist-row built-centroid equi-join",
 }
 ALLOWED_ROW_PYTHON: dict[str, str] = {
     "udtf_word_index": "Python UDTF surface demo (BatchEvalPythonUDTF); "
