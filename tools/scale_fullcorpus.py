@@ -264,6 +264,28 @@ WORKLOADS = {
 }
 
 
+def _plant_pairs(spark, fn, sf_dir):
+    """Exact planted-twin pair count (UNTIMED — runs outside the timed
+    region, after the median): a planted near-dup lives at base_id +
+    PLANT_OFFSET (or +2*PLANT_OFFSET for audio's DC-shift family), so
+    the pairs that couple a base id with its own offset twin are the
+    CONSTANT-density part of the answer and must scale exactly with the
+    corpus (1 per 8 docs) at every SF — the proportionality check
+    VERDICT r13 #5 asked the sf10 rows to carry.  Everything else in
+    the pair list (birthday collisions of the synthetic parameter
+    space, same-length DC families) is the corpus-dependent term the
+    SCALE.md prose attributes separately."""
+    pairs = fn(spark, sf_dir)
+    return (
+        pairs.filter(
+            (F.col("id_b") - F.col("id_a")).isin(
+                PLANT_OFFSET, 2 * PLANT_OFFSET
+            )
+            & (F.col("id_a") < PLANT_OFFSET)
+        ).count()
+    )
+
+
 def _shuffle_bytes(spark):
     """Total shuffle-write bytes so far, or None when the UI/REST API
     is off (the sweep still reports wall + rows)."""
@@ -324,7 +346,6 @@ def main() -> None:
         spark = get_spark("scale-fullcorpus")
         s, sr, ssh = _median_time(spark, fn, small)
         b, br, bsh = _median_time(spark, fn, big)
-        spark.stop()
         out[name] = {
             "small": s,
             "big": b,
@@ -334,6 +355,12 @@ def main() -> None:
             "small_shuffle_mb": ssh,
             "big_shuffle_mb": bsh,
         }
+        # plant proportionality (untimed) for the workloads with planted
+        # offset twins in (id_a, id_b) form — see _plant_pairs
+        if name in ("phash_full", "audio_full", "minhash_full"):
+            out[name]["small_plant_pairs"] = _plant_pairs(spark, fn, small)
+            out[name]["big_plant_pairs"] = _plant_pairs(spark, fn, big)
+        spark.stop()
         print(f"# {name}: {s}s ({sr} rows, {ssh} MB) -> "
               f"{b}s ({br} rows, {bsh} MB) "
               f"({out[name]['ratio']}x)", file=sys.stderr)
