@@ -36,7 +36,21 @@ def test_discovers_the_known_gated_queries():
     # non-standard names are discovered too
     assert targets.get("cms_frequency") == ["cms_ok"]
     assert targets.get("xml_funcs") == ["roundtrip_ok"]
-    known = {"within_tol", "recall_ok", "cms_ok", "roundtrip_ok"}
+    # r14: the built-clusters SemDeDup row earns TWO gates in-plan
+    # (clustering is not SQL-twinnable, so both are hardcoded TRUE in
+    # the oracle and recomputed on the Spark side)
+    assert sorted(targets.get("dedup_semdedup_built", [])) == [
+        "one_keep_per_component_ok",
+        "planted_recall_ok",
+    ]
+    known = {
+        "within_tol",
+        "recall_ok",
+        "cms_ok",
+        "roundtrip_ok",
+        "planted_recall_ok",
+        "one_keep_per_component_ok",
+    }
     assert all(c in known for cs in targets.values() for c in cs), targets
     # nothing un-gated sneaks in: every discovered oracle really
     # hardcodes the gate
