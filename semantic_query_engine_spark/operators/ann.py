@@ -153,6 +153,48 @@ def build_ivf(
     return assigned, centroids
 
 
+def assign_with_centroids(
+    index: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment of NEW rows against an EXISTING
+    centroid table — the add half of build-once/serve-many.  The
+    reference bulk-indexes new embeddings into the LIVE HNSW index
+    without rebuilding it (/root/reference/app/main.py:309-345,
+    add_embeddings -> _bulk_index);
+    FAISS IndexIVF.add likewise assigns with frozen centroids.  Same
+    normalized argmin as build_ivf's in-build assignment (L2-normalized
+    space, so nearest-by-L2 is max-cosine), with the centroid matrix
+    pulled driver-side (n_clusters rows — kilobytes by construction)
+    and shipped in the Arrow-batched UDF closure.  Map-only: no
+    shuffle, no fit job, no retraining."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(
+        centroids.select("cluster_id", "centroid").collect(),
+        key=lambda r: r["cluster_id"],
+    )
+    cids = np.asarray([r["cluster_id"] for r in rows], dtype="int64")
+    C2 = np.ascontiguousarray(
+        [r["centroid"] for r in rows], dtype="float64"
+    )
+    cn = (C2 * C2).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        X = _np.asarray(v.tolist(), dtype="float64")
+        X = X / (_np.linalg.norm(X, axis=1, keepdims=True) + 1e-9)
+        d = cn[None, :] - 2.0 * (X @ C2.T)
+        return pd.Series(cids[d.argmin(axis=1)].astype("int32"))
+
+    return index.withColumn("cluster_id", _assign(F.col(vec_col)))
+
+
 def write_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist the assigned index `partitionBy('cluster_id')` — the
     physical layout that turns ivf_topk's semi join into file-level

@@ -401,6 +401,45 @@ def write_ivfpq_index(
         json.dump(codebooks, f)
 
 
+def append_ivfpq_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental add to a write_ivfpq_index layout WITHOUT retraining
+    — the reference's live-index add (/root/reference/app/main.py:
+    309-345: add_embeddings bulk-indexes new vectors into the running
+    HNSW index; FAISS IndexIVFPQ.add likewise encodes with frozen
+    codebooks).  New vectors are PQ-encoded with the PERSISTED
+    codebooks (a plan constant) and assigned to the nearest EXISTING
+    centroid (ann.assign_with_centroids — kilobytes driver-side,
+    Arrow-batched argmin), then APPENDED to the cluster-partitioned
+    code table: mode('append') adds files only under the touched
+    cluster_id= directories, so probes see old + new rows immediately
+    and the k-means/codebook build is never repeated.  At 100 TB this
+    is the ingest path: per-batch cost rides the BATCH (encode is
+    map-only, the write touches ~batch-cluster partitions), never the
+    index.  WHEN to retrain (codebook drift as the corpus distribution
+    moves) is the embedding_drift monitor's call, not this function's."""
+    import json
+    import os
+
+    from .ann import assign_with_centroids
+
+    spark = new_rows.sparkSession
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    with open(os.path.join(path, "codebooks.json")) as f:
+        books = json.load(f)
+    enc = pq_encode(new_rows, books, id_col=id_col, vec_col=vec_col)
+    assigned = assign_with_centroids(
+        new_rows, centroids, id_col=id_col, vec_col=vec_col
+    )
+    assigned.select(id_col, "cluster_id").join(enc, id_col).write.partitionBy(
+        "cluster_id"
+    ).mode("append").parquet(os.path.join(path, "codes"))
+
+
 def read_ivfpq_index(spark, path: str):
     """(codes, centroids, codebooks) back from write_ivfpq_index's
     layout.  codes carries cluster_id as a PARTITION column, so a

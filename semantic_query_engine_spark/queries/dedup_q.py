@@ -1322,6 +1322,136 @@ def ivfpq_indexed_probe_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_APPEND_CACHE: dict[str, str] = {}
+
+
+def _ensure_ivfpq_append_index(spark: SparkSession, sf_dir: str):
+    """Serving layout trained on the BASE corpus only (NO plants in the
+    training set or the initial code table), then the 3 planted
+    near-copies APPENDED through operators/pq.py:append_ivfpq_index
+    with the frozen codebooks + centroids — the reference's live-index
+    add (app/main.py:309-345 add_embeddings).  The exact top-3 the
+    recall gate demands live ONLY in the appended segment, so the gate
+    certifies the whole append path: encode-with-frozen-codebooks,
+    nearest-existing-centroid assignment, and the mode('append')
+    partitioned write all have to land for the probe to find them."""
+    import os
+
+    from ..operators.ann import build_ivf, sample_vectors
+    from ..operators.pq import (
+        append_ivfpq_index,
+        build_pq,
+        pq_encode,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from ..scratch import scratch_path
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVFPQ_APPEND_CACHE:
+        base = _emb_double(spark, sf_dir).filter(F.col("vec_id") != 0)
+        X = sample_vectors(base)
+        assigned, centroids = build_ivf(base, n_clusters=8, sample_X=X)
+        books = build_pq(base, m=8, k=16, sample_X=X)
+        enc = pq_encode(base, books)
+        path = scratch_path("ivfpq_append_" + key.replace("/", "_"))
+        write_ivfpq_index(assigned, enc, centroids, books, path)
+        index, _ = _planted_query_index(spark, sf_dir)
+        append_ivfpq_index(index.filter(F.col("vec_id") >= _PLANT_BASE), path)
+        _IVFPQ_APPEND_CACHE[key] = path
+    return read_ivfpq_index(spark, _IVFPQ_APPEND_CACHE[key])
+
+
+@register("ann_ivfpq_append_probe", oracle=_ANN_TOPK_ORACLE)
+def ann_ivfpq_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe AFTER an incremental add: the persisted IVF-PQ index is
+    built over the base corpus WITHOUT the planted near-copies, the
+    plants are then appended with frozen codebooks/centroids
+    (append_ivfpq_index — the reference's add_embeddings live-index
+    path, /root/reference/app/main.py:309-345), and the standard top-3
+    probe must surface them.  Same oracle and recall gate as the ANN
+    ladder: the exact top-3 ARE the appended vectors (cosine ~1), so a
+    broken encode, a wrong centroid assignment, or an append that
+    missed the partitioned layout flips `recall_ok` and hash-fails the
+    row.  At 100 TB this is the ingest contract: new data is probeable
+    immediately, per-batch cost rides the batch, and the index build is
+    never repeated."""
+    from ..operators.pq import ivfpq_probe
+
+    index, qvec = _planted_query_index(spark, sf_dir)
+    codes, centroids, books = _ensure_ivfpq_append_index(spark, sf_dir)
+    approx = ivfpq_probe(
+        codes, centroids, index, books, qvec, k=3, nprobe=4, refine=100
+    ).select("vec_id")
+    return _checked_ann_topk(index, qvec, approx)
+
+
+_ANN_TOPK_FILTERED_ORACLE = f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    planted AS (
+      SELECT CAST({_PLANT_BASE} + g.k AS BIGINT) AS vec_id,
+             list_transform((SELECT qv FROM q), x -> x + 0.01 * g.k) AS v
+      FROM (SELECT unnest([1, 2, 3]) AS k) g),
+    idx AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0
+      UNION ALL
+      SELECT vec_id, v FROM planted
+      UNION ALL
+      -- the decoy: an EXACT copy of the query (cosine 1, beats every
+      -- plant) at an id the predicate REJECTS — if the engine's filter
+      -- is missing or misplaced the decoy tops the list and the value
+      -- hash fails
+      SELECT CAST({2 * _PLANT_BASE} AS BIGINT) AS vec_id,
+             (SELECT qv FROM q) AS v)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score,
+           TRUE AS recall_ok
+    FROM idx
+    WHERE vec_id % 4 <> 0
+    ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
+    LIMIT 3
+    """
+
+
+@register("ann_ivf_topk_filtered", oracle=_ANN_TOPK_FILTERED_ORACLE)
+def ann_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN — the serving problem every production
+    vector store hits (OpenSearch's knn filter, FAISS IDSelector):
+    top-3 among vectors satisfying a predicate, served from ONE shared
+    IVF index with the predicate applied to the cluster-pruned
+    candidates (post-filter), NOT by building a per-predicate index.
+    The predicate (vec_id % 4 != 0) keeps all 3 planted near-copies
+    (plant ids are _PLANT_BASE+1..3 and 1e9 % 4 == 0, so they sit at
+    1,2,3 mod 4) — the exact filtered top-3 is structural, not
+    data-luck.  The filter itself is VALUE-checked, not just asserted:
+    a decoy EXACT copy of the query (cosine 1.0 — beats every plant)
+    is planted at id 2e9, which the predicate rejects; a missing or
+    misplaced filter surfaces the decoy in the top-3 on either engine
+    side and fails the hash.  Scale shape: same as ann_ivf_topk — the
+    predicate rides INTO the pruned scan as a pushable conjunct (at a
+    partitioned layout it prunes files alongside the cluster filter);
+    nprobe=4 of 8 clusters bounds the scanned fraction."""
+    from ..operators.ann import build_ivf, sample_vectors
+    from ..operators.pq import _probe_cluster_ids
+    from ..operators.retrieval import topk_similar
+
+    index, qvec = _planted_query_index(spark, sf_dir)
+    q = _emb_double(spark, sf_dir).filter(F.col("vec_id") == 0)
+    decoy = q.select(
+        F.lit(2 * _PLANT_BASE).cast("bigint").alias("vec_id"),
+        F.col("embedding"),
+    )
+    full = index.unionByName(decoy)
+    pred = (F.col("vec_id") % 4) != 0
+
+    X = sample_vectors(full)
+    assigned, centroids = build_ivf(full, n_clusters=8, sample_X=X)
+    probe_ids = _probe_cluster_ids(centroids, qvec, nprobe=4)
+    cands = assigned.filter(F.col("cluster_id").isin(probe_ids)).filter(pred)
+    approx = topk_similar(cands, qvec, k=3).select("vec_id")
+    return _checked_ann_topk(full.filter(pred), qvec, approx)
+
+
 def _srp_key_duck(vexpr: str) -> str:
     """DuckDB 16-bit SRP bucket key of a DOUBLE[] expression: sign bits
     of the literal ±1 projection (semantic.py's _SRP_MAT) over the

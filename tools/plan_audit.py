@@ -91,6 +91,12 @@ ALLOWED_BNLJ: dict[str, str] = {
     "dedup_semdedup_built": "broadcast crosses of 1-row aggregates "
     "(pool count, planted/detected counts, keep-rule gate) plus the "
     "nlist-row built-centroid equi-join",
+    "ann_ivfpq_append_probe": "broadcast 1-row query + limit(refine) "
+    "re-rank candidates + 1-row recall_ok flag (same gate shape as "
+    "ann_ivfpq_topk_indexed, probed after the incremental add)",
+    "ann_ivf_topk_filtered": "broadcast 1-row query vector onto the "
+    "predicate+cluster-pruned candidates + 1-row recall_ok flag "
+    "(same gate shape as ann_ivf_topk)",
 }
 ALLOWED_ROW_PYTHON: dict[str, str] = {
     "udtf_word_index": "Python UDTF surface demo (BatchEvalPythonUDTF); "

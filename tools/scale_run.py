@@ -109,6 +109,8 @@ QUERIES = [
     "ann_ivfpq_topk_indexed",  # gate row over the persisted layout
     "ivfpq_indexed_probe",     # probe-only serving latency (no gate)
     "ann_ivfpq_knn_join_indexed",  # batch kNN over the persisted layout
+    "ann_ivfpq_append_probe",  # probe after the incremental add
+    "ann_ivf_topk_filtered",   # predicate-filtered probe, one shared index
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
