@@ -2098,6 +2098,13 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pool = _docs_with_truncated_copies(spark, sf_dir)
     bt = minhash_band_table(pool, num_perm=64, n_bands=16, n=2, portable=True)
+    # Truncate the two shared tiny tables: bt feeds BOTH sides of the
+    # self-join (the 64-perm signature build would run twice) and sh
+    # feeds ea/eb/sizes (three shingle derivations); downstream,
+    # truth/cand each feed multiple 1-row aggregates.  The pool is
+    # capped at ~200 rows, so materializing is microseconds while the
+    # saved re-derivations dominate the query's cost.
+    bt = bt.localCheckpoint(eager=False)
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(
@@ -2108,10 +2115,15 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     from ..operators.dedup import _p64
 
-    sh = shingle_table(pool, n=2).select("id", _p64(F.col("shingle")).alias("sh"))
+    sh = (
+        shingle_table(pool, n=2)
+        .select("id", _p64(F.col("shingle")).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("ns"))
     ea = sh.select(F.col("id").alias("id_a"), "sh")
     eb = sh.select(F.col("id").alias("id_b"), "sh")
@@ -2126,6 +2138,7 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("nb")), "id_b")
         .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     tp = truth.join(cand, ["id_a", "id_b"]).agg(
         F.count("*").alias("c")

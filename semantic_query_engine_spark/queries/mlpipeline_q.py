@@ -389,10 +389,19 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shard_width = 128
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id", "text", TX.quality_score("text").alias("quality")
+    # tokenize once (see functions/text.py:stopword_count_ws): quality
+    # and the dedup fingerprint share one words array per row
+    pre = docs.select(
+        "doc_id", "text", TX.words_of(F.col("text")).alias("ws")
+    )
+    q = pre.select(
+        "doc_id",
+        "text",
+        "ws",
+        TX.quality_score_ws(F.col("ws"), F.col("text")).alias("quality"),
     ).filter(F.col("quality") >= 0.6)
-    fp = q.select("doc_id", TX.fingerprint("text").alias("fp"))
+    fp = q.select("doc_id", TX.fingerprint_ws(F.col("ws")).alias("fp"))
+    q = q.drop("ws")
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     k = q.join(keep, "doc_id", "left_semi")
     bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
@@ -554,10 +563,18 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(ws, 1, keep_w), " ").alias("text"),
     )
     pool = base.unionByName(planted)
-    q = pool.select(
-        "doc_id", "text", TX.quality_score("text").alias("quality")
+    # tokenize once (see functions/text.py:stopword_count_ws); ws is
+    # dropped again before k's checkpoint so the array is never
+    # materialized or shuffled
+    pre = pool.select("doc_id", "text", words_of(F.col("text")).alias("ws"))
+    q = pre.select(
+        "doc_id",
+        "text",
+        "ws",
+        TX.quality_score_ws(F.col("ws"), F.col("text")).alias("quality"),
     ).filter(F.col("quality") >= 0.6)
-    fp = q.select("doc_id", TX.fingerprint("text").alias("fp"))
+    fp = q.select("doc_id", TX.fingerprint_ws(F.col("ws")).alias("fp"))
+    q = q.drop("ws")
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     k = q.join(keep, "doc_id", "left_semi")
     # Truncate: k (the quality+exact-dedup chain) feeds the pair stage,

@@ -853,10 +853,13 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def upsert(batch_df: DataFrame, _bid: int) -> None:
+        # tokenize once per row (functions/text.py:stopword_count_ws)
         batch_df.select(
+            "doc_id", TX.words_of(F.col("text")).alias("ws")
+        ).select(
             "doc_id",
-            TX.fingerprint("text").alias("fp"),
-            TX.token_count("text").alias("n_tokens"),
+            TX.fingerprint_ws(F.col("ws")).alias("fp"),
+            F.size("ws").alias("n_tokens"),
         ).write.mode("append").parquet(target)
 
     q = (

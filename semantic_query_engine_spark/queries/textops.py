@@ -114,11 +114,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + stopword stats — the text-analysis extension
     (north star, BASELINE.json:6) over the documents table."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    pre = docs.select("doc_id", "text", TX.words_of(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    return pre.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
-        TX.stopword_count("text").alias("n_stopwords"),
-        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.size(ws).alias("n_tokens"),
+        TX.stopword_count_ws(ws).alias("n_stopwords"),
+        F.round(TX.stopword_ratio_ws(ws), 6).alias("stop_ratio"),
         F.length("text").alias("n_chars_raw"),
     )
 
@@ -141,7 +143,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-hit ratio) vs the fixture's lang
     label — deterministic, JVM-side, oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+    pre = docs.select("doc_id", "lang", TX.words_of(F.col("text")).alias("ws"))
+    return pre.select(
+        "doc_id", "lang", TX.lang_id_ws(F.col("ws")).alias("lang_pred")
+    )
 
 
 @register(
@@ -189,7 +194,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     + word-length sanity + punctuation-soup penalty, composed exactly as
     in functions/text.py:quality_score — fully oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    pre = docs.select("doc_id", "text", TX.words_of(F.col("text")).alias("ws"))
+    return pre.select(
+        "doc_id",
+        TX.quality_score_ws(F.col("ws"), F.col("text")).alias("quality"),
+    )
 
 
 @register(
@@ -219,7 +228,8 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored from its own token array inside whole-stage codegen, so the
     operator streams a 100 TB corpus at scan speed."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = TX.words_of(F.col("text"))
+    docs = docs.select("doc_id", TX.words_of(F.col("text")).alias("ws"))
+    ws = F.col("ws")
 
     def ngrams(n: int):
         cnt = F.greatest(F.lit(1), F.size(ws) - F.lit(n - 1))
@@ -408,9 +418,17 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    ws = TX.words_of(F.col("text"))
-    quality = TX.quality_score("text")
-    langp = TX.lang_id("text")
+    # Tokenize ONCE into a real column: every words_of() instantiation
+    # carries fresh lambda exprIds, so Catalyst CSE cannot unify the
+    # regex-split trees the quality/lang/repetition/fingerprint
+    # heuristics would otherwise each rebuild (~10 splits per row).
+    # CollapseProject keeps this Project node because the expression is
+    # non-cheap and multi-referenced.  Measured at sf0.1 (noop sink):
+    # 5.3-7.4 s -> 1.25 s, bit-identical output.
+    pre = docs.select("doc_id", "text", TX.words_of(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    quality = TX.quality_score_ws(ws, F.col("text"))
+    langp = TX.lang_id_ws(ws)
     cnt = F.greatest(F.lit(1), F.size(ws) - F.lit(1))
     g2 = F.transform(
         F.sequence(F.lit(0), cnt - 1),
@@ -420,12 +438,21 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2), 6
     )
     fp = F.md5(F.lower(F.array_join(ws, " ")))
-    rep = F.min("doc_id").over(Window.partitionBy(fp))
-    base = docs.select(
+    # scalars (incl. the 16-byte fp) are computed BEFORE the dedup
+    # window's shuffle, so the words array never crosses an Exchange
+    scal = pre.select(
         "doc_id",
         quality.alias("quality"),
         langp.alias("lang_pred"),
         dup2.alias("dup2_frac"),
+        fp.alias("fp"),
+    )
+    rep = F.min("doc_id").over(Window.partitionBy("fp"))
+    base = scal.select(
+        "doc_id",
+        "quality",
+        "lang_pred",
+        "dup2_frac",
         rep.alias("rep"),
     )
     reasons = F.concat_ws(
