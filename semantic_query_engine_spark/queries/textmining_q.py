@@ -201,6 +201,13 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded: 1-row corpus count
         .crossJoin(F.broadcast(n))
         .select("doc_id", "word", (F.col("tf") * idfq).alias("wq"))
+        # Truncate: the weight table feeds THREE consumers (per-doc
+        # norms + both sides of the term-keyed pair join); without this
+        # each one re-derives the explode -> tf -> df -> join chain
+        # from the scan.  Bounded: the pool is capped at ~315 docs, and
+        # at corpus scale w is the (doc,term) weight table a real run
+        # would stage to parquet anyway.
+        .localCheckpoint(eager=True)
     )
     wqd = F.col("wq").cast("decimal(19,0)")
     norms = w.groupBy("doc_id").agg(F.sum(wqd * wqd).alias("n2"))
