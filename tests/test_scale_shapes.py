@@ -513,3 +513,25 @@ def test_monitor_invariants_skew_and_shards(spark, sf_dir):
         assert 900 <= sum(loads) / len(loads) <= 1000, (epoch, loads)
         # uniform hash: no shard carries 2x the mean token load
         assert max(loads) < 2000, (epoch, loads)
+
+
+def test_text_heuristics_tokenize_once(spark, sf_dir):
+    """The tokenize-once contract (functions/text.py:stopword_count_ws):
+    queries composing several text heuristics must pre-project the words
+    array into a real column, because each words_of() instantiation
+    carries fresh lambda exprIds and Catalyst CSE cannot unify the
+    regex-split trees.  Pin the plan property directly: the optimized
+    plan of curation_verdict (quality + lang-ID + repetition +
+    fingerprint in one row) contains exactly ONE whitespace tokenization
+    — regressing to per-heuristic splits re-runs the regex ~10x per row
+    (measured 5.3-7.4 s -> 1.25 s at sf0.1)."""
+    from semantic_query_engine_spark.queries.textops import (
+        curation_verdict,
+        text_stats,
+    )
+
+    for q in (curation_verdict, text_stats):
+        df = q(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n_splits = plan.count("split(")
+        assert n_splits == 1, (q.__name__, n_splits)
