@@ -41,14 +41,28 @@ def portable_word_hash(w) -> F.Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
-def simhash(text_col, portable: bool = False) -> F.Column:
-    """64-bit SimHash of the whitespace tokens: for each bit j, sum
+def word_hashes(text_col, portable: bool = False) -> F.Column:
+    """array<long> of per-word 64-bit hashes — the tokenize+hash stage,
+    meant to be PRE-PROJECTED as a real column before simhash_from_hashes
+    consumes it 64 times (see that function's plan note)."""
+    word_hash = portable_word_hash if portable else F.xxhash64
+    return F.transform(words_of(text_col), lambda w: word_hash(w))
+
+
+def simhash_from_hashes(hashes) -> F.Column:
+    """64-bit SimHash from a word-hash array column: for each bit j, sum
     +1/-1 votes of every word-hash's bit j; bit j of the signature is 1
     iff the vote is positive.  The bit loop is unrolled in Python
     (shift amounts must be literals) and packing uses shiftleft so bit
-    63 lands in the sign bit without overflow."""
-    word_hash = portable_word_hash if portable else F.xxhash64
-    hashes = F.transform(words_of(text_col), lambda w: word_hash(w))
+    63 lands in the sign bit without overflow.
+
+    PLAN NOTE (round 14, SCALE.md tokenize-once section): `hashes` is
+    referenced by 64 separate aggregate() expressions, and physical
+    subexpression elimination does NOT rescue repeated HOF argument
+    trees — measured at sf0.1, an inline hashes expression re-ran the
+    tokenize+md5 transform once PER VOTE (~40 s vs 2.5-3.8 s with the
+    array pre-projected as a real column).  Callers must pass a column
+    reference (simhash_pairs does), not an expression tree."""
 
     def vote(j: int):
         # factory binds j per bit; the merge lambda must stay 2-ary
@@ -63,6 +77,14 @@ def simhash(text_col, portable: bool = False) -> F.Column:
         bit = F.when(vote(j) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         sig = sig.bitwiseOR(F.shiftleft(bit, j))
     return sig
+
+
+def simhash(text_col, portable: bool = False) -> F.Column:
+    """Composed single-Column form (tests / ad-hoc use).  In a real
+    plan prefer word_hashes -> pre-project -> simhash_from_hashes:
+    composed inline, the 64 vote aggregates re-evaluate the
+    tokenize+hash transform per vote (see simhash_from_hashes)."""
+    return simhash_from_hashes(word_hashes(text_col, portable))
 
 
 def band_values(sig_col) -> F.Column:
@@ -88,8 +110,9 @@ def simhash_pairs(
     """Candidate pairs sharing at least one 16-bit band, verified by
     Hamming distance <= max_hamming.  Returns (id_a, id_b, hamming)."""
     sigs = docs.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), portable).alias("sig")
-    )
+        F.col(id_col).alias("id"),
+        word_hashes(F.col(text_col), portable).alias("_wh"),
+    ).select("id", simhash_from_hashes(F.col("_wh")).alias("sig"))
     return banded_hamming_pairs(sigs, max_hamming)
 
 
