@@ -88,6 +88,13 @@ def jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
         keep = freq.filter(F.col("__df") <= max_shingle_freq).select("shingle")
         sh = sh.join(keep, "shingle", "left_semi")
+    # Truncate the exploded shingle table (r14, guide §8 fingerprint-
+    # pass shape): `sh` feeds the per-doc sizes AND both self-join
+    # sides, so the tokenize+shingle+explode chain (and the stop-
+    # shingle semi join, when capped) ran 3x per document.  (id,
+    # shingle) is the lightweight proxy a staged dedup run writes
+    # anyway; payload text never enters it.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -202,7 +209,13 @@ def minhash_lsh_pairs(
     precision is exact and banding only affects recall.  Shingles cross
     the shuffle as 8-byte xxhash64 values, not strings (64-bit collisions
     are negligible next to the reference-class HashingTF 2^18 buckets)."""
-    bt = minhash_band_table(docs, num_perm, n_bands, text_col, id_col, n, portable)
+    # Truncate the band table before the self-join (r14): both sides
+    # derive from `bt`, so the 64-permutation signature aggregation ran
+    # TWICE without it (the same shared-tiny-table rule dedup_eval_lsh
+    # applies to its own bt).  n_bands rows of (id, band, key) per doc.
+    bt = minhash_band_table(
+        docs, num_perm, n_bands, text_col, id_col, n, portable
+    ).localCheckpoint(eager=False)
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(
@@ -215,9 +228,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh_hash = _p64(F.col("shingle")) if portable else F.xxhash64("shingle")
+    # Truncated for the same reason as jaccard_pairs' sh: feeds sizes,
+    # ea and eb — 3 derivations of the shingle explode + hash without it.
     sh = shingle_table(docs, text_col, id_col, n).select(
         "id", sh_hash.alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("ns"))
     ea = sh.select(F.col("id").alias("id_a"), "sh")
     eb = sh.select(F.col("id").alias("id_b"), "sh")
@@ -321,9 +336,12 @@ def embedding_near_dups(
     affects recall, never precision.
     """
     if srp_bands and not block_col:
+        # Truncated: both self-join sides derive from `bands`, so the
+        # srp_bits x dim sign-projection HOFs ran twice per vector
+        # without it.  (id, band, key) — 3 longs a row.
         bands = srp_band_table(
             embeddings, srp_bands, srp_bits, srp_dim, seed, id_col, vec_col
-        )
+        ).localCheckpoint(eager=False)
         la, lb = bands.alias("ba"), bands.alias("bb")
         cand = (
             la.join(

@@ -140,14 +140,21 @@ def connected_components(
     convergence fingerprint compares); the flag exists so the round-10
     multi-JVM transfer experiment (SCALE.md) can measure both shapes.
     """
+    # Truncate the caller's pair pipeline ONCE (r14): `edges` is
+    # typically an expensive near-dup join (jaccard_pairs & co), and it
+    # used to be re-derived three times — for `e` and for BOTH legs of
+    # `all_nodes`.  The projection is 2 longs a row, the lightweight
+    # proxy the CC loop was already designed around.
+    ep = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        ep.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    all_nodes = edges.select(F.col(src).alias("node")).union(
-        edges.select(F.col(dst).alias("node"))
+    all_nodes = ep.select(F.col("u").alias("node")).union(
+        ep.select(F.col("v").alias("node"))
     )
     if nodes is not None:
         first = nodes.columns[0]

@@ -124,6 +124,15 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
     max_hamming < N_BANDS the banding is EXACT by pigeonhole: fewer
     differing bits than bands means at least one band is bit-identical,
     so the equality join cannot miss a qualifying pair."""
+    # Truncate the signature table before the self-join (r14, guide §8's
+    # "fingerprint pass" shape): both join sides derive from `sigs`, so
+    # without truncation the signature computation — the 64-vote SimHash
+    # expression tree or a mapInPandas media fingerprint — ran TWICE per
+    # row.  (id, sig) is 16 bytes a row; at corpus scale this is the
+    # fingerprint table a real dedup run stages to storage anyway.
+    # A/B at sf0.1 (5-run medians, back-to-back): audio 1.00 s with vs
+    # 1.23 s without, phash/stats equal within the noise band.
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "id", "sig", F.posexplode(band_values(F.col("sig"))).alias("band_idx", "band_val")
     )

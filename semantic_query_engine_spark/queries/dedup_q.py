@@ -379,6 +379,12 @@ def _attach_recall(
     approx_percentile_checked / distinct_count_checked.  No collect:
     the flag is a 1-row broadcast cross join."""
     ids = list(id_cols)
+    # NOT truncated (r14 A/B): checkpointing `exact` here looked like a
+    # win on paper (its brute-force lineage feeds both the recall mark
+    # and the payload) but measured +1.5 s on ann_ivfpq_topk at sf0.1 —
+    # the toRdd form of the global top-k adds a single-partition
+    # materialization per run, while the duplicated lineage below is
+    # cheap once the planted index itself is truncated upstream.
     marked = exact.select(*ids).join(
         approx.select(*ids).distinct().withColumn("__hit", F.lit(1)), ids, "left"
     )
@@ -742,6 +748,17 @@ def _planted_query_index(spark: SparkSession, sf_dir: str):
                 F.transform("embedding", _shift_by(k)).alias("embedding"),
             )
         )
+    # Truncate the 4-branch planted union (r14, guide §3.3/§5): every
+    # checked ANN row feeds `index` to 3-6 consumers (exact gold side,
+    # training-sample pull, cluster assignment, encode, exact re-rank),
+    # and the planted transform's lambda exprIds defeat CSE exactly like
+    # the words_of trees (commit 839e1a5), so each consumer re-derived
+    # the union — ann_ivfpq_topk's plan was 281 operators with the
+    # ArrowEvalPython assignment subtree appearing 4x.  The table is
+    # SF-bounded (the embeddings fixture + 3 rows); at corpus scale the
+    # index is a real table read from storage, where each consumer's
+    # scan IS this materialization.
+    index = index.localCheckpoint(eager=False)
     qvec = [float(x) for x in q.head().embedding]
     return index, qvec
 
@@ -895,7 +912,10 @@ def _planted_knn_pool(spark: SparkSession, sf_dir: str):
                 F.transform("embedding", _shift_by(k)).alias("embedding"),
             )
         )
-    return probes, index
+    # Truncated for the same multi-consumer reason as
+    # _planted_query_index: the kNN gate rows feed `index` to the exact
+    # gold join, the IVF/PQ build-and-probe chain, and the re-rank.
+    return probes, index.localCheckpoint(eager=False)
 
 
 @register("ann_ivf_knn_join", oracle=_ANN_KNN_ORACLE)
@@ -1555,6 +1575,12 @@ def retrieval_eval_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("embedding", _shift_by(k)).alias("embedding"),
             )
         )
+    # Truncate the 4-branch planted union (r14, same CSE class as
+    # _planted_query_index): `index` feeds the gold kNN scan AND the
+    # SRP bucketing scan, each of which re-derived the union + planted
+    # transform.  SF-bounded table; at corpus scale each consumer's
+    # storage scan is the materialization.
+    index = index.localCheckpoint(eager=False)
     mat = F.expr(_SRP_MAT_SPARK)
     powers = F.expr(
         "array(" + ", ".join(str(1 << j) + "L" for j in range(16)) + ")"
@@ -1591,6 +1617,11 @@ def retrieval_eval_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pk.join(ik, "key").select(
         "probe_id", "vec_id", cosine(F.col("embedding"), F.col("probe_vec")).alias("c")
     )
+    # cand feeds BOTH the ranked-hits leg and the per-probe candidate
+    # count; without truncation each leg re-runs the SRP bucketing scan
+    # over the whole index plus the bucket join.  Bounded: single-bucket
+    # collisions for 8 probes (hundreds of rows).
+    cand = cand.localCheckpoint(eager=False)
     wrk = Window.partitionBy("probe_id").orderBy(F.desc("c"), F.asc("vec_id"))
     ark = cand.withColumn("rk", F.row_number().over(wrk))
     nc = cand.groupBy("probe_id").agg(F.count("*").alias("n_candidates"))

@@ -833,19 +833,27 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.expr(_bucket_expr("g", "instr", "STRING")).alias("b"))
-    raw = fb.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt = (
-        fb.filter(F.col("doc_id") % 10 == 0)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    # ONE pass computes both distributions (r14, guide §2.3 "aggregate
+    # before you shuffle" / §1.2 "don't recompute"): the target slice is
+    # a filter of the same feature stream, so cr and ct come from a
+    # single map-side-combined groupBy instead of two independent
+    # derivations of the tokenize+explode+md5 subtree (raw and tgt each
+    # re-ran it; 3 corpus-scale passes -> 2).  ct == 0 for buckets with
+    # no target rows, exactly what the old left join's coalesce(ct, 0)
+    # produced, so lam is bit-identical.
+    counts = fb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("doc_id") % 10 == 0).cast("long")).alias("ct"),
     )
-    tr = raw.agg(F.sum("cr").alias("total_r"))
-    tt = tgt.agg(F.sum("ct").alias("total_t"))
+    # bounded: one row per hash bucket (256)
+    counts = counts.localCheckpoint(eager=False)
+    totals = counts.agg(
+        F.sum("cr").alias("total_r"), F.sum("ct").alias("total_t")
+    )
     lam = (
-        raw.join(tgt, "b", "left")
-        # bounded: tr/tt are 1-row totals
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(tt))
+        counts
+        # bounded: totals is a 1-row aggregate
+        .crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.round(
