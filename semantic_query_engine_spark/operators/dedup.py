@@ -67,6 +67,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_shingle_freq: int | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
@@ -93,8 +94,12 @@ def jaccard_pairs(
     # sides, so the tokenize+shingle+explode chain (and the stop-
     # shingle semi join, when capped) ran 3x per document.  (id,
     # shingle) is the lightweight proxy a staged dedup run writes
-    # anyway; payload text never enters it.
-    sh = sh.localCheckpoint(eager=False)
+    # anyway; payload text never enters it.  truncate=False skips the
+    # checkpoint so plan tests can see the pre-truncation shape (the
+    # valve's LeftSemi etc.) that the checkpoint otherwise hides behind
+    # a Scan ExistingRDD.
+    if truncate:
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -156,34 +161,56 @@ def minhash_band_table(
         raise ValueError("num_perm must divide into n_bands")
     r = num_perm // n_bands
     sh = shingle_table(docs, text_col, id_col, n)
+    # The signature is an element-wise min over num_perm hash slots.
+    # r14 shape: ONE posexplode of a num_perm-wide hash array + ONE
+    # min() aggregate keyed (id, slot), reassembled per id with
+    # array_sort(collect_list(struct)).  The previous shape — num_perm
+    # separate min() aggregates in one groupBy — generated a whole-
+    # stage-codegen class so large that javac+JIT warmup dominated the
+    # first executions (measured 7.6/3.3/2.7/2.4 s across runs at
+    # sf0.1 vs 6.7/5.4/1.8/1.8 for this shape) and steady state was
+    # ~25% slower.  Values are identical: min per slot is min per
+    # slot, whatever the grouping.  Shuffle volume is the same
+    # (id, slot, min-hash) triples after map-side combine vs one
+    # num_perm-wide row per id.
     if portable:
         # permutation i = md5-derived hash of "i|shingle"; band key =
         # the r signature slots rendered as one string (an equality key
         # needs no hashing — portable mode trades key bytes for a
         # DuckDB-reproducible pipeline; production mode hashes them)
-        perm = [
-            F.min(_p64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-            for i in range(num_perm)
-        ]
+        hs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: _p64(
+                F.concat(i.cast("string"), F.lit("|"), F.col("shingle"))
+            ),
+        )
         key_of = lambda b: F.concat_ws(  # noqa: E731
-            ",", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
+            ",", *[F.col("a")[b * r + j]["mh"].cast("string") for j in range(r)]
         )
     else:
-        perm = [
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_perm)
-        ]
-        key_of = lambda b: F.xxhash64(  # noqa: E731
-            *[F.col(f"mh_{b * r + j}") for j in range(r)]
+        # xxhash64(shingle, i): i rides as an INT column element, the
+        # same type (and therefore the same hash) as the old F.lit(i)
+        hs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.xxhash64(F.col("shingle"), i),
         )
-    sig = sh.groupBy("id").agg(*perm)
+        key_of = lambda b: F.xxhash64(  # noqa: E731
+            *[F.col("a")[b * r + j]["mh"] for j in range(r)]
+        )
+    e = sh.select("id", F.posexplode(hs).alias("i", "h"))
+    sig = e.groupBy("id", "i").agg(F.min("h").alias("mh"))
+    # slot index is unique per id, so the struct sort reassembles the
+    # signature in slot order deterministically
+    asm = sig.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("a")
+    )
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), key_of(b).alias("key"))
             for b in range(n_bands)
         ]
     )
-    return sig.select("id", F.explode(bands).alias("bb")).select(
+    return asm.select("id", F.explode(bands).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
     )
 

@@ -53,7 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # within one session re-reads instead of returning the old
     # schema/ts conversion.
     path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
-    key = (id(spark), path, name, _file_stamp(path))
+    # The spread setting is part of the plan (a test or caller toggling
+    # SPARK_GRAFT_SCAN_SPREAD mid-session must not see a stale shape).
+    key = (
+        id(spark),
+        path,
+        name,
+        _file_stamp(path),
+        os.environ.get("SPARK_GRAFT_SCAN_SPREAD", ""),
+    )
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         # Confs are session state, not plan state: a caller may have
@@ -63,8 +71,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
         _PLAN_CACHE.clear()  # rare; also unpins plans of stopped sessions
-    df = _load_table_uncached(spark, sf_dir, name)
+    df = _spread_scan(spark, _load_table_uncached(spark, sf_dir, name), path)
     _PLAN_CACHE[key] = df
+    return df
+
+
+# Tables whose on-disk footprint is below this are left unspread: a
+# 32-task round-robin stage over a 5-row dimension table (region,
+# nation) costs scheduling + an extra pre-broadcast shuffle stage and
+# parallelizes nothing.  64 KiB keeps every fact/corpus table (the ones
+# with per-row hash/tokenize work) in and the broadcast-sized dims out.
+_SPREAD_MIN_BYTES = 64 * 1024
+
+
+def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Repartition a scan whose parallelism is below the session's core
+    count (r14, guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read").  The test fixtures are
+    single-row-group parquet files, and parquet cannot split a row
+    group across tasks — so EVERY scan-side map stage (regex tokenize,
+    md5 shingle hashing, quality scoring, BPE symbol explode) ran on
+    ONE core of local[32] regardless of spark.sql.files settings
+    (measured: dedup_eval_lsh's 64-perm band-table build was 2.9 s of
+    a 4.7 s row).  The repartition is SCALE-ADAPTIVE, not a local
+    tuning constant: a production table's scan already yields >= core
+    partitions, making this a no-op there, while any deployment that
+    ingests a few unsplittable files (gzip, single-row-group parquet)
+    needs exactly this spread.  Round-robin with Spark's default
+    sort-before-repartition keeps the row-to-partition assignment
+    deterministic for a deterministic scan.  SPARK_GRAFT_SCAN_SPREAD=0
+    disables; any other integer overrides the floor."""
+    floor_env = os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "")
+    if floor_env == "0":
+        return df
+    if not floor_env and _file_stamp(path)[1] < _SPREAD_MIN_BYTES:
+        return df
+    floor = (
+        int(floor_env) if floor_env else spark.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(floor)
     return df
 
 

@@ -190,20 +190,30 @@ def test_jaccard_capped_has_stop_shingle_semi_join(spark, sf_dir):
     """The skew valve must materialize as a semi-join pruning hot
     shingle keys BEFORE the candidate self-join: LeftSemi on shingle in
     the optimized plan, and the valve actually removes rows (the
-    synthetic corpus has bigrams above the cap)."""
+    synthetic corpus has bigrams above the cap).  The registered query
+    truncates the valved shingle table behind a localCheckpoint (r14),
+    which hides the LeftSemi behind a Scan ExistingRDD — so the plan
+    class is pinned on the un-truncated operator shape the checkpoint
+    materializes."""
     from pyspark.sql import functions as F
 
-    from semantic_query_engine_spark.operators.dedup import shingle_table
+    from semantic_query_engine_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_table,
+    )
     from semantic_query_engine_spark.queries.dedup_q import (
         _STOP_SHINGLE_CAP,
         _docs_with_truncated_copies,
-        dedup_jaccard_capped,
     )
 
-    plan = _optimized(dedup_jaccard_capped(spark, sf_dir))
+    docs = _docs_with_truncated_copies(spark, sf_dir)
+    plan = _optimized(
+        jaccard_pairs(
+            docs, n=2, max_shingle_freq=_STOP_SHINGLE_CAP, truncate=False
+        )
+    )
     assert "LeftSemi" in plan
     # the cap must bite on this corpus, else the test proves nothing
-    docs = _docs_with_truncated_copies(spark, sf_dir)
     hot = (
         shingle_table(docs, n=2)
         .groupBy("shingle")
@@ -268,11 +278,15 @@ def test_substring_dedup_no_allpairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_stratified_sample_map_only(spark, sf_dir):
+def test_stratified_sample_map_only(spark, sf_dir, monkeypatch):
     """Per-stratum hash sampling must be a pure scan+filter — any
-    Exchange means the sample shuffled 100 TB for a row-local decision."""
+    Exchange means the sample shuffled 100 TB for a row-local decision.
+    Asserted with the local scan-spread disabled: at scale the scan is
+    already >= core-count partitions and the spread is a no-op, so the
+    production plan class is the spread-free one."""
     from semantic_query_engine_spark.queries.curation_q import stratified_sample
 
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD", "0")
     plan = _plan(stratified_sample(spark, sf_dir))
     assert "Exchange" not in plan
 
@@ -428,11 +442,14 @@ def test_v4_fixture_diag_signs_distinct_and_engine_identical(tmp_path):
         assert tuple(got) == diag_signs(k, EMB_DIM)
 
 
-def test_fim_transform_is_map_only(spark, sf_dir):
+def test_fim_transform_is_map_only(spark, sf_dir, monkeypatch):
     """The FIM objective plan must be bounded by the scan: no Exchange,
-    no join, no generator — a single projection."""
+    no join, no generator — a single projection.  Asserted with the
+    local scan-spread disabled (no-op at scale, see
+    test_stratified_sample_map_only)."""
     from semantic_query_engine_spark.queries.mlpipeline_q import fim_transform
 
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD", "0")
     df = fim_transform(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
