@@ -83,6 +83,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # with per-row hash/tokenize work) in and the broadcast-sized dims out.
 _SPREAD_MIN_BYTES = 64 * 1024
 
+# Rows per spread partition: the floor is ceil(rows / this), capped at
+# the session's core count, so a table's spread matches its work.  An
+# unconditional spread to ALL cores measured as a net LOSS on the
+# small multi-stage consumers — ann_ivf_knn_join (2,000-row vector
+# table, dozens of downstream stages over the pinned partitioning) ran
+# 2.4 -> 5.0 s and dedup_cluster 1.4 -> 2.2 s purely from ~1,000 extra
+# task schedulings — while the heavy text scans (5,000-row documents,
+# ~ms of regex per row) kept >= 95% of their win at rows/256
+# granularity (curation_verdict 3.7 -> 1.25 s either way).
+_SPREAD_ROWS_PER_TASK = 256
+
+
+def _parquet_rows(path: str) -> int | None:
+    """Row count from the parquet footer (driver-side metadata read,
+    ~ms, amortized by the plan cache).  None when unreadable (e.g. a
+    directory table) — caller falls back to the full-core floor."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — any failure means "unknown"
+        return None
+
 
 def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Repartition a scan whose parallelism is below the session's core
@@ -104,12 +127,19 @@ def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     floor_env = os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "")
     if floor_env == "0":
         return df
-    if not floor_env and _file_stamp(path)[1] < _SPREAD_MIN_BYTES:
-        return df
-    floor = (
-        int(floor_env) if floor_env else spark.sparkContext.defaultParallelism
-    )
-    if df.rdd.getNumPartitions() < floor:
+    cores = spark.sparkContext.defaultParallelism
+    if floor_env:
+        floor = int(floor_env)
+    else:
+        if _file_stamp(path)[1] < _SPREAD_MIN_BYTES:
+            return df
+        rows = _parquet_rows(path)
+        floor = (
+            cores
+            if rows is None
+            else min(cores, -(-rows // _SPREAD_ROWS_PER_TASK))
+        )
+    if floor > 1 and df.rdd.getNumPartitions() < floor:
         return df.repartition(floor)
     return df
 
