@@ -757,8 +757,10 @@ def _planted_query_index(spark: SparkSession, sf_dir: str):
     # ArrowEvalPython assignment subtree appearing 4x.  The table is
     # SF-bounded (the embeddings fixture + 3 rows); at corpus scale the
     # index is a real table read from storage, where each consumer's
-    # scan IS this materialization.
-    index = index.localCheckpoint(eager=False)
+    # scan IS this materialization.  Coalesced first for the same
+    # union-times-spread reason as _planted_knn_pool (4 branches x the
+    # vector table's spread width; narrow merge, no shuffle).
+    index = index.coalesce(8).localCheckpoint(eager=False)
     qvec = [float(x) for x in q.head().embedding]
     return index, qvec
 
@@ -915,7 +917,13 @@ def _planted_knn_pool(spark: SparkSession, sf_dir: str):
     # Truncated for the same multi-consumer reason as
     # _planted_query_index: the kNN gate rows feed `index` to the exact
     # gold join, the IVF/PQ build-and-probe chain, and the re-rank.
-    return probes, index.localCheckpoint(eager=False)
+    # Coalesce first: the 4-branch union concatenates each branch's
+    # scan-spread partitioning (4 x 8 at sf0.1) and the checkpoint PINS
+    # it for every downstream stage of a dozen-stage pipeline; 2,000
+    # vector rows need the source table's width, not 4x it (bench
+    # 4.2 -> 15.9 s when the full-core spread landed, from task
+    # scheduling alone).  Narrow merge, no shuffle.
+    return probes, index.coalesce(8).localCheckpoint(eager=False)
 
 
 @register("ann_ivf_knn_join", oracle=_ANN_KNN_ORACLE)
@@ -1069,7 +1077,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = _trunc_80(base)
     v2 = _trunc_80(v1)
-    pool = base.unionByName(v1).unionByName(v2)
+    # The 3-branch union concatenates each branch's scan-spread
+    # partitioning (3 x 20 at sf0.1) for a 300-row pool whose per-row
+    # work is light (bigram shingles + xxhash, no md5 ladder), so the
+    # CC loop's many stages paid ~60 task schedulings each for nothing
+    # (bench 2.0 -> 5.6 s when the spread first landed).  Narrow
+    # coalesce — no shuffle — restores a work-proportionate width.
+    pool = base.unionByName(v1).unionByName(v2).coalesce(4)
     edges = jaccard_pairs(pool, threshold=0.7, n=2)
     # eager checkpoint: same multi-consumption pattern as dedup_semantic
     edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
@@ -1970,7 +1984,13 @@ def neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = _trunc_80(base)
     v2 = _trunc_80(v1)
-    pool = base.unionByName(v1).unionByName(v2)
+    # The 3-branch union concatenates each branch's scan-spread
+    # partitioning (3 x 20 at sf0.1) for a 300-row pool whose per-row
+    # work is light (bigram shingles + xxhash, no md5 ladder), so the
+    # CC loop's many stages paid ~60 task schedulings each for nothing
+    # (bench 2.0 -> 5.6 s when the spread first landed).  Narrow
+    # coalesce — no shuffle — restores a work-proportionate width.
+    pool = base.unionByName(v1).unionByName(v2).coalesce(4)
     edges = jaccard_pairs(pool, threshold=0.7, n=2)
     edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     cc = connected_components(edges, nodes=pool.select("doc_id"))
@@ -2057,7 +2077,13 @@ def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = _trunc_80(base)
     v2 = _trunc_80(v1)
-    pool = base.unionByName(v1).unionByName(v2)
+    # The 3-branch union concatenates each branch's scan-spread
+    # partitioning (3 x 20 at sf0.1) for a 300-row pool whose per-row
+    # work is light (bigram shingles + xxhash, no md5 ladder), so the
+    # CC loop's many stages paid ~60 task schedulings each for nothing
+    # (bench 2.0 -> 5.6 s when the spread first landed).  Narrow
+    # coalesce — no shuffle — restores a work-proportionate width.
+    pool = base.unionByName(v1).unionByName(v2).coalesce(4)
     edges = jaccard_pairs(pool, threshold=0.7, n=2)
     edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
     cc = connected_components(edges, nodes=pool.select("doc_id"))
