@@ -28,11 +28,36 @@ def _col(c: ColumnOrName) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
+def const_array(values) -> Column:
+    """A (possibly nested) literal double-array column rendered as ONE
+    SQL string and parsed JVM-side (r14, guide §1.2 per-task/driver
+    work): `F.lit(list)` / `F.array(*[F.lit(x) ...])` issues one py4j
+    round-trip PER ELEMENT, so the PQ codebook (1,024 doubles) and SRP
+    plane (2,048 doubles) constants cost seconds of driver time per
+    plan CONSTRUCTION (measured: ann_ivfpq_topk spent 3.8 s of a 5.6 s
+    build inside py4j send_command).  repr(float) round-trips exactly
+    through Java's Double.parseDouble, so the folded Literal is
+    bit-identical to the per-element form.  Finite values only (the
+    plan constants here are hashes/centroids/codebooks by
+    construction)."""
+    import math
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        f = float(v)
+        if not math.isfinite(f):
+            raise ValueError(f"non-finite plan constant: {v!r}")
+        return repr(f) + "D"
+
+    return F.expr(render(values))
+
+
 def vector_lit(values: Iterable[float]) -> Column:
     """A literal vector column (e.g. the broadcast query embedding of
     SURVEY A6 — the reference embeds the query once and sends it with
     every search request; Spark folds it into the plan as a constant)."""
-    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+    return const_array([float(v) for v in values])
 
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:

@@ -308,7 +308,11 @@ def srp_band_table(
     exploded FIRST so the per-row key expression stays small (bits
     aggregates, not bands*bits) — planning and codegen stay cheap.
     Map-only: no shuffle, no fitted model."""
-    planes = F.lit(_srp_planes(n_bands, bits, dim, seed))
+    # one sql-string literal: F.lit(list) pays a py4j round-trip per
+    # element (2,048 doubles here) at every plan construction
+    from ..functions.vectors import const_array
+
+    planes = const_array(_srp_planes(n_bands, bits, dim, seed))
 
     def _elem(i: int):
         def _f(x, j):

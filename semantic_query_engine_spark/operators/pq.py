@@ -33,7 +33,7 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, l2_normalize, vector_lit
+from ..functions.vectors import const_array, cosine, l2_normalize, vector_lit
 
 SEED = 42
 
@@ -90,7 +90,7 @@ def _sub_dists(vec: Column, book: list[list[float]], j: int, sub: int) -> Column
     loop (the data-side variant measured 5x slower to evaluate)."""
     subvec = F.slice(vec, j * sub + 1, sub)
     return F.transform(
-        F.lit(book),
+        const_array(book),
         lambda cw: F.aggregate(
             F.zip_with(subvec, cw, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -116,7 +116,9 @@ def pq_encode(
     sub = len(codebooks[0][0])
     m = len(codebooks)
     nv = index.select(F.col(id_col), l2_normalize(vec_col).alias("__nv"))
-    books = F.lit(codebooks)  # array<array<array<double>>>, one literal
+    # one literal, rendered as one sql string (const_array): F.lit of
+    # the nested list costs one py4j call per double
+    books = const_array(codebooks)
 
     def code_for(j):
         book = F.element_at(books, j + 1)
@@ -166,7 +168,7 @@ def pq_topk(
     approx = F.lit(0.0)
     for j in range(m):
         approx = approx + F.element_at(
-            F.lit(tables[j]), F.element_at("codes", j + 1) + 1
+            const_array(tables[j]), F.element_at("codes", j + 1) + 1
         )
     cand = (
         encoded.select(id_col, approx.alias("adc_dist"))
@@ -293,7 +295,7 @@ def ivfpq_knn_join(
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    books = F.lit(codebooks)  # m x k x sub nested literal (plan constant)
+    books = const_array(codebooks)  # m x k x sub nested literal (plan constant)
     p = probes.select(
         F.col(probe_id).alias("__pid"),
         F.col(probe_vec).alias("__pvec"),
