@@ -24,9 +24,18 @@ _CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
 _WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
 
 
-def _docs_with_truncated_copies(spark: SparkSession, sf_dir: str, limit: int = 100) -> DataFrame:
-    """documents[:limit] plus an 80%-prefix copy of each at id+10000."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < limit).select(
+def _docs_with_truncated_copies(
+    spark: SparkSession, sf_dir: str, limit: int = 100, spread: bool = False
+) -> DataFrame:
+    """documents[:limit] plus an 80%-prefix copy of each at id+10000.
+
+    `spread=True` is passed by map-dominated consumers (lsh_bucket_stats:
+    64-perm signature build then one agg); join-heavy consumers
+    (dedup_eval_lsh, minhash_lsh_pairs) measured FASTER unspread — see
+    sources/fixtures.load_table."""
+    docs = load_table(spark, sf_dir, "documents", spread=spread).filter(
+        F.col("doc_id") < limit
+    ).select(
         "doc_id", "text"
     )
     ws = words_of(F.col("text"))
@@ -728,17 +737,22 @@ def _shift_by(k: int):
     return f
 
 
-def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def _emb_double(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", spread=spread)
     return emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
 
 
-def _planted_query_index(spark: SparkSession, sf_dir: str):
+def _planted_query_index(spark: SparkSession, sf_dir: str, spread: bool = False):
     """(index, query_vec): every non-query vector plus 3 planted
-    near-copies of vec 0 at ids _PLANT_BASE+1..+3 (x + 0.01*k)."""
-    emb = _emb_double(spark, sf_dir)
+    near-copies of vec 0 at ids _PLANT_BASE+1..+3 (x + 0.01*k).
+
+    `spread=True` is passed by the consumers that run a HEAVY in-plan
+    build over every index row (ann_ivfpq_topk's k-means sample + PQ
+    train + encode) — the measured winners of the scan-spread A/B in
+    sources/fixtures.load_table; probe-style consumers leave it off."""
+    emb = _emb_double(spark, sf_dir, spread=spread)
     q = emb.filter(F.col("vec_id") == 0)
     index = emb.filter(F.col("vec_id") != 0)
     for k in _PLANT_KS:
@@ -1265,7 +1279,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import build_ivf, sample_vectors
     from ..operators.pq import build_pq, ivfpq_topk, pq_encode
 
-    index, qvec = _planted_query_index(spark, sf_dir)
+    # spread=True: the in-plan PQ train + encode is the heaviest per-row
+    # map work in the ANN family (measured 3.08 s spread vs 4.35 s not).
+    index, qvec = _planted_query_index(spark, sf_dir, spread=True)
     X = sample_vectors(index)  # one pull feeds both trainers
     assigned, centroids = build_ivf(index, n_clusters=8, sample_X=X)
     books = build_pq(index, m=8, k=16, sample_X=X)
@@ -1577,7 +1593,9 @@ def retrieval_eval_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one gold scan — which is the point of sampling probes."""
     from .semantic import _SRP_MAT_SPARK
 
-    emb = _emb_double(spark, sf_dir)
+    # spread=True: the 16-plane SRP projection over every vector is
+    # heavy per-row map work (measured 1.95 s spread vs 3.46 s not).
+    emb = _emb_double(spark, sf_dir, spread=True)
     probes_raw = emb.filter(F.col("vec_id") < 8)
     index = emb.filter(F.col("vec_id") >= 8)
     for k in _PLANT_KS:
@@ -1695,7 +1713,9 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join it de-risks, at any scale."""
     from ..operators.dedup import minhash_band_table
 
-    docs = _docs_with_truncated_copies(spark, sf_dir)
+    # spread=True: map-only signature build then one agg — the exact
+    # shape the scan spread pays for (measured 1.80 s vs 2.38 s not).
+    docs = _docs_with_truncated_copies(spark, sf_dir, spread=True)
     bands = minhash_band_table(docs, portable=True)
     occ = bands.groupBy("band", "key").agg(F.count("*").alias("sz"))
     return occ.groupBy(F.col("band").cast("int").alias("band")).agg(

@@ -388,7 +388,9 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
 
     shard_width = 128
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=True: quality tokenize + md5 fingerprint per row dominate
+    # (scan-spread A/B: 1.97 s spread vs 2.77 s not — fixtures.py).
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # tokenize once (see functions/text.py:stopword_count_ws): quality
     # and the dedup fingerprint share one words array per row
     pre = docs.select(
@@ -817,7 +819,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     adding corpus only grows the two count aggregates' inputs."""
     from ..functions.text import words_of
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=True: per-row tokenize + two hashed-bucket count vectors
+    # (scan-spread A/B: 1.31 s spread vs 1.98 s not — fixtures.py).
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     ws = docs.select(
         "doc_id",
         F.transform(words_of(F.col("text")), lambda w: F.lower(w)).alias("ws"),

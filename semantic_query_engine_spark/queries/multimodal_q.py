@@ -724,7 +724,11 @@ def video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import dhash64, encode_bmp
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # spread=True: in-plan BMP frame synthesis + dHash in one fused
+    # mapInPandas is the heaviest per-row stage in the multimodal family
+    # (scan-spread A/B: scene_detect 1.02 s spread vs 1.33 s not,
+    # keyframe_sample 0.87 s vs 1.34 s — fixtures.py).
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("doc_id") < _PHASH_CAP
     )
 

@@ -257,7 +257,9 @@ def semantic_topk_dim1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/app/main.py:38).  Oracle-checked on the tiled
     vectors; bench.py uses it to price the cosine hot loop at
     production width."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: the 16x tile + 1024-dim cosine per row is heavy map
+    # work (scan-spread A/B: 0.67 s spread vs 1.14 s not — fixtures.py).
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     wide = emb.select(
         "vec_id",
         F.flatten(F.array_repeat(F.col("embedding"), 16)).alias("embedding"),

@@ -42,7 +42,25 @@ def _file_stamp(path: str) -> tuple[int, int]:
         return (0, 0)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load a fixture table.
+
+    `spread=True` opts this scan into `_spread_scan`'s round-robin
+    repartition — for CONSUMERS whose per-row map work is heavy enough
+    (regex tokenize, SRP/PQ vector arithmetic, in-plan image synthesis)
+    that parallelizing a single-row-group file wins back more than the
+    extra exchange costs.  The default is NO spread: a round-14 full
+    86-query A/B at sf0.1 (isolated noop instrument) measured a blanket
+    spread as a net LOSS — 9 queries improved (sum -6.4 s) while 29
+    regressed (sum +20.6 s; worst tfidf_cosine_pairs 1.33 -> 3.72 s,
+    hybrid_rrf 1.10 -> 3.04 s) because light-per-row consumers pay the
+    shuffle + per-stage task-scheduling fan-out without compute to
+    amortize it.  At production scale the choice vanishes: a real
+    table's scan already yields >= core-count splits and _spread_scan
+    is a no-op either way.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; choose from {TABLES}")
     # Memoize the DataFrame plan: parquet schema inference costs ~100ms
@@ -60,6 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         path,
         name,
         _file_stamp(path),
+        bool(spread),
         os.environ.get("SPARK_GRAFT_SCAN_SPREAD", ""),
     )
     cached = _PLAN_CACHE.get(key)
@@ -71,7 +90,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
         _PLAN_CACHE.clear()  # rare; also unpins plans of stopped sessions
-    df = _spread_scan(spark, _load_table_uncached(spark, sf_dir, name), path)
+    df = _load_table_uncached(spark, sf_dir, name)
+    if spread:
+        df = _spread_scan(spark, df, path)
     _PLAN_CACHE[key] = df
     return df
 
@@ -112,18 +133,23 @@ def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     count (r14, guide §2.5 "input skew: one huge unsplittable file ...
     repartition immediately after the read").  The test fixtures are
     single-row-group parquet files, and parquet cannot split a row
-    group across tasks — so EVERY scan-side map stage (regex tokenize,
-    md5 shingle hashing, quality scoring, BPE symbol explode) ran on
-    ONE core of local[32] regardless of spark.sql.files settings
-    (measured: dedup_eval_lsh's 64-perm band-table build was 2.9 s of
-    a 4.7 s row).  The repartition is SCALE-ADAPTIVE, not a local
-    tuning constant: a production table's scan already yields >= core
-    partitions, making this a no-op there, while any deployment that
-    ingests a few unsplittable files (gzip, single-row-group parquet)
-    needs exactly this spread.  Round-robin with Spark's default
-    sort-before-repartition keeps the row-to-partition assignment
-    deterministic for a deterministic scan.  SPARK_GRAFT_SCAN_SPREAD=0
-    disables; any other integer overrides the floor."""
+    group across tasks — so a scan-side map stage (regex tokenize,
+    SRP/PQ vector arithmetic, in-plan BMP synthesis) runs on ONE core
+    of local[32] regardless of spark.sql.files settings.  Applied only
+    for `load_table(..., spread=True)` callers: the full-bench A/B in
+    load_table's docstring showed the exchange is a net loss unless the
+    downstream per-row work is heavy, so consumers opt in where they
+    know it is (retrieval_eval_srp's SRP projection, ann_ivfpq_topk's
+    in-plan PQ train+encode, the tokenizer-statistics passes).  The
+    repartition is SCALE-ADAPTIVE, not a local tuning constant: a
+    production table's scan already yields >= core partitions, making
+    this a no-op there, while a deployment that ingests a few
+    unsplittable files (gzip, single-row-group parquet) needs exactly
+    this spread before its heavy map stages.  Round-robin with Spark's
+    default sort-before-repartition keeps the row-to-partition
+    assignment deterministic for a deterministic scan.
+    SPARK_GRAFT_SCAN_SPREAD=0 disables even opted-in spreads; any
+    other integer overrides the floor."""
     floor_env = os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "")
     if floor_env == "0":
         return df
