@@ -528,7 +528,9 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint table it emits is exactly what a banded substring-dedup
     or plagiarism join consumes downstream (group by fp, same shape as
     substring_dedup's digest join)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread=True: per-row winnowing hash windows dominate (scan-spread
+    # A/B: 0.82 s spread vs 1.04 s not — sources/fixtures.py).
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", words_of(F.col("text")).alias("w")
     )
     spans = (

@@ -155,7 +155,9 @@ def knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries).  Probes broadcast; per-probe top-k via window."""
     from ..operators.retrieval import knn_join
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True: k=3 window over 5 broadcast probes costs 5 cosines
+    # per index row (scan-spread A/B: 0.69 s spread vs 0.91 s not).
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
