@@ -73,11 +73,28 @@ def _eq(term: str):
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + BM25 score (rounded to 4) for the fixed query TERMS."""
     docs = load_table(spark, sf_dir, "documents")
+    # The oracle's `score > 0` gate, as a CHEAP pre-tokenize filter:
+    # every BM25 part is >= 0 with Lucene idf (log(1 + positive) > 0, so
+    # part_i > 0 iff tf_i > 0), hence total > 0 iff SOME query term
+    # occurs as a token — and under single-space split, token membership
+    # is exactly `' '||text||' ' contains ' term '` (the same identity
+    # the stats pass below already relies on for docfreq, including
+    # empty-token runs).  Expressing the gate this way keeps it at the
+    # scan as 3 substring probes; written as `total > 0` it was pushed
+    # below the tf projection and re-evaluated the whole
+    # split+filter subtree once per term per row (plans/r14/
+    # bm25_topk_before.txt node (3)).
+    padded_text = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    term_hit = F.contains(padded_text, F.lit(f" {TERMS[0]} "))
+    for t in TERMS[1:]:
+        term_hit = term_hit | F.contains(padded_text, F.lit(f" {t} "))
     # tokenize ONCE into a named column; deriving dl and every tf from
     # the same array reference keeps a single split per row instead of
     # len(TERMS)+1 (Catalyst does not CSE the split across independent
     # projection expressions — measured ~25% of the hybrid_rrf wall)
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = docs.filter(term_hit).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     d = toks.select(
         "doc_id",
         F.size("toks").alias("dl"),
@@ -126,9 +143,9 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = parts[0]
     for p in parts[1:]:
         total = total + p
-    return scored.filter(total > 0).select(
-        "doc_id", F.round(total, 4).alias("score")
-    )
+    # no residual `total > 0` filter: the term_hit pre-filter above is
+    # exactly that predicate (see its comment for the proof)
+    return scored.select("doc_id", F.round(total, 4).alias("score"))
 
 
 @register(
