@@ -72,11 +72,84 @@ def l2_norm(a: ColumnOrName) -> Column:
 
 def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
     """cosine(a,b) with the reference's zero-norm guard -> 0.0
-    (/root/reference/app/main.py:62-63)."""
+    (/root/reference/app/main.py:62-63).
+
+    Cost note (r14): as ONE expression the two norm subtrees are each
+    referenced twice (guard + denominator), and the analyzer re-binds
+    higher-order-function lambda variables per occurrence, so codegen
+    subexpression elimination cannot unify them — 5 array aggregates
+    per row instead of 3.  Per-row-hot paths should use with_cosine()
+    (norm pre-projection) instead; this form is fine for bounded sides
+    (centroid tables, 1-row probes)."""
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
         dot(a, b) / (na * nb)
     )
+
+
+def cosine_from_norms(
+    a: ColumnOrName, b: ColumnOrName, na: ColumnOrName, nb: ColumnOrName
+) -> Column:
+    """cosine(a,b) given PRE-PROJECTED L2 norms — arithmetic and
+    zero-norm guard identical to cosine() (same operation order, so
+    bit-identical results); the norms are plain column references, so
+    each is computed once however often it is mentioned."""
+    na, nb = _col(na), _col(nb)
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def with_cosine(
+    df,
+    a: ColumnOrName,
+    b: ColumnOrName,
+    out: str,
+    norm_b: ColumnOrName | None = None,
+    norm_a: ColumnOrName | None = None,
+):
+    """Append cosine(a, b) as column `out` via a norm PRE-PROJECTION
+    (guide §1.2 "don't compute things twice"): the norms land as real
+    columns in their own Project, and CollapseProject keeps that
+    Project separate because a non-cheap alias referenced more than
+    once is not inlined (SPARK-36718 — the same mechanism the r14
+    tokenize-once rework relies on, pinned by tests/test_scale_shapes.py
+    ::test_text_heuristics_tokenize_once).  Per row this computes 2 array
+    aggregates + 1 dot instead of cosine()'s 5 — and only 1 + dot when
+    the caller passes `norm_b`, a norm already computed on a bounded
+    side (e.g. the 1-row broadcast query vector).
+
+    The DOT PRODUCT is pre-projected too: because the norm aliases
+    block the collapse, the dot survives as a real column, so a
+    threshold filter on `out` that Catalyst pushes below the cosine
+    projection (the bm25 plan class — pushdown substitutes the alias
+    regardless of cost) lands on CHEAP COLUMN REFERENCES instead of
+    re-running the aggregates.
+
+    Values are bit-identical to cosine(): same guard, same operation
+    order, norms evaluated by the same l2_norm tree."""
+    dot_tmp = f"__{out}_dot"
+    proj = [dot(a, b).alias(dot_tmp)]
+    drops = [dot_tmp]
+    if norm_a is None:
+        na_tmp = f"__{out}_norm_a"
+        proj.append(l2_norm(a).alias(na_tmp))
+        na_col: ColumnOrName = na_tmp
+        drops.append(na_tmp)
+    else:
+        na_col = norm_a
+    if norm_b is None:
+        nb_tmp = f"__{out}_norm_b"
+        proj.append(l2_norm(b).alias(nb_tmp))
+        nb_col: ColumnOrName = nb_tmp
+        drops.append(nb_tmp)
+    else:
+        nb_col = norm_b
+    na_c, nb_c = _col(na_col), _col(nb_col)
+    sim = F.when(
+        (na_c == F.lit(0.0)) | (nb_c == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(F.col(dot_tmp) / (na_c * nb_c))
+    return df.select("*", *proj).withColumn(out, sim).drop(*drops)
 
 
 def l2_normalize(a: ColumnOrName, eps: float = 1e-9) -> Column:

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, words_of
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, l2_norm
 
 
 def exact_dedup(
@@ -384,32 +384,54 @@ def embedding_near_dups(
             .select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
             .distinct()
         )
+        # per-VECTOR norms, computed once per embedding row before the
+        # pair join instead of per pair (r14, with_cosine docstring)
         va = embeddings.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            l2_norm(vec_col).alias("__na"),
         )
         vb = embeddings.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            l2_norm(vec_col).alias("__nb"),
         )
         pairs = cand.join(va, "id_a").join(vb, "id_b")
+        sim = F.round(
+            F.when(
+                (F.col("__na") == F.lit(0.0)) | (F.col("__nb") == F.lit(0.0)),
+                F.lit(0.0),
+            ).otherwise(dot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb"))),
+            6,
+        )
         return (
-            pairs.withColumn("sim", F.round(cosine("vec_a", "vec_b"), 6))
+            pairs.select("id_a", "id_b", sim.alias("sim"))
             .filter(F.col("sim") >= F.lit(threshold))
             .select("id_a", "id_b", "sim")
         )
     a = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        l2_norm(vec_col).alias("__na"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     b = embeddings.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        l2_norm(vec_col).alias("__nb"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     joined = a.join(b, "blk") if block_col else a.crossJoin(b)
+    sim = F.round(
+        F.when(
+            (F.col("__na") == F.lit(0.0)) | (F.col("__nb") == F.lit(0.0)),
+            F.lit(0.0),
+        ).otherwise(dot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb"))),
+        6,
+    )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine("vec_a", "vec_b"), 6))
+        .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= F.lit(threshold))
         .select("id_a", "id_b", "sim")
     )

@@ -22,7 +22,7 @@ from typing import Iterable, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, vector_lit
+from ..functions.vectors import l2_norm, vector_lit, with_cosine
 
 DEFAULT_TOP_K = 3  # /root/reference/app/main.py:467,601
 
@@ -35,7 +35,11 @@ def score_against(
     """Add a cosine `score` column against a constant query vector
     (the reference normalizes then HNSW-searches; here the scoring
     expression itself is the index probe)."""
-    return index.withColumn("score", cosine(F.col(vec_col), vector_lit(query_vec)))
+    # with_cosine (r14): the norms land in a pre-projection so each is
+    # computed once per row (the constant query vector's norm included —
+    # HOF aggregates over literals are not constant-folded), 3 array
+    # aggregates per row instead of cosine()'s 5
+    return with_cosine(index, F.col(vec_col), vector_lit(query_vec), "score")
 
 
 def topk_similar(
@@ -77,16 +81,22 @@ def knn_join(
     flip broadcast_probes off and let AQE pick the join.
     """
     p = probes.select(
-        F.col(probe_id).alias("__pid"), F.col(probe_vec).alias("__pvec")
+        F.col(probe_id).alias("__pid"),
+        F.col(probe_vec).alias("__pvec"),
+        # probe norms computed ONCE on the (small) probe side instead of
+        # twice per (index row x probe) pair (r14, with_cosine)
+        l2_norm(probe_vec).alias("__pnorm"),
     )
     if broadcast_probes:
         # bounded: caller-gated (broadcast_probes flag) for small probe sets
         p = F.broadcast(p)
-    scored = index.crossJoin(p).select(
-        F.col("__pid").alias(probe_id),
-        F.col(index_id),
-        cosine(F.col(index_vec), F.col("__pvec")).alias("score"),
-    )
+    scored = with_cosine(
+        index.crossJoin(p),
+        F.col(index_vec),
+        F.col("__pvec"),
+        "score",
+        norm_b="__pnorm",
+    ).select(F.col("__pid").alias(probe_id), F.col(index_id), "score")
     if exclude_self:
         # drop the probe's own index row BEFORE ranking (a probe that is
         # itself a member of the index, as in dedup-style self-kNN)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import l2_norm, with_cosine
 from ..sources.fixtures import load_table
 
 SYSTEM_RULES = (
@@ -44,19 +44,25 @@ def rag_ask(
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
 
-    # bounded: single query row
+    # bounded: single query row; its norm is computed HERE (once, on
+    # the broadcast side) instead of twice per scored row (r14,
+    # with_cosine docstring)
     qside = F.broadcast(
         emb.filter(F.col("vec_id") == query_vec_id).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            l2_norm("embedding").alias("qnorm"),
         )
     )
 
     # Retrieval (A15): score all, top-k, deterministic tie-break.
-    scored = (
-        emb.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(qside)
-        .select("query_id", "vec_id", cosine("embedding", "qvec").alias("score"))
-    )
+    scored = with_cosine(
+        emb.filter(F.col("vec_id") != query_vec_id).crossJoin(qside),
+        "embedding",
+        "qvec",
+        "score",
+        norm_b="qnorm",
+    ).select("query_id", "vec_id", "score")
     hits = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(top_k)
 
     # Join back to documents and assemble context blocks (A16), ordered

@@ -1229,17 +1229,33 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("v", lambda x: x * F.lit(1.001)).alias("v"),
     )
     trainset = pool.filter(F.col("vec_id") % 25 != 0).unionByName(planted)
+    from ..functions.vectors import dot as vdot
+    from ..functions.vectors import l2_norm
+
     ev = evalset.select(
-        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        # eval-side norms once per eval vector, not twice per scored
+        # pair (r14, with_cosine plan class)
+        l2_norm("v").alias("__evn"),
+    )
+    # train-side norm pre-projected per row; the sim>=0.98 filter gets
+    # pushed below the scoring projection (bm25 plan class) but then
+    # re-evaluates one dot, not cosine()'s full 5-aggregate tree
+    train = trainset.select(
+        F.col("vec_id").alias("train_id"), "v", l2_norm("v").alias("__tn")
+    )
+    sim = F.round(
+        F.when(
+            (F.col("__tn") == F.lit(0.0)) | (F.col("__evn") == F.lit(0.0)),
+            F.lit(0.0),
+        ).otherwise(vdot("v", "ev") / (F.col("__tn") * F.col("__evn"))),
+        6,
     )
     return (
         # bounded: eval-benchmark vectors — sized by the suite, not the corpus
-        trainset.crossJoin(F.broadcast(ev))
-        .select(
-            F.col("vec_id").alias("train_id"),
-            "eval_id",
-            F.round(cosine("v", "ev"), 6).alias("sim"),
-        )
+        train.crossJoin(F.broadcast(ev))
+        .select("train_id", "eval_id", sim.alias("sim"))
         .filter(F.col("sim") >= 0.98)
     )
 

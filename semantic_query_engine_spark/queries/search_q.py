@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import l2_norm, with_cosine
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -228,15 +228,19 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # bounded: single query row (vec_id = 0)
     qside = F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    )
-    cos = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(qside)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine("embedding", "qvec"), 6).alias("cscore"),
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec"), l2_norm("embedding").alias("qnorm")
         )
+    )
+    cos = with_cosine(
+        emb.filter(F.col("vec_id") != 0).crossJoin(qside),
+        "embedding",
+        "qvec",
+        "cscore_raw",
+        norm_b="qnorm",
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round("cscore_raw", 6).alias("cscore"),
     )
     ctop = _rank_tiny(
         cos.orderBy(F.desc("cscore"), F.asc("doc_id")).limit(20), "cscore", "c_r"

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, l2_norm, l2_normalize
+from ..functions.vectors import cosine, dot, l2_norm, l2_normalize, with_cosine
 from ..sources.fixtures import load_table
 from .registry import register
 
@@ -21,9 +21,12 @@ _Q = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
 def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # bounded: single query row (vec_id = 0)
+    # bounded: single query row (vec_id = 0); qnorm rides along so
+    # per-row scoring never re-derives the query norm (r14, with_cosine)
     return F.broadcast(
-        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec"), l2_norm("embedding").alias("qnorm")
+        )
     )
 
 
@@ -47,7 +50,12 @@ def semantic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(_query_side(spark, sf_dir))
-        .select("vec_id", cosine("embedding", "qvec").alias("raw_score"))
+        .transform(
+            lambda d: with_cosine(
+                d, "embedding", "qvec", "raw_score", norm_b="qnorm"
+            )
+        )
+        .select("vec_id", "raw_score")
     )
     return (
         scored.orderBy(F.desc("raw_score"), F.asc("vec_id"))
@@ -192,13 +200,22 @@ def cache_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.concat(F.lit("resp_"), F.col("label").cast("string")).alias("response"),
     )
-    scored = cache.crossJoin(_query_side(spark, sf_dir)).withColumn(
-        "raw", cosine("embedding", "qvec")
+    scored = with_cosine(
+        cache.crossJoin(_query_side(spark, sf_dir)),
+        "embedding",
+        "qvec",
+        "raw",
+        norm_b="qnorm",
     )
+    # threshold AFTER the top-1 (r14): `filter(raw >= 0.96)` before the
+    # limit gets pushed below the scoring projection and re-evaluates
+    # the cosine per row (the bm25 plan class); top-1-then-threshold is
+    # equivalent because the global max is the only candidate — it
+    # passes the >= gate iff any row does, with the same tie-break.
     return (
-        scored.filter(F.col("raw") >= 0.96)
-        .orderBy(F.desc("raw"), F.asc("entry_id"))
+        scored.orderBy(F.desc("raw"), F.asc("entry_id"))
         .limit(1)
+        .filter(F.col("raw") >= 0.96)
         .select("entry_id", "response", F.round("raw", 6).alias("score"))
     )
 
@@ -268,13 +285,17 @@ def semantic_topk_dim1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded: single query row, widened in-plan
     qside = F.broadcast(
-        wide.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+        wide.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec"), l2_norm("embedding").alias("qnorm")
+        )
     )
-    scored = (
-        wide.filter(F.col("vec_id") != 0)
-        .crossJoin(qside)
-        .select("vec_id", cosine("embedding", "qvec").alias("raw_score"))
-    )
+    scored = with_cosine(
+        wide.filter(F.col("vec_id") != 0).crossJoin(qside),
+        "embedding",
+        "qvec",
+        "raw_score",
+        norm_b="qnorm",
+    ).select("vec_id", "raw_score")
     return (
         scored.orderBy(F.desc("raw_score"), F.asc("vec_id"))
         .limit(3)
