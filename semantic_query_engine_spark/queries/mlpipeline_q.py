@@ -396,15 +396,24 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = docs.select(
         "doc_id", "text", TX.words_of(F.col("text")).alias("ws")
     )
-    q = pre.select(
+    # ALL text-derived scalars (quality, dedup fp, token count) are
+    # computed in ONE pre-gate projection and truncated BEFORE the
+    # quality filter (r14, guide §1.2/§2.4): a `.filter(quality >= 0.6)`
+    # below gets predicate-pushed through every Project — pushdown has
+    # no non-cheap-alias guard, unlike CollapseProject — re-expanding
+    # the words array ~6x per row inside the pushed condition (measured
+    # 0.77 s vs 0.20 s for the gated vs ungated scoring pass at sf0.1).
+    # Above the checkpoint the gate is a comparison on a materialized
+    # double.  4 narrow columns (~40 B/row, no text, no array) — at
+    # 100 TB this is the same slim-staging tradeoff as `t` below.
+    slim = pre.select(
         "doc_id",
-        "text",
-        "ws",
         TX.quality_score_ws(F.col("ws"), F.col("text")).alias("quality"),
-    ).filter(F.col("quality") >= 0.6)
-    fp = q.select("doc_id", TX.fingerprint_ws(F.col("ws")).alias("fp"))
-    q = q.drop("ws")
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        TX.fingerprint_ws(F.col("ws")).alias("fp"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    q = slim.filter(F.col("quality") >= 0.6)
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     k = q.join(keep, "doc_id", "left_semi")
     bucket = F.expr(_bucket_expr("doc_id", "instr", "STRING"))
     t = k.select(
@@ -415,7 +424,7 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 230, "val")
         .otherwise("test")
         .alias("split"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        "n_tokens",
         F.floor(F.col("doc_id") / shard_width).alias("shard"),
     )
     # Truncate here: without it Catalyst re-derives this slim frame for
@@ -569,15 +578,20 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped again before k's checkpoint so the array is never
     # materialized or shuffled
     pre = pool.select("doc_id", "text", words_of(F.col("text")).alias("ws"))
-    q = pre.select(
+    # pre-gate scalar projection + truncation BEFORE the quality filter
+    # (same rework as training_data_prep: a filter below the scoring
+    # projection is predicate-pushed with the words array re-expanded
+    # ~6x per row; here BOTH the fp job and the k job paid it).  text
+    # rides along because the near-dup pair stage shingles it.
+    slim = pre.select(
         "doc_id",
         "text",
-        "ws",
         TX.quality_score_ws(F.col("ws"), F.col("text")).alias("quality"),
-    ).filter(F.col("quality") >= 0.6)
-    fp = q.select("doc_id", TX.fingerprint_ws(F.col("ws")).alias("fp"))
-    q = q.drop("ws")
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        TX.fingerprint_ws(F.col("ws")).alias("fp"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    q = slim.filter(F.col("quality") >= 0.6)
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     k = q.join(keep, "doc_id", "left_semi")
     # Truncate: k (the quality+exact-dedup chain) feeds the pair stage,
     # the CC nodes side, AND the representative semi join — without the
@@ -607,7 +621,7 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 230, "val")
         .otherwise("test")
         .alias("split"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        "n_tokens",
         F.floor(F.col("doc_id") / shard_width).alias("shard"),
     )
     t = t.localCheckpoint(eager=False)  # window + totals + count reuse it
