@@ -343,10 +343,22 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB is too large to broadcast); (4) the per-doc reduction is
     again a map-side-combined average.  No Python anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(TX.words_of(F.col("text"))).alias("__w")
-    ).select("doc_id", F.lower("__w").alias("word"))
-    counts = words.groupBy("word").agg(F.count("*").cast("double").alias("cnt"))
+    # Truncate the token table and the vocab counts (r14, guide §1.2):
+    # `words` feeds the LM aggregate AND the scoring join, and `counts`
+    # feeds the total AND the join — without the checkpoints the regex
+    # tokenize re-ran from the scan once per leg (3 corpus passes).
+    words = (
+        docs.select(
+            "doc_id", F.explode(TX.words_of(F.col("text"))).alias("__w")
+        )
+        .select("doc_id", F.lower("__w").alias("word"))
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("cnt").alias("total"))
     alp = F.avg(F.log(F.col("cnt") / F.col("total")))
     return (
@@ -577,10 +589,15 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring joins.  The shuffle never carries more than one row per
     distinct n-gram per task; no Python anywhere."""
     docs = load_table(spark, sf_dir, "documents")
+    # Truncate the lowered words table (r14, guide §1.2): FOUR legs
+    # derive from it (bigram counts, context counts, vocab size, the
+    # scoring side), and each re-ran the regex tokenize from the scan
+    # without it.  One tokenize pass; the legs read materialized
+    # arrays.
     ws = docs.select(
         "doc_id",
         F.transform(TX.words_of(F.col("text")), lambda w: F.lower(w)).alias("ws"),
-    )
+    ).localCheckpoint(eager=False)
     toks = ws.select("doc_id", F.explode("ws").alias("word"))
     bg = (
         ws.filter(F.size("ws") >= 2)
@@ -599,10 +616,18 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "g.w1", "g.w2")
     )
     cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    cu = toks.groupBy("word").agg(F.count("*").alias("c1")).withColumnRenamed(
-        "word", "w1"
+    # vocab-sized (distinct words), shared by the scoring join AND the
+    # vocab-count leg below — truncated so the explode+agg runs once
+    cu = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("c1"))
+        .withColumnRenamed("word", "w1")
+        .localCheckpoint(eager=False)
     )
-    v = toks.agg(F.countDistinct("word").alias("vocab"))
+    # vocab = countDistinct(word) == the unigram-count table's row count
+    # (words_of never yields NULL/empty tokens, so the distinct sets are
+    # identical) — one row-count over cu instead of a third explode pass
+    v = cu.agg(F.count("*").alias("vocab"))
     lq = F.round(
         F.log(
             (F.col("cb") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("vocab"))
