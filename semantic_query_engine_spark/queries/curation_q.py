@@ -121,6 +121,9 @@ def _span_report(pool: DataFrame, max_span_freq: int | None = None) -> DataFrame
     dropped before dup marking — it would otherwise mark every document
     as a duplicate of every other AND concentrate its whole occurrence
     list on one reduce key."""
+    # pool feeds the span explode AND the per-doc sizes leg; truncate so
+    # the tokenize (word arrays) runs once, not once per leg (r14)
+    pool = pool.localCheckpoint(eager=False)
     spans = (
         pool.filter(F.size("w") >= _K)
         .select(
