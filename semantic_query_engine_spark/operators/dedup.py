@@ -160,55 +160,50 @@ def minhash_band_table(
     if num_perm % n_bands:
         raise ValueError("num_perm must divide into n_bands")
     r = num_perm // n_bands
+    sh = shingle_table(docs, text_col, id_col, n)
     # The signature is an element-wise min over num_perm hash slots.
-    # r14 shape (2nd rework): MAP-ONLY — per document, one nested HOF
-    # folds the (distinct, never-empty: word_shingles pads to >= 1
-    # gram) shingle ARRAY into the num_perm-slot min vector, so the
-    # whole band table is Scan -> Project -> Generate with ZERO
-    # exchanges.  The previous shape exploded num_perm rows per shingle
-    # into a (id, slot) min aggregate + a collect_list reassembly — two
-    # shuffles carrying num_perm rows per doc (and, at 100 TB, two
-    # all-corpus exchanges for what is a per-row computation).  The
-    # slot loop is DATA-driven (sequence + lambda), not unrolled, so
-    # whole-stage codegen stays small — the failure mode that killed
-    # the num_perm-separate-aggregates shape (javac/JIT warmup
-    # dominating, see git history) does not apply.  Values are
-    # identical: min over the same distinct shingle set, same per-slot
-    # hash function, slots in order by construction.
+    # r14 shape: ONE posexplode of a num_perm-wide hash array + ONE
+    # min() aggregate keyed (id, slot), reassembled per id with
+    # array_sort(collect_list(struct)).  The previous shape — num_perm
+    # separate min() aggregates in one groupBy — generated a whole-
+    # stage-codegen class so large that javac+JIT warmup dominated the
+    # first executions (measured 7.6/3.3/2.7/2.4 s across runs at
+    # sf0.1 vs 6.7/5.4/1.8/1.8 for this shape) and steady state was
+    # ~25% slower.  Values are identical: min per slot is min per
+    # slot, whatever the grouping.  Shuffle volume is the same
+    # (id, slot, min-hash) triples after map-side combine vs one
+    # num_perm-wide row per id.
     if portable:
         # permutation i = md5-derived hash of "i|shingle"; band key =
         # the r signature slots rendered as one string (an equality key
         # needs no hashing — portable mode trades key bytes for a
         # DuckDB-reproducible pipeline; production mode hashes them)
-        def slot_hash(i, s):
-            return _p64(F.concat(i.cast("string"), F.lit("|"), s))
-
+        hs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: _p64(
+                F.concat(i.cast("string"), F.lit("|"), F.col("shingle"))
+            ),
+        )
         key_of = lambda b: F.concat_ws(  # noqa: E731
-            ",", *[F.col("a")[b * r + j].cast("string") for j in range(r)]
+            ",", *[F.col("a")[b * r + j]["mh"].cast("string") for j in range(r)]
         )
     else:
         # xxhash64(shingle, i): i rides as an INT column element, the
         # same type (and therefore the same hash) as the old F.lit(i)
-        def slot_hash(i, s):
-            return F.xxhash64(s, i)
-
-        key_of = lambda b: F.xxhash64(  # noqa: E731
-            *[F.col("a")[b * r + j] for j in range(r)]
+        hs = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.xxhash64(F.col("shingle"), i),
         )
-    # fold identity: any real hash is < 2^63-1, and the array is never
-    # empty, so the fold equals the exploded min() bit-for-bit
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.aggregate(
-            F.col("__sh"),
-            F.lit(2**63 - 1).cast("long"),
-            lambda acc, s: F.least(acc, slot_hash(i, s)),
-        ),
+        key_of = lambda b: F.xxhash64(  # noqa: E731
+            *[F.col("a")[b * r + j]["mh"] for j in range(r)]
+        )
+    e = sh.select("id", F.posexplode(hs).alias("i", "h"))
+    sig = e.groupBy("id", "i").agg(F.min("h").alias("mh"))
+    # slot index is unique per id, so the struct sort reassembles the
+    # signature in slot order deterministically
+    asm = sig.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("a")
     )
-    asm = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("__sh"),
-    ).select("id", sig.alias("a"))
     bands = F.array(
         *[
             F.struct(F.lit(b).alias("band"), key_of(b).alias("key"))

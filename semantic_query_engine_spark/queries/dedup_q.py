@@ -29,11 +29,9 @@ def _docs_with_truncated_copies(
 ) -> DataFrame:
     """documents[:limit] plus an 80%-prefix copy of each at id+10000.
 
-    `spread=True` is passed by every consumer whose per-row work is the
-    64-perm signature build: since the r14 map-only minhash_band_table
-    rework that work runs IN the input partitions (no exchange spreads
-    it anymore), so the unspread 2-partition pool serialized it
-    (minhash_lsh_pairs 1.8 -> 5.9 s regression caught in-round).  See
+    `spread=True` is passed by map-dominated consumers (lsh_bucket_stats:
+    64-perm signature build then one agg); join-heavy consumers
+    (dedup_eval_lsh, minhash_lsh_pairs) measured FASTER unspread — see
     sources/fixtures.load_table."""
     docs = load_table(spark, sf_dir, "documents", spread=spread).filter(
         F.col("doc_id") < limit
@@ -456,7 +454,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SKETCH internals end-to-end; tests pin both hash modes."""
     from ..operators.dedup import minhash_lsh_pairs
 
-    docs = _docs_with_truncated_copies(spark, sf_dir, spread=True)
+    docs = _docs_with_truncated_copies(spark, sf_dir)
     lsh = minhash_lsh_pairs(docs, threshold=0.5, n=2)
     exact = jaccard_pairs(docs, threshold=0.5, n=2)
     return _attach_recall(exact, lsh, ("id_a", "id_b")).select(
@@ -477,7 +475,7 @@ def minhash_lsh_pairs_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     `minhash_lsh_pairs`."""
     from ..operators.dedup import minhash_lsh_pairs
 
-    docs = _docs_with_truncated_copies(spark, sf_dir, spread=True)
+    docs = _docs_with_truncated_copies(spark, sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.5, n=2)
 
 
@@ -626,7 +624,7 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same builder, one flag)."""
     from ..operators.dedup import minhash_lsh_pairs
 
-    docs = _docs_with_truncated_copies(spark, sf_dir, spread=True)
+    docs = _docs_with_truncated_copies(spark, sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.5, n=2, portable=True)
 
 
@@ -2191,7 +2189,7 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross of 1-row aggregates; no collect."""
     from ..operators.dedup import minhash_band_table, shingle_table
 
-    pool = _docs_with_truncated_copies(spark, sf_dir, spread=True)
+    pool = _docs_with_truncated_copies(spark, sf_dir)
     bt = minhash_band_table(pool, num_perm=64, n_bands=16, n=2, portable=True)
     # Truncate the two shared tiny tables: bt feeds BOTH sides of the
     # self-join (the 64-perm signature build would run twice) and sh
