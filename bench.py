@@ -41,6 +41,14 @@ oversubscribed host showed steal storms that inflated single rows up
 to 70x (winnow_fingerprints 0.82 s quiet vs 56.3 s mid-storm, same
 commit).  The worst accepted fraction and the retake count are stamped
 into the JSON's load block so a poisoned run is self-identifying.
+
+Round 15 (VERDICT r14 #1): a row that EXHAUSTS its retakes mid-storm —
+so its median contains poisoned samples — is RE-QUEUED once at the end
+of the sweep (storms pass; the r14 driver run had 4 rows 2-6x off
+their quiet twins from exactly this).  Rows still poisoned after the
+re-queue are listed per-name in load.steal_poisoned so downstream
+comparisons can exclude them instead of reading storm noise as a
+regression.
 """
 
 from __future__ import annotations
@@ -86,6 +94,19 @@ def _steal_frac(s0: int, s1: int, wall: float) -> float:
     if s0 < 0 or s1 < 0 or wall <= 0:
         return 0.0
     return (s1 - s0) / (wall * _CLK_TCK * (os.cpu_count() or 1))
+
+
+def _merge_requeue(
+    old_t: float, old_frac: float, retry_t: float, retry_frac: float | None
+) -> tuple[float, float | None]:
+    """Merge a steal-poisoned row's original median with its end-of-
+    sweep re-queue result: a CLEAN retry (retry_frac None) replaces the
+    row outright; a still-poisoned retry keeps the FASTER median (both
+    are storm-inflated upper bounds) and the worst accepted fraction.
+    Returns (timing, poisoned_frac_or_None)."""
+    if retry_frac is None:
+        return retry_t, None
+    return min(old_t, retry_t), max(old_frac, retry_frac)
 
 
 def _foreign_jvms() -> int:
@@ -295,6 +316,13 @@ def _time_queries(names: list[str], sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     steal_worst = 0.0
     retakes = 0
+    # queries whose MEDIAN-contributing sample set had to ACCEPT a
+    # poisoned sample because the retake budget ran out (r15, VERDICT
+    # r14 #1: the r14 driver run burned 58 retakes against a storm and
+    # silently medianed storm samples — 4 rows came out 2-6x off their
+    # quiet twins).  The parent re-queues these once at end-of-sweep
+    # and stamps any that stay poisoned so PERF can exclude them.
+    poisoned: dict[str, float] = {}
     for name in names:
         # untimed warmup: first execution pays whole-stage-codegen javac
         # for this plan (and JVM/class/parquet-footer first-touch in the
@@ -322,9 +350,11 @@ def _time_queries(names: list[str], sf_dir: str) -> dict[str, float]:
                 attempt += 1  # steal-poisoned sample: retake (bounded)
                 retakes += 1
             steal_worst = max(steal_worst, frac)
+            if frac > steal_max:
+                poisoned[name] = max(poisoned.get(name, 0.0), round(frac, 4))
             samples.append(dt)
         timings[name] = round(sorted(samples)[len(samples) // 2], 4)
-    return timings, steal_worst, retakes
+    return timings, steal_worst, retakes, poisoned
 
 
 def _legacy_main() -> None:
@@ -454,7 +484,7 @@ def _child_main() -> None:
         for n in os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
         if n.strip()
     ]
-    timings, steal_worst, retakes = _time_queries(names, sf_dir)
+    timings, steal_worst, retakes, poisoned = _time_queries(names, sf_dir)
     sys.stdout.write(
         "\n"
         + json.dumps(
@@ -462,6 +492,7 @@ def _child_main() -> None:
                 "timings": timings,
                 "steal_worst": round(steal_worst, 4),
                 "steal_retakes": retakes,
+                "poisoned": poisoned,
             }
         )
         + "\n"
@@ -494,8 +525,9 @@ def _parent_main() -> int:
     timings: dict[str, float] = {}
     steal_worst = 0.0
     steal_retakes = 0
-    for i in range(0, len(names), batch):
-        group = names[i : i + batch]
+    poisoned: dict[str, float] = {}
+
+    def run_group(group: list[str]) -> dict | None:
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_CHILD"] = "isolated"
         env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(group)
@@ -516,14 +548,55 @@ def _parent_main() -> int:
                     f"\n[bench] child for {group} failed "
                     f"rc={res.returncode}; stderr at {errf.name}\n"
                 )
-                return 1
+                return None
         os.unlink(errf.name)
-        row = json.loads(res.stdout.strip().splitlines()[-1])
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    for i in range(0, len(names), batch):
+        group = names[i : i + batch]
+        row = run_group(group)
+        if row is None:
+            return 1
         timings.update(row["timings"])
         steal_worst = max(steal_worst, row.get("steal_worst", 0.0))
         steal_retakes += row.get("steal_retakes", 0)
+        poisoned.update(row.get("poisoned", {}))
         for n in group:
             sys.stderr.write(f"# {n}: {timings[n]}s\n")
+    # End-of-sweep re-queue (r15, VERDICT r14 #1): a row whose sample
+    # set ACCEPTED a steal-poisoned sample (retake budget exhausted
+    # mid-storm) gets ONE fresh isolated retry after the sweep — by
+    # then the storm has usually passed.  A clean retry replaces the
+    # row; a still-poisoned retry keeps the FASTER of the two medians
+    # (both are storm-inflated upper bounds) and the row is stamped
+    # into load.steal_poisoned so PERF/judges can exclude it instead
+    # of reading it as a regression.
+    steal_requeued = 0
+    if poisoned:
+        sys.stderr.write(
+            f"# re-queueing {len(poisoned)} steal-poisoned row(s): "
+            f"{sorted(poisoned)}\n"
+        )
+        for name in sorted(poisoned):
+            row = run_group([name])
+            if row is None:
+                return 1
+            steal_requeued += 1
+            steal_retakes += row.get("steal_retakes", 0)
+            steal_worst = max(steal_worst, row.get("steal_worst", 0.0))
+            retry_frac = row.get("poisoned", {}).get(name)
+            t, frac = _merge_requeue(
+                timings[name], poisoned[name], row["timings"][name], retry_frac
+            )
+            timings[name] = t
+            if frac is None:
+                del poisoned[name]
+                sys.stderr.write(f"# {name}: {t}s (requeue, clean)\n")
+            else:
+                poisoned[name] = frac
+                sys.stderr.write(
+                    f"# {name}: {t}s (requeue still poisoned, steal {frac})\n"
+                )
     instrument = (
         "isolated-noop" if batch == 1 else f"isolated-noop-batch{batch}"
     )
@@ -542,6 +615,12 @@ def _parent_main() -> int:
         steal={
             "steal_frac_worst": round(steal_worst, 4),
             "steal_retakes": steal_retakes,
+            "steal_requeues": steal_requeued,
+            # rows whose reported median STILL contains a sample taken
+            # above the steal threshold after retakes + one re-queue:
+            # name -> worst accepted steal fraction.  Exclude these from
+            # regression reads; {} means every row's samples were clean.
+            "steal_poisoned": poisoned,
         },
     )
     return 0

@@ -40,3 +40,22 @@ def test_steal_frac_sentinels_are_quiet():
     assert bench._steal_frac(-1, 100, 1.0) == 0.0
     assert bench._steal_frac(100, -1, 1.0) == 0.0
     assert bench._steal_frac(100, 200, 0.0) == 0.0
+
+
+def test_requeue_clean_retry_replaces_row():
+    # a clean end-of-sweep retry replaces the storm-inflated median
+    # and clears the poisoned flag (round 15, VERDICT r14 #1)
+    t, frac = bench._merge_requeue(5.61, 0.13, 1.06, None)
+    assert t == 1.06
+    assert frac is None
+
+
+def test_requeue_still_poisoned_keeps_faster_upper_bound():
+    # both medians are storm-inflated upper bounds: keep the faster
+    # one, keep the WORST accepted steal fraction, keep the flag
+    t, frac = bench._merge_requeue(5.61, 0.13, 3.2, 0.08)
+    assert t == 3.2
+    assert frac == 0.13
+    t, frac = bench._merge_requeue(2.0, 0.06, 4.0, 0.19)
+    assert t == 2.0
+    assert frac == 0.19

@@ -22,8 +22,10 @@ def repl(m):
 
 
 text = re.sub(r"AFTER_([A-Za-z0-9_]+)", repl, text)
-open(doc_path, "w").write(text)
+# Only write when every placeholder resolved: a failed run must not
+# leave the doc partially substituted on disk (ADVICE r14).
 if missing:
     sys.stderr.write(f"missing bench rows: {missing}\n")
     sys.exit(1)
+open(doc_path, "w").write(text)
 print("filled")
