@@ -36,6 +36,7 @@ from .operators import cache as cache_ops
 from .operators.chunking import chunk_documents
 from .operators.retrieval import topk_similar
 from .plans.rag import SYSTEM_RULES
+from .functions.plan import truncate_eager
 
 DEFAULT_TOP_K = 3  # /root/reference/app/main.py:467
 
@@ -217,7 +218,7 @@ class SemanticQueryEngine:
         # cache is capacity-bounded (<= `cache_capacity` rows) so the
         # materialization is tiny.
         if self._cache_seq % 16 == 0:
-            self._cache = self._cache.localCheckpoint(eager=True)
+            self._cache = self._cache.transform(truncate_eager)
 
     def ask(
         self, query: str, chat_id: Optional[str] = None, top_k: int = DEFAULT_TOP_K

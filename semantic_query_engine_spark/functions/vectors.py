@@ -129,6 +129,17 @@ def with_cosine(
     Values are bit-identical to cosine(): same guard, same operation
     order, norms evaluated by the same l2_norm tree."""
     dot_tmp = f"__{out}_dot"
+    # the temp names collide with df.select('*', ...) below if the input
+    # already carries them (e.g. two nested with_cosine calls with the
+    # same `out`) — fail loudly at plan-build time instead of with an
+    # ambiguous-column analyzer error downstream (ADVICE r14)
+    taken = set(df.columns)
+    for tmp in (dot_tmp, f"__{out}_norm_a", f"__{out}_norm_b"):
+        if tmp in taken:
+            raise ValueError(
+                f"with_cosine temp column {tmp!r} already exists in the "
+                f"input; pick a different `out` name"
+            )
     proj = [dot(a, b).alias(dot_tmp)]
     drops = [dot_tmp]
     if norm_a is None:

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, words_of
-from ..functions.vectors import dot, l2_norm
+from ..functions.vectors import cosine_from_norms, l2_norm
+from ..functions.plan import truncate_plan
 
 
 def exact_dedup(
@@ -99,7 +100,7 @@ def jaccard_pairs(
     # valve's LeftSemi etc.) that the checkpoint otherwise hides behind
     # a Scan ExistingRDD.
     if truncate:
-        sh = sh.localCheckpoint(eager=False)
+        sh = sh.transform(truncate_plan)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -242,7 +243,7 @@ def minhash_lsh_pairs(
     # applies to its own bt).  n_bands rows of (id, band, key) per doc.
     bt = minhash_band_table(
         docs, num_perm, n_bands, text_col, id_col, n, portable
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(
@@ -259,7 +260,7 @@ def minhash_lsh_pairs(
     # ea and eb — 3 derivations of the shingle explode + hash without it.
     sh = shingle_table(docs, text_col, id_col, n).select(
         "id", sh_hash.alias("sh")
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     sizes = sh.groupBy("id").agg(F.count("*").alias("ns"))
     ea = sh.select(F.col("id").alias("id_a"), "sh")
     eb = sh.select(F.col("id").alias("id_b"), "sh")
@@ -372,7 +373,7 @@ def embedding_near_dups(
         # without it.  (id, band, key) — 3 longs a row.
         bands = srp_band_table(
             embeddings, srp_bands, srp_bits, srp_dim, seed, id_col, vec_col
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         la, lb = bands.alias("ba"), bands.alias("bb")
         cand = (
             la.join(
@@ -397,13 +398,9 @@ def embedding_near_dups(
             l2_norm(vec_col).alias("__nb"),
         )
         pairs = cand.join(va, "id_a").join(vb, "id_b")
-        sim = F.round(
-            F.when(
-                (F.col("__na") == F.lit(0.0)) | (F.col("__nb") == F.lit(0.0)),
-                F.lit(0.0),
-            ).otherwise(dot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb"))),
-            6,
-        )
+        # one shared guard+dot/norm expression (ADVICE r14): identical
+        # arithmetic to the previous inline form, single source of truth
+        sim = F.round(cosine_from_norms("vec_a", "vec_b", "__na", "__nb"), 6)
         return (
             pairs.select("id_a", "id_b", sim.alias("sim"))
             .filter(F.col("sim") >= F.lit(threshold))
@@ -422,13 +419,7 @@ def embedding_near_dups(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     joined = a.join(b, "blk") if block_col else a.crossJoin(b)
-    sim = F.round(
-        F.when(
-            (F.col("__na") == F.lit(0.0)) | (F.col("__nb") == F.lit(0.0)),
-            F.lit(0.0),
-        ).otherwise(dot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb"))),
-        6,
-    )
+    sim = F.round(cosine_from_norms("vec_a", "vec_b", "__na", "__nb"), 6)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim"))

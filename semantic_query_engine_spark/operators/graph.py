@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.plan import truncate_plan
 
 
 def _large_star(edges: DataFrame, dedup: bool = False) -> DataFrame:
@@ -147,11 +148,11 @@ def connected_components(
     # proxy the CC loop was already designed around.
     ep = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     e = (
         ep.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     all_nodes = ep.select(F.col("u").alias("node")).union(
         ep.select(F.col("v").alias("node"))
@@ -192,7 +193,7 @@ def connected_components(
     for _ in range(max_iter):
         e = _small_star(
             _large_star(e, dedup=not fuse_large_star)
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         # one-row fingerprint action materializes the lazy checkpoint;
         # (count, xor of content hashes) is order-insensitive, cannot
         # overflow under ANSI mode (sum of hashes can), and changes

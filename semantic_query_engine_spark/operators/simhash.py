@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import words_of
+from ..functions.plan import truncate_plan
 
 N_BITS = 64
 N_BANDS = 4  # 16 bits per band
@@ -79,6 +80,30 @@ def simhash_from_hashes(hashes) -> F.Column:
     return sig
 
 
+def simhash_from_hashes_named(col_name: str) -> F.Column:
+    """simhash_from_hashes over a NAMED word-hash column, rendered as
+    ONE SQL string parsed JVM-side (r15, the const_array class — guide
+    §1.2 driver work): composing the 64 unrolled vote aggregates as
+    Python Column objects costs ~1.4 s of py4j round-trips PER PLAN
+    BUILD (measured: the multimodal_dedup_stats text leg spent 1.8 s of
+    its 2.0 s row building the plan, 0.3 s executing it).  Arithmetic
+    is identical to simhash_from_hashes — same shift/mask/vote/packing
+    ops, long-typed throughout — verified value-identical in both hash
+    modes by tests/test_dedup.py::test_simhash_identical_and_perturbed
+    and corpus-wide by the dedup_simhash / multimodal_dedup_stats
+    oracle gates."""
+    votes = [
+        f"aggregate({col_name}, 0L, (acc, h) -> "
+        f"acc + ((shiftright(h, {j}) & 1L) * 2L - 1L))"
+        for j in range(N_BITS)
+    ]
+    bits = [
+        f"shiftleft(CAST((CASE WHEN {v} > 0 THEN 1 ELSE 0 END) AS BIGINT), {j})"
+        for j, v in enumerate(votes)
+    ]
+    return F.expr(" | ".join(bits))
+
+
 def simhash(text_col, portable: bool = False) -> F.Column:
     """Composed single-Column form (tests / ad-hoc use).  In a real
     plan prefer word_hashes -> pre-project -> simhash_from_hashes:
@@ -112,7 +137,7 @@ def simhash_pairs(
     sigs = docs.select(
         F.col(id_col).alias("id"),
         word_hashes(F.col(text_col), portable).alias("_wh"),
-    ).select("id", simhash_from_hashes(F.col("_wh")).alias("sig"))
+    ).select("id", simhash_from_hashes_named("_wh").alias("sig"))
     return banded_hamming_pairs(sigs, max_hamming)
 
 
@@ -132,7 +157,7 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
     # fingerprint table a real dedup run stages to storage anyway.
     # A/B at sf0.1 (5-run medians, back-to-back): audio 1.00 s with vs
     # 1.23 s without, phash/stats equal within the noise band.
-    sigs = sigs.localCheckpoint(eager=False)
+    sigs = sigs.transform(truncate_plan)
     banded = sigs.select(
         "id", "sig", F.posexplode(band_values(F.col("sig"))).alias("band_idx", "band_val")
     )

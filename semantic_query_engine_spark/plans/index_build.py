@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import l2_normalize
 from ..ml.embedder import TfIdfEmbedder
 from ..operators.chunking import chunk_documents
+from ..functions.plan import truncate_eager
 
 
 def build_index(
@@ -104,4 +105,4 @@ def upsert_index(
             .drop("__rn")
         )
     # break lineage before overwriting the path still being read
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    merged.transform(truncate_eager).write.mode("overwrite").parquet(path)

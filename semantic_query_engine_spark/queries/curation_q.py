@@ -22,6 +22,7 @@ from ..operators.dedup import shingle_table
 from ..sources.fixtures import load_table
 from .mlpipeline_q import _bucket_expr
 from .registry import register
+from ..functions.plan import truncate_plan
 
 _CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
 _WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
@@ -123,7 +124,7 @@ def _span_report(pool: DataFrame, max_span_freq: int | None = None) -> DataFrame
     list on one reduce key."""
     # pool feeds the span explode AND the per-doc sizes leg; truncate so
     # the tokenize (word arrays) runs once, not once per leg (r14)
-    pool = pool.localCheckpoint(eager=False)
+    pool = pool.transform(truncate_plan)
     spans = (
         pool.filter(F.size("w") >= _K)
         .select(

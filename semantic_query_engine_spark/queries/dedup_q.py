@@ -19,6 +19,7 @@ from ..functions.text import words_of
 from ..operators.dedup import exact_dedup, jaccard_pairs
 from ..sources.fixtures import load_table
 from .registry import fmt_doc, register
+from ..functions.plan import truncate_plan, truncate_eager
 
 _CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
 _WORDS = f"regexp_split_to_array({_CLEAN}, '\\s+')"
@@ -266,7 +267,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more than once (size probe + node derivation + loop seed); without
     # this the SRP-LSH pair generation re-runs per consumption
     # (measured 3.9s -> 2.9s at sf0.1)
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = pairs.select("id_a", "id_b").transform(truncate_eager)
     cc = connected_components(pairs, nodes=pool.select("vec_id"))
     return cc.select(
         F.col("node").alias("vec_id"),
@@ -774,7 +775,7 @@ def _planted_query_index(spark: SparkSession, sf_dir: str, spread: bool = False)
     # scan IS this materialization.  Coalesced first for the same
     # union-times-spread reason as _planted_knn_pool (4 branches x the
     # vector table's spread width; narrow merge, no shuffle).
-    index = index.coalesce(8).localCheckpoint(eager=False)
+    index = index.coalesce(8).transform(truncate_plan)
     qvec = [float(x) for x in q.head().embedding]
     return index, qvec
 
@@ -937,7 +938,7 @@ def _planted_knn_pool(spark: SparkSession, sf_dir: str):
     # vector rows need the source table's width, not 4x it (bench
     # 4.2 -> 15.9 s when the full-core spread landed, from task
     # scheduling alone).  Narrow merge, no shuffle.
-    return probes, index.coalesce(8).localCheckpoint(eager=False)
+    return probes, index.coalesce(8).transform(truncate_plan)
 
 
 @register("ann_ivf_knn_join", oracle=_ANN_KNN_ORACLE)
@@ -1100,7 +1101,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = base.unionByName(v1).unionByName(v2).coalesce(4)
     edges = jaccard_pairs(pool, threshold=0.7, n=2)
     # eager checkpoint: same multi-consumption pattern as dedup_semantic
-    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = edges.select("id_a", "id_b").transform(truncate_eager)
     cc = connected_components(edges, nodes=pool.select("doc_id"))
     return cc.select(F.col("node").alias("doc_id"), "component")
 
@@ -1628,7 +1629,7 @@ def retrieval_eval_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SRP bucketing scan, each of which re-derived the union + planted
     # transform.  SF-bounded table; at corpus scale each consumer's
     # storage scan is the materialization.
-    index = index.localCheckpoint(eager=False)
+    index = index.transform(truncate_plan)
     mat = F.expr(_SRP_MAT_SPARK)
     powers = F.expr(
         "array(" + ", ".join(str(1 << j) + "L" for j in range(16)) + ")"
@@ -1669,7 +1670,7 @@ def retrieval_eval_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count; without truncation each leg re-runs the SRP bucketing scan
     # over the whole index plus the bucket join.  Bounded: single-bucket
     # collisions for 8 probes (hundreds of rows).
-    cand = cand.localCheckpoint(eager=False)
+    cand = cand.transform(truncate_plan)
     wrk = Window.partitionBy("probe_id").orderBy(F.desc("c"), F.asc("vec_id"))
     ark = cand.withColumn("rk", F.row_number().over(wrk))
     nc = cand.groupBy("probe_id").agg(F.count("*").alias("n_candidates"))
@@ -2028,7 +2029,7 @@ def neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce — no shuffle — restores a work-proportionate width.
     pool = base.unionByName(v1).unionByName(v2).coalesce(4)
     edges = jaccard_pairs(pool, threshold=0.7, n=2)
-    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = edges.select("id_a", "id_b").transform(truncate_eager)
     cc = connected_components(edges, nodes=pool.select("doc_id"))
     wc = pool.select(
         "doc_id", F.size(words_of(F.col("text"))).cast("long").alias("n_words")
@@ -2121,7 +2122,7 @@ def dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce — no shuffle — restores a work-proportionate width.
     pool = base.unionByName(v1).unionByName(v2).coalesce(4)
     edges = jaccard_pairs(pool, threshold=0.7, n=2)
-    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = edges.select("id_a", "id_b").transform(truncate_eager)
     cc = connected_components(edges, nodes=pool.select("doc_id"))
     csz = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return csz.groupBy("cluster_size").agg(
@@ -2197,7 +2198,7 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truth/cand each feed multiple 1-row aggregates.  The pool is
     # capped at ~200 rows, so materializing is microseconds while the
     # saved re-derivations dominate the query's cost.
-    bt = bt.localCheckpoint(eager=False)
+    bt = bt.transform(truncate_plan)
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(
@@ -2208,14 +2209,14 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     from ..operators.dedup import _p64
 
     sh = (
         shingle_table(pool, n=2)
         .select("id", _p64(F.col("shingle")).alias("sh"))
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("ns"))
     ea = sh.select(F.col("id").alias("id_a"), "sh")
@@ -2231,7 +2232,7 @@ def dedup_eval_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("nb")), "id_b")
         .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     tp = truth.join(cand, ["id_a", "id_b"]).agg(
         F.count("*").alias("c")
@@ -2399,7 +2400,7 @@ def dedup_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # tiny (200 rows x 65 cols); checkpointing makes the sharing real —
     # three band tables derive from ONE computed signature relation
-    sig = sh.groupBy("id").agg(*perm).localCheckpoint(eager=True)
+    sig = sh.groupBy("id").agg(*perm).transform(truncate_eager)
 
     shp = sh.select("id", _p64(F.col("shingle")).alias("sh"))
     sizes = shp.groupBy("id").agg(F.count("*").alias("ns"))
@@ -2422,7 +2423,7 @@ def dedup_eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(2 * F.col("i") >= F.col("na") + F.col("nb") - F.col("i"))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)  # shared by every config's tp join
+        .transform(truncate_eager)  # shared by every config's tp join
     )
     nt = truth.agg(F.count("*").alias("n_truth"))
 
@@ -2581,7 +2582,7 @@ def dedup_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dups(pool, threshold=0.98, block_col="label")
     # eager checkpoint: connected_components consumes its edge input
     # more than once (same rationale as dedup_semantic)
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = pairs.select("id_a", "id_b").transform(truncate_eager)
     cc = connected_components(pairs, nodes=pool.select("vec_id"))
     cent = (
         pool.select(
@@ -2691,9 +2692,9 @@ def dedup_semdedup_built(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment feeds the confined join AND the planted-pair gate;
     # without the checkpoint the seeded-but-stateful pandas-UDF
     # assignment recomputes per consumer (3 full passes)
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.transform(truncate_eager)
     pairs = embedding_near_dups(assigned, threshold=0.98, block_col="cluster_id")
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = pairs.select("id_a", "id_b").transform(truncate_eager)
     cc = connected_components(pairs, nodes=pool.select("vec_id"))
     scored = (
         assigned.join(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.fixtures import load_table
 from .registry import fmt_doc, register
+from ..functions.plan import truncate_eager
 
 _POOL = 200  # bounded demo pool; the scale path for edge generation is
 # the IVF-pruned ivf_knn_join (operators/ann.py), which produces the
@@ -97,7 +98,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         knn_join(probes, pool, k=_K, exclude_self=True)
         .select(F.col("probe_id").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint(eager=True)  # computed once, reused 10x
+        .transform(truncate_eager)  # computed once, reused 10x
     )
     n = pool.count()  # bounded pool (<= _POOL rows) — setup scalar
     ranks = pool.select("vec_id", F.lit(1.0 / n).alias("r"))
@@ -117,7 +118,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_DAMP) * F.coalesce(F.col("in_r"), F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
     return ranks.select("vec_id", F.round("r", 6).alias("pagerank"))
 
@@ -224,7 +225,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         knn_join(probes, pool, k=_K, exclude_self=True)
         .select(F.col("probe_id").alias("src"), F.col("vec_id").alias("dst"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     n = pool.count()  # bounded pool (<= _POOL rows) — setup scalar
     ranks = pool.select("vec_id", F.lit(1.0 / n).alias("r"))
@@ -245,7 +246,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_DAMP) * F.coalesce(F.col("in_r"), F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
         # bounded per-iteration driver check: ONE double
         delta = (

@@ -20,6 +20,7 @@ from ..operators.prefix import exclusive_prefix_sum
 from ..sources.fixtures import load_table
 from ..streaming.jobs import read_events_stream, run_to_memory
 from .registry import register
+from ..functions.plan import truncate_plan, truncate_eager
 
 # md5-hex -> integer bucket 0..255, written with only instr/substr string
 # ops so the IDENTICAL expression runs on Spark (instr) and DuckDB
@@ -411,7 +412,7 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score_ws(F.col("ws"), F.col("text")).alias("quality"),
         TX.fingerprint_ws(F.col("ws")).alias("fp"),
         F.size(F.split("text", " ")).alias("n_tokens"),
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     q = slim.filter(F.col("quality") >= 0.6)
     keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     k = q.join(keep, "doc_id", "left_semi")
@@ -435,7 +436,7 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deferred to call sites, now taken inside the plan: 6 narrow
     # columns, materialized once (on a cluster use reliable
     # checkpoint()/a staging table).
-    t = t.localCheckpoint(eager=False)
+    t = t.transform(truncate_plan)
     w = (
         Window.partitionBy("split", "shard")
         .orderBy("doc_id")
@@ -589,7 +590,7 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score_ws(F.col("ws"), F.col("text")).alias("quality"),
         TX.fingerprint_ws(F.col("ws")).alias("fp"),
         F.size(F.split("text", " ")).alias("n_tokens"),
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     q = slim.filter(F.col("quality") >= 0.6)
     keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     k = q.join(keep, "doc_id", "left_semi")
@@ -598,7 +599,7 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint each branch re-derives it from the parquet scan (the
     # same multi-scan blowup training_data_prep fixed; measured 2.7x
     # growth on a BOUNDED pool at the 10x scale run without this).
-    k = k.localCheckpoint(eager=False)
+    k = k.transform(truncate_plan)
     # the pair/cluster stages see only (doc_id, text)-derived shingles
     # and (id, id) edges — never the full row
     edges = jaccard_pairs(
@@ -606,7 +607,7 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eager checkpoint: CC consumes its edge input several times; the
     # capped-jaccard pair plan must materialize once, not per use
-    edges = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = edges.select("id_a", "id_b").transform(truncate_eager)
     cc = connected_components(edges, nodes=k.select("doc_id"))
     reps = cc.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -624,7 +625,7 @@ def training_data_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(F.col("doc_id") / shard_width).alias("shard"),
     )
-    t = t.localCheckpoint(eager=False)  # window + totals + count reuse it
+    t = t.transform(truncate_plan)  # window + totals + count reuse it
     w = (
         Window.partitionBy("split", "shard")
         .orderBy("doc_id")
@@ -864,7 +865,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("doc_id") % 10 == 0).cast("long")).alias("ct"),
     )
     # bounded: one row per hash bucket (256)
-    counts = counts.localCheckpoint(eager=False)
+    counts = counts.transform(truncate_plan)
     totals = counts.agg(
         F.sum("cr").alias("total_r"), F.sum("ct").alias("total_t")
     )

@@ -26,6 +26,12 @@ from ..sources.fixtures import load_table
 from .registry import register
 
 TERMS = ("vector", "hash", "stream")
+# The bm25 `score > 0` pre-filter's equivalence proof (see _bm25_scores)
+# relies on every term being one nonempty single-space-free token: the
+# padded-substring probe `' '||text||' ' CONTAINS ' term '` IS token
+# membership only under that invariant (ADVICE r14 — pin it here so a
+# future TERMS edit cannot silently break oracle parity).
+assert all(t and " " not in t for t in TERMS), TERMS
 K1, B = 1.2, 0.75
 
 # ---- shared oracle fragments -------------------------------------------

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, dot, l2_norm, l2_normalize, with_cosine
 from ..sources.fixtures import load_table
 from .registry import register
+from ..functions.plan import truncate_eager
 
 # Shared oracle fragment: the query vector (vec_id = 0) as DOUBLE[].
 _Q = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
@@ -653,7 +654,7 @@ def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", cosine("embedding", F.col("qv")).alias("simq"))
     )
     pool = cand.orderBy(F.desc("simq"), F.asc("vec_id")).limit(_MMR_POOL)
-    pool = pool.localCheckpoint(eager=True)  # 20 rows; reused K+1 times
+    pool = pool.transform(truncate_eager)  # 20 rows; reused K+1 times
     a = pool.select(
         F.col("vec_id").alias("d"), F.col("embedding").alias("va")
     )
@@ -664,7 +665,7 @@ def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded: re-rank pool is limit()-capped upstream
         a.join(F.broadcast(b), F.col("d") != F.col("s"))
         .select("d", "s", cosine("va", "vb").alias("sim"))
-        .localCheckpoint(eager=True)  # 380 rows
+        .transform(truncate_eager)  # 380 rows
     )
     lam = _MMR_LAMBDA
     picked = (
@@ -702,7 +703,7 @@ def semantic_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .withColumn("rank", F.lit(i))
         )
-        selected = selected.unionByName(step).localCheckpoint(eager=True)
+        selected = selected.unionByName(step).transform(truncate_eager)
     return selected.select("vec_id", "mmr", "rank")
 
 

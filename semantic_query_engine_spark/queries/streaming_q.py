@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..sources.fixtures import load_table
 from ..streaming.jobs import read_events_stream, run_to_memory
 from .registry import register
+from ..functions.plan import truncate_eager
 
 _TS = "yyyy-MM-dd HH:mm:ss"
 _DTS = "%Y-%m-%d %H:%M:%S"
@@ -393,7 +394,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # eager checkpoint: batch_df is only valid inside this call, and
         # the accumulator's lineage must not grow batch-over-batch
-        acc["df"] = merged.localCheckpoint(eager=True)
+        acc["df"] = merged.transform(truncate_eager)
         acc["batches"] += 1
 
     q = (
@@ -497,7 +498,7 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize before deleting the temp source (memory sink has
     # already collected, but the returned frame must not re-read tmp)
-    result = result.localCheckpoint(eager=True)
+    result = result.transform(truncate_eager)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
 
@@ -546,7 +547,7 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(deduped, output_mode="append")
     result = out.groupBy("event_type").agg(F.count("*").alias("n"))
-    result = result.localCheckpoint(eager=True)
+    result = result.transform(truncate_eager)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
 
@@ -611,7 +612,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
-    result = spark.table(name).localCheckpoint(eager=True)
+    result = spark.table(name).transform(truncate_eager)
     spark.catalog.dropTempView(name)
     return result
 
@@ -683,7 +684,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format(F.col("session_window.start"), _TS).alias("session_start"),
         "n_events",
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
 
@@ -871,7 +872,7 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    result = spark.read.parquet(target).localCheckpoint(eager=True)
+    result = spark.read.parquet(target).transform(truncate_eager)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
 

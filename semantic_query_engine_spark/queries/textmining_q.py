@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..sources.fixtures import load_table
 from .registry import register
+from ..functions.plan import truncate_eager
 
 # DuckDB twins of functions/text.py (same as textops.py)
 _CLEAN = "trim(regexp_replace(text, chr(10), ' ', 'g'))"
@@ -207,7 +208,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # from the scan.  Bounded: the pool is capped at ~315 docs, and
         # at corpus scale w is the (doc,term) weight table a real run
         # would stage to parquet anyway.
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     wqd = F.col("wq").cast("decimal(19,0)")
     norms = w.groupBy("doc_id").agg(F.sum(wqd * wqd).alias("n2"))
@@ -451,7 +452,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") <= 3)
         .select("id_a", "id_b")
         # eager checkpoint: CC consumes its edge input several times
-        .localCheckpoint(eager=True)
+        .transform(truncate_eager)
     )
     cc = connected_components(pairs, nodes=records.select("rid"))
     return cc.select(
@@ -519,7 +520,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = toks.groupBy("w").agg(F.count("*").alias("freq"))
     words = wf.select(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "freq"
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
     merges = []
     for i in range(1, _BPE_ROUNDS + 1):
         syms = F.split("seq", " ")
@@ -551,7 +552,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regexp_replace("pair", " ", "").alias("m"),
                 F.lit(i).alias("merge_rank"),
             )
-            .localCheckpoint(eager=True)  # 1 row, reused by merge + output
+            .transform(truncate_eager)  # 1 row, reused by merge + output
         )
         merges.append(top)
         words = (
@@ -567,7 +568,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("seq"),
                 "freq",
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_eager)
         )
     out = merges[0]
     for t in merges[1:]:

@@ -15,6 +15,7 @@ from ..functions import text as TX
 from ..operators.chunking import chunk_documents
 from ..sources.fixtures import load_table
 from .registry import register
+from ..functions.plan import truncate_plan, truncate_eager
 
 CHUNK = 16
 
@@ -352,12 +353,12 @@ def unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(TX.words_of(F.col("text"))).alias("__w")
         )
         .select("doc_id", F.lower("__w").alias("word"))
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     counts = (
         words.groupBy("word")
         .agg(F.count("*").cast("double").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     total = counts.agg(F.sum("cnt").alias("total"))
     alp = F.avg(F.log(F.col("cnt") / F.col("total")))
@@ -597,7 +598,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = docs.select(
         "doc_id",
         F.transform(TX.words_of(F.col("text")), lambda w: F.lower(w)).alias("ws"),
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     toks = ws.select("doc_id", F.explode("ws").alias("word"))
     bg = (
         ws.filter(F.size("ws") >= 2)
@@ -622,7 +623,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("word")
         .agg(F.count("*").alias("c1"))
         .withColumnRenamed("word", "w1")
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     # vocab = countDistinct(word) == the unigram-count table's row count
     # (words_of never yields NULL/empty tokens, so the distinct sets are
@@ -1029,7 +1030,7 @@ def _bpe_learn(
             )
         cur = cur.select("w", scol.alias("s"), "freq")
         if checkpoint_every and jobs % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(truncate_eager)
     return base, cur, rows
 
 
@@ -1133,7 +1134,7 @@ def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.sum(ok).alias("n_ok"),
         (F.count("*") == F.sum(ok)).alias("roundtrip_ok"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
     base.unpersist()
     return out
 
@@ -1183,7 +1184,7 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, cur, _ = _bpe_learn(spark, sf_dir)
     wsym = cur.select(
         "w", F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_sym")
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_eager)
     base.unpersist()
     docs = load_table(spark, sf_dir, "documents")
     dtoks = docs.select(

@@ -120,10 +120,18 @@ def _parquet_rows(path: str) -> int | None:
     """Row count from the parquet footer (driver-side metadata read,
     ~ms, amortized by the plan cache).  None when unreadable (e.g. a
     directory table) — caller falls back to the full-core floor."""
+    meta = _parquet_meta(path)
+    return meta[0] if meta else None
+
+
+def _parquet_meta(path: str) -> tuple[int, int] | None:
+    """(num_rows, num_row_groups) from the parquet footer; None when
+    unreadable (e.g. a directory table)."""
     try:
         import pyarrow.parquet as pq
 
-        return pq.ParquetFile(path).metadata.num_rows
+        md = pq.ParquetFile(path).metadata
+        return md.num_rows, md.num_row_groups
     except Exception:  # noqa: BLE001 — any failure means "unknown"
         return None
 
@@ -154,20 +162,54 @@ def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     if floor_env == "0":
         return df
     cores = spark.sparkContext.defaultParallelism
+    meta = _parquet_meta(path)
     if floor_env:
         floor = int(floor_env)
     else:
         if _file_stamp(path)[1] < _SPREAD_MIN_BYTES:
             return df
-        rows = _parquet_rows(path)
         floor = (
             cores
-            if rows is None
-            else min(cores, -(-rows // _SPREAD_ROWS_PER_TASK))
+            if meta is None
+            else min(cores, -(-meta[0] // _SPREAD_ROWS_PER_TASK))
         )
-    if floor > 1 and df.rdd.getNumPartitions() < floor:
+    if floor <= 1:
+        return df
+    # Scan parallelism from the footer the floor already read, instead
+    # of df.rdd.getNumPartitions() — a driver-side plan-to-RDD
+    # conversion per uncached load (VERDICT r14 #7).  For a single
+    # parquet file the EFFECTIVE parallelism is min(row groups, byte
+    # splits): a row group cannot split across tasks (the very skew this
+    # spread exists to fix), and a small file is one split however many
+    # groups it holds.  Directory tables (footer unreadable) keep the
+    # RDD fallback.
+    if meta:
+        try:
+            mpb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+        except Exception:  # noqa: BLE001 — unparseable conf: assume default
+            mpb = 128 * 1024 * 1024
+        splits = max(1, -(-_file_stamp(path)[1] // mpb))
+        scan_par = min(meta[1], splits)
+    else:
+        scan_par = df.rdd.getNumPartitions()
+    if scan_par < floor:
         return df.repartition(floor)
     return df
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark size-string to bytes ('128MB', '134217728b', '1g')."""
+    t = s.strip().lower()
+    for suf, mult in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4),
+        ("b", 1),
+    ):
+        if t.endswith(suf):
+            return int(float(t[: -len(suf)]) * mult)
+    return int(t)
 
 
 def _pin_confs(spark: SparkSession, name: str) -> None:

@@ -50,6 +50,32 @@ def test_simhash_identical_and_perturbed(spark):
     ham_14 = bin((sigs[1] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
     assert ham_13 < ham_14  # one-word edit is closer than unrelated text
 
+    # the fast-to-build SQL-string form (r15: one F.expr parse instead
+    # of ~1.4 s of py4j Column composition per plan) must produce the
+    # exact same signatures as the Column form, in both hash modes
+    from semantic_query_engine_spark.operators.simhash import (
+        simhash_from_hashes_named,
+        word_hashes,
+    )
+
+    for portable in (False, True):
+        base = df.select(
+            "doc_id", word_hashes(F.col("text"), portable).alias("_wh")
+        )
+        col_form = {
+            r.doc_id: r.sig
+            for r in base.select(
+                "doc_id", simhash(F.col("text"), portable).alias("sig")
+            ).collect()
+        }
+        sql_form = {
+            r.doc_id: r.sig
+            for r in base.select(
+                "doc_id", simhash_from_hashes_named("_wh").alias("sig")
+            ).collect()
+        }
+        assert col_form == sql_form, (portable, col_form, sql_form)
+
 
 def test_ivf_matches_bruteforce(spark, sf_dir):
     from semantic_query_engine_spark.operators.ann import build_ivf, ivf_topk
